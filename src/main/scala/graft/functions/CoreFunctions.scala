@@ -57,12 +57,10 @@ object CoreFunctions {
 
   /** Bounding box (x, y, w, h) from 4 quad points.
     * Reference: `src/ocr/service.py:231-240` (A3). */
-  def bboxX(xs: Seq[Column]): Column = least(xs.head, xs.tail: _*)
-  def bboxY(ys: Seq[Column]): Column = least(ys.head, ys.tail: _*)
-  def bboxW(xs: Seq[Column]): Column =
-    greatest(xs.head, xs.tail: _*) - least(xs.head, xs.tail: _*)
-  def bboxH(ys: Seq[Column]): Column =
-    greatest(ys.head, ys.tail: _*) - least(ys.head, ys.tail: _*)
+  def bboxX(xs: Seq[Column]): Column = least(xs: _*)
+  def bboxY(ys: Seq[Column]): Column = least(ys: _*)
+  def bboxW(xs: Seq[Column]): Column = greatest(xs: _*) - least(xs: _*)
+  def bboxH(ys: Seq[Column]): Column = greatest(ys: _*) - least(ys: _*)
 
   /** Capacity-model worker target: ceil(rate / targetUtil / serviceRate),
     * reference `src/autoscaler/controller.py:314-328` (A10). */
@@ -70,9 +68,11 @@ object CoreFunctions {
     ceil(arrivalRate / targetUtil / serviceRate)
 
   /** Weighted blend of the three autoscale signals + clamp to [min,max].
-    * Reference: `src/autoscaler/controller.py:281-288` (A11). */
+    * Reference combines with Python `int(...)` which TRUNCATES toward zero
+    * (`src/autoscaler/controller.py:281-288`, A11); inputs are non-negative
+    * so `floor` matches. */
   def blendTarget(cap: Column, pid: Column, pred: Column, minW: Int, maxW: Int): Column =
-    clamp(round(cap * 0.4 + pid * 0.3 + pred * 0.3),
+    clamp(floor(cap * 0.4 + pid * 0.3 + pred * 0.3),
       lit(minW.toDouble), lit(maxW.toDouble))
 
   /** Degradation level from utilization (<0.7→0, <0.8→1, <0.9→2, else 3).

@@ -60,7 +60,10 @@ case class WorkerMetrics(
     utilization: Double,
     lagMs: Double)
 
-/** Dead-letter record. Reference: `pkg/queue/redis_consumer.go:284-298`. */
+/** Dead-letter record. Reference: `pkg/queue/redis_consumer.go:284-298`.
+  * The reference stores `failed_at` as epoch SECONDS (`time.Now().Unix()`,
+  * redis_consumer.go:296); we store microseconds — convert with
+  * `failedAtUs = unixSeconds * 1_000_000L` at the boundary. */
 case class DeadLetter(
     jobId: String,
     jobType: String,
