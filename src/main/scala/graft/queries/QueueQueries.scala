@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Priority-queue semantics re-expressed relationally (SURVEY.md §2.1 S7,
+  * §2.7 B1-B6, §2.10 X3/X4, §2.2 K3): the reference's 4-level Redis
+  * Streams queue becomes a priority column + deterministic ordering;
+  * retry/demotion/DLQ become pure column math over the job table.
+  *
+  * The event stream stands in for the job stream: `priorityOf(event_type)`
+  * is the priority class, `ts` the enqueue time.
+  */
+object QueueQueries {
+
+  private val gapCase =
+    "CASE priority WHEN 3 THEN 300000 WHEN 2 THEN 1000000 " +
+      "WHEN 1 THEN 2000000 ELSE 5000000 END"
+
+  /** q11: strict priority dequeue order with EDF tiebreak — the batch
+    * analog of `redis_queue.py:157-224` (scan priorities 3→0) + B2
+    * earliest-deadline-first. Deterministic: (priority desc, deadline
+    * asc, event_id) is a total order. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val jobs = Tables.events(s, d)
+      .withColumn("priority", priorityOf(col("event_type")))
+      .withColumn("enq_us", Q.us)
+      .withColumn("deadline_us", col("enq_us") + expr(gapCase))
+    val w = Window.orderBy(col("priority").desc, col("deadline_us").asc,
+      col("event_id").asc)
+    jobs.select(col("event_id"), col("priority"), col("deadline_us"))
+      .withColumn("dequeue_rank", row_number().over(w))
+      .filter(col("dequeue_rank") <= 100)
+  }
+
+  private val q11Sql =
+    s"""SELECT event_id, priority, deadline_us,
+       |  row_number() OVER (ORDER BY priority DESC, deadline_us, event_id) AS dequeue_rank
+       |FROM (SELECT event_id, priority, ${Q.usSql} + ($gapCase) AS deadline_us
+       |      FROM (SELECT event_id, ts, $priorityOfSql AS priority FROM events))
+       |QUALIFY dequeue_rank <= 100""".stripMargin
+
+  /** q12: retry with priority demotion, exponential backoff, and DLQ
+    * routing — reference X3 (`redis_queue.py:278-303`) + X4/K3
+    * (`redis_consumer.go:257-298`). Pure per-row column math. */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("priority", priorityOf(col("event_type")))
+      .withColumn("retry_count", (col("event_id") % 5).cast("int"))
+      .select(
+        col("event_id"), col("priority"), col("retry_count"),
+        demote(col("priority")).as("demoted_priority"),
+        backoffSeconds(col("retry_count")).cast("long").as("backoff_s"),
+        (col("retry_count") >= 3).cast("int").as("to_dlq"))
+
+  private val q12Sql =
+    s"""SELECT event_id, $priorityOfSql AS priority,
+       |  CAST(event_id % 5 AS INT) AS retry_count,
+       |  greatest(0, $priorityOfSql - 1) AS demoted_priority,
+       |  CAST((event_id % 5) * (event_id % 5) AS BIGINT) AS backoff_s,
+       |  CAST(event_id % 5 >= 3 AS INT) AS to_dlq
+       |FROM events""".stripMargin
+
+  /** q13: queue-depth rollup per priority + share of total — reference A5
+    * (`redis_queue.py:346-362`, Σ XLEN across the 4 streams). */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .withColumn("priority", priorityOf(col("event_type")))
+      .groupBy(col("priority")).agg(count(lit(1)).as("depth"))
+      .withColumn("share",
+        round(col("depth").cast("double") /
+          sum(col("depth")).over(Window.partitionBy()), 6))
+  }
+
+  private val q13Sql =
+    s"""SELECT priority, depth,
+       |  round(CAST(depth AS DOUBLE) / sum(depth) OVER (), 6) AS share
+       |FROM (SELECT $priorityOfSql AS priority, count(*) AS depth
+       |      FROM events GROUP BY 1)""".stripMargin
+
+  /** q22: dynamic batch assembly — size-bucketing (B3/B4) + EDF order
+    * (B2) + max-batch-size 16 (B1, `src/config.py:109`): batch id =
+    * position within (priority, bucket) in deadline order, div 16. */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val jobs = Tables.events(s, d)
+      .withColumn("priority", priorityOf(col("event_type")))
+      .withColumn("bucket",
+        lengthBucket(col("value"), Seq(50L, 100L, 200L, 400L)))
+      .withColumn("enq_us", Q.us)
+      .withColumn("deadline_us", col("enq_us") + expr(gapCase))
+    val w = Window.partitionBy(col("priority"), col("bucket"))
+      .orderBy(col("deadline_us").asc, col("event_id").asc)
+    // floor() before the cast: Spark's double→long cast truncates but
+    // DuckDB's rounds, so both sides floor explicitly.
+    jobs.withColumn("pos", row_number().over(w) - 1)
+      .withColumn("batch_id", floor(col("pos") / 16.0).cast("long"))
+      .groupBy(col("priority"), col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("batch_n"),
+        min(col("deadline_us")).as("min_deadline_us"),
+        max(col("deadline_us")).as("max_deadline_us"))
+  }
+
+  private val q22Sql =
+    s"""SELECT priority, bucket, batch_id, count(*) AS batch_n,
+       |  min(deadline_us) AS min_deadline_us,
+       |  max(deadline_us) AS max_deadline_us
+       |FROM (
+       |  SELECT priority, bucket,
+       |    CAST(floor((row_number() OVER (PARTITION BY priority, bucket
+       |          ORDER BY deadline_us, event_id) - 1) / 16.0) AS BIGINT) AS batch_id,
+       |    deadline_us, event_id
+       |  FROM (SELECT event_id, priority,
+       |          ${lengthBucketSql("value", Seq(50L, 100L, 200L, 400L))} AS bucket,
+       |          ${Q.usSql} + ($gapCase) AS deadline_us
+       |        FROM (SELECT event_id, value, ts,
+       |                $priorityOfSql AS priority FROM events)))
+       |GROUP BY priority, bucket, batch_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q11_priority_dequeue", q11, Some(q11Sql)),
+    QueryDef("q12_retry_demote_dlq", q12, Some(q12Sql)),
+    QueryDef("q13_queue_depth", q13, Some(q13Sql)),
+    QueryDef("q22_edf_batches", q22, Some(q22Sql)))
+}

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core surface (SURVEY.md §2.3/§2.4/§2.5/§2.8): projections,
+  * filters, equi-joins, grouped/rolled-up aggregation, set ops, window
+  * top-k, exact percentiles, and the job↔result time-range correlation
+  * (J1). Declared over the TPC-H-ish testdata.
+  *
+  * Scale notes (100 TB): every query here groups/joins on high-cardinality
+  * keys AFTER filtering (filters and required columns push down to the
+  * parquet scan); small dimensions (region/nation/customer/supplier) are
+  * explicitly `broadcast()` so the only shuffles are on the fact tables;
+  * money sums accumulate in DECIMAL so results are shuffle-order-independent.
+  */
+object RelationalQueries {
+
+  /** q01: TPC-H Q1-shape pricing summary (reference analogs A1/A2 —
+    * grouped multi-aggregate rollups; `src/ocr/service.py:216-255`). */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) <= lit("2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        Q.dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        Q.davg(col("l_quantity")).as("avg_qty"),
+        Q.davg(col("l_extendedprice")).as("avg_price"),
+        Q.davg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       |  ${Q.dsumSql("l_extendedprice")} AS sum_base_price,
+       |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       |  ${Q.davgSql("l_quantity")} AS avg_qty,
+       |  ${Q.davgSql("l_extendedprice")} AS avg_price,
+       |  ${Q.davgSql("l_discount", 2)} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: TPC-H Q3-shape top-revenue orders — 3-way equi-join + grouped
+    * revenue + deterministic top-10 (reference J1 keyed correlation +
+    * B6 ordered dequeue). Revenue accumulates in DECIMAL, so the ORDER BY
+    * is on bit-identical doubles in both engines. */
+  private def q02(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) < lit("1998-03-15"))
+    val l = Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) > lit("1998-03-15"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q02Sql =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+      |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q03: TPC-H Q5-shape local-supplier revenue by nation — 6-way join
+    * with broadcast dimensions; the fact-side shuffle is only on the
+    * orderkey/suppkey equi-join keys. */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val o = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1998-01-01"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") &&
+          sup("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  private val q03Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** q04: ROLLUP over the event stream (engine extension per SURVEY §2.5:
+    * distinct/rollup/cube are absent in the reference; declared here). */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CoreFunctions
+    Tables.events(s, d)
+      .withColumn("priority", CoreFunctions.priorityOf(col("event_type")))
+      .rollup(col("event_type"), col("priority"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total_value"))
+  }
+
+  private val q04Sql =
+    s"""SELECT event_type,
+       |  ${graft.functions.CoreFunctions.priorityOfSql} AS priority,
+       |  count(*) AS n, ${Q.dsumSql("value")} AS total_value
+       |FROM events
+       |GROUP BY ROLLUP(event_type,
+       |  ${graft.functions.CoreFunctions.priorityOfSql})""".stripMargin
+
+  /** q05: CUBE over lineitem status flags. */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"))
+
+  private val q05Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  /** q06: set operations (SURVEY §2.8 — engine surface): customers with a
+    * big order vs customers with negative balance, tagged 3-way. */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val b = Tables.customer(s, d).filter(col("c_acctbal") < 0.0)
+      .select(col("c_custkey").as("custkey")).distinct()
+    a.except(b).withColumn("tag", lit("only_big_order"))
+      .unionAll(a.intersect(b).withColumn("tag", lit("both")))
+      .unionAll(b.except(a).withColumn("tag", lit("only_neg_bal")))
+  }
+
+  private val q06Sql =
+    """WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0),
+      |     b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal < 0.0)
+      |SELECT custkey, 'only_big_order' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT custkey, 'only_neg_bal' AS tag FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""".stripMargin
+
+  /** q07: exact distinct counts per group (SURVEY §2.5 engine extension;
+    * the approx/HLL variant is bench-only — approx sketches are not
+    * oracle-comparable). */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+
+  private val q07Sql =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q08: per-group top-k via window rank (reference B8 largest-contour
+    * top-1 / B10 last-N generalization). */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(Q.dsum(col("value")).as("total_value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("total_value").desc, col("user_id").asc)
+    totals.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+  }
+
+  private val q08Sql =
+    s"""SELECT * FROM (
+       |  SELECT event_type, user_id, total_value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY total_value DESC, user_id) AS rk
+       |  FROM (SELECT event_type, user_id, ${Q.dsumSql("value")} AS total_value
+       |        FROM events GROUP BY event_type, user_id))
+       |WHERE rk <= 3""".stripMargin
+
+  /** q09: exact percentile stats (reference A14 benchmark percentiles /
+    * B9 median angle — `benchmarks/run_benchmarks.py:582-611`). Uses the
+    * exact interpolated percentile on both engines. */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(Q.davg(col("value")), 6).as("mean_v"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+
+  private val q09Sql =
+    s"""SELECT event_type, round(${Q.davgSql("value")}, 6) AS mean_v,
+       |  round(quantile_cont(value, 0.5), 6) AS p50,
+       |  round(quantile_cont(value, 0.95), 6) AS p95,
+       |  round(quantile_cont(value, 0.99), 6) AS p99,
+       |  count(*) AS n
+       |FROM events GROUP BY event_type""".stripMargin
+
+  /** q10: request↔result correlation on a key with a time-range bound —
+    * the batch form of reference J1 (`redis_queue.py:329-344`: enqueue
+    * then poll result within timeout). signup=request, purchase=result,
+    * 7-day window. At scale this is a range join after an equi-join on
+    * the key, so it shuffles only on user_id. */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val req = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), Q.us.as("t_req"))
+    val res = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), Q.us.as("t_res"))
+    req.join(res, req("user_id") === res("r_user") &&
+        res("t_res") >= req("t_req") &&
+        res("t_res") <= req("t_req") + lit(604800000000L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        min(col("t_res") - col("t_req")).as("min_latency_us"))
+  }
+
+  private val q10Sql =
+    s"""SELECT r.user_id, count(*) AS n_matched,
+       |  min(s.t_res - r.t_req) AS min_latency_us
+       |FROM (SELECT user_id, ${Q.usSql} AS t_req FROM events WHERE event_type = 'signup') r
+       |JOIN (SELECT user_id, ${Q.usSql} AS t_res FROM events WHERE event_type = 'purchase') s
+       |  ON r.user_id = s.user_id
+       | AND s.t_res >= r.t_req AND s.t_res <= r.t_req + 604800000000
+       |GROUP BY r.user_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
+    QueryDef("q02_top_orders", q02, Some(q02Sql)),
+    QueryDef("q03_region_revenue", q03, Some(q03Sql)),
+    QueryDef("q04_rollup_events", q04, Some(q04Sql)),
+    QueryDef("q05_cube_lineitem", q05, Some(q05Sql)),
+    QueryDef("q06_set_ops", q06, Some(q06Sql)),
+    QueryDef("q07_distinct_counts", q07, Some(q07Sql)),
+    QueryDef("q08_topk_users", q08, Some(q08Sql)),
+    QueryDef("q09_percentiles", q09, Some(q09Sql)),
+    QueryDef("q10_request_result_join", q10, Some(q10Sql)))
+}

@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Session windows, ordered assembly, and the autoscaler's analytics —
+  * batch (gaps-and-islands) forms of SURVEY.md §2.6 W1-W9 and §2.5
+  * A1/A7-A13, declared over the event stream. The streaming forms live in
+  * `graft.streaming` (flatMapGroupsWithState) and are verified in
+  * ScalaTest; these batch forms are the DuckDB-oracle surface with the
+  * same semantics.
+  *
+  * Scale: everything here is a single shuffle on the session/group key
+  * followed by window functions inside the partition — the pattern that
+  * survives 1000 executors (no driver-side loops, no collect).
+  */
+object SessionQueries {
+
+  private val gapUs = 1800000000L // 30-minute session gap
+
+  /** Shared sessionization: user-keyed gaps-and-islands over event time
+    * (reference W3 VAD-gap endpointing + W5 idle timeout, batch analog).
+    * One window pass: session breaks where the gap exceeds `gapUs`. */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), Q.us.as("t_us"))
+      .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_us").isNull ||
+          (col("t_us") - col("prev_us")) > gapUs).cast("long"))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private val sessionizedSql =
+    s"""SELECT event_id, user_id, event_type, value, t_us,
+       |  sum(is_new) OVER (PARTITION BY user_id
+       |    ORDER BY t_us, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_seq
+       |FROM (
+       |  SELECT *, CAST(prev_us IS NULL OR t_us - prev_us > $gapUs AS BIGINT) AS is_new
+       |  FROM (
+       |    SELECT event_id, user_id, event_type, value, ${Q.usSql} AS t_us,
+       |      lag(${Q.usSql}) OVER (PARTITION BY user_id
+       |        ORDER BY ${Q.usSql}, event_id) AS prev_us
+       |    FROM events))""".stripMargin
+
+  /** q14: session summaries — count/start/end/duration per (user,
+    * session) (reference A4 end-of-stream stats,
+    * `src/stt/service.py:239-255`). */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t_us")).as("start_us"),
+        max(col("t_us")).as("end_us"),
+        (max(col("t_us")) - min(col("t_us"))).as("duration_us"))
+
+  private val q14Sql =
+    s"""SELECT user_id, session_seq, count(*) AS n_events,
+       |  min(t_us) AS start_us, max(t_us) AS end_us,
+       |  max(t_us) - min(t_us) AS duration_us
+       |FROM ($sessionizedSql)
+       |GROUP BY user_id, session_seq""".stripMargin
+
+  /** q15: ordered transcript assembly + confidence — reference A1
+    * (`src/stt/service.py:133-160`): concatenate per-session texts in
+    * event-time order, average the clamped confidence. The event type
+    * stands in for the segment text; value/600 clamped to [0,1] for the
+    * logprob-confidence analog (F27). */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("t_us"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")),
+          " ").as("transcript"),
+        round(avg(clamp(col("value") / 600.0, lit(0.0), lit(1.0))), 6)
+          .as("avg_confidence"),
+        count(lit(1)).as("n_segments"))
+
+  private val q15Sql =
+    s"""SELECT user_id, session_seq,
+       |  string_agg(event_type, ' ' ORDER BY t_us, event_id) AS transcript,
+       |  round(avg(least(greatest(value / 600.0, 0.0), 1.0)), 6) AS avg_confidence,
+       |  count(*) AS n_segments
+       |FROM ($sessionizedSql)
+       |GROUP BY user_id, session_seq""".stripMargin
+
+  /** q16: silence-island detection — reference P9/W9
+    * (`audio_processor.py:280-337`): low-energy runs of length ≥ 3 as
+    * gaps-and-islands over the ordered stream (value < 20 ≈ RMS below
+    * threshold). */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), Q.us.as("t_us"))
+      .withColumn("silent", col("value") < 20.0)
+      .withColumn("started",
+        (col("silent") && !coalesce(lag(col("silent"), 1).over(byUser),
+          lit(false))).cast("long"))
+      .withColumn("island",
+        sum(col("started")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("silent"))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_silent"),
+        min(col("t_us")).as("start_us"),
+        max(col("t_us")).as("end_us"))
+      .filter(col("n_silent") >= 3)
+  }
+
+  private val q16Sql =
+    s"""SELECT user_id, island, count(*) AS n_silent,
+       |  min(t_us) AS start_us, max(t_us) AS end_us
+       |FROM (
+       |  SELECT user_id, t_us, silent,
+       |    sum(started) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM (
+       |    SELECT *, CAST(silent AND NOT coalesce(
+       |        lag(silent) OVER (PARTITION BY user_id ORDER BY t_us, event_id),
+       |        false) AS BIGINT) AS started
+       |    FROM (SELECT event_id, user_id, value < 20.0 AS silent,
+       |            ${Q.usSql} AS t_us FROM events)))
+       |WHERE silent
+       |GROUP BY user_id, island
+       |HAVING count(*) >= 3""".stripMargin
+
+  /** q17: arrival-rate estimation from consecutive samples — reference A7
+    * (`controller.py:411-428`): Δvalue/Δt via lag(). */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        Q.us.as("t_us"))
+      .withColumn("dv", col("value") - lag(col("value"), 1).over(byType))
+      .withColumn("dt_us", col("t_us") - lag(col("t_us"), 1).over(byType))
+      .filter(col("dt_us") > 0)
+      .select(col("event_id"), col("event_type"),
+        round(col("dv") / (col("dt_us").cast("double") / 1000000.0), 6)
+          .as("rate_per_s"))
+  }
+
+  private val q17Sql =
+    s"""SELECT event_id, event_type,
+       |  round(dv / (CAST(dt_us AS DOUBLE) / 1000000.0), 6) AS rate_per_s
+       |FROM (
+       |  SELECT event_id, event_type,
+       |    value - lag(value) OVER w AS dv,
+       |    t_us - lag(t_us) OVER w AS dt_us
+       |  FROM (SELECT event_id, event_type, value, ${Q.usSql} AS t_us FROM events)
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id))
+       |WHERE dt_us > 0""".stripMargin
+
+  /** q18: linear-regression trend — reference A8 (`controller.py:346-380`
+    * OLS slope of rate vs time). Computed as the closed-form OLS slope
+    * from EXACT integer/decimal sums (day index is integral, value is
+    * 2 dp), so both engines produce bit-identical doubles — no reliance
+    * on regr_slope's summation order. */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("day")).as("sx"),
+        sum(col("value").cast("decimal(18,2)")).as("sy"),
+        sum(col("day") * col("day")).as("sxx"),
+        sum((col("day").cast("decimal(18,0)") *
+          col("value").cast("decimal(18,2)")).cast("decimal(28,2)"))
+          .as("sxy"))
+      .select(col("event_type"), col("n"),
+        round(
+          (col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")),
+          10).as("slope_per_day"))
+
+  private val q18Sql =
+    """SELECT event_type, n,
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+      |    10) AS slope_per_day
+      |FROM (
+      |  SELECT event_type, count(*) AS n, sum(day) AS sx,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS sy,
+      |    sum(day * day) AS sxx,
+      |    sum(CAST(CAST(day AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,2))) AS sxy
+      |  FROM (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value
+      |        FROM events)
+      |  GROUP BY event_type)""".stripMargin
+
+  /** q19: PID controller over the daily error series — reference A9
+    * (`controller.py:67-109`): e = setpoint − daily mean; I = Σe·dt
+    * (dt = 1 day, cumulative window sum); D = Δe/dt; out = 2.0·e +
+    * 0.1·I + 0.05·D. Daily means come from exact decimal sums, so the
+    * cumulative double sums are identical on both engines. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(Q.davg(col("value")).as("daily_mean"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    daily
+      .withColumn("e", lit(50.0) - col("daily_mean"))
+      .withColumn("integral",
+        sum(col("e")).over(byDay
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("derivative",
+        coalesce(col("e") - lag(col("e"), 1).over(byDay), lit(0.0)))
+      .select(col("event_type"), col("day"),
+        round(col("e"), 6).as("error"),
+        round(lit(2.0) * col("e") + lit(0.1) * col("integral") +
+          lit(0.05) * col("derivative"), 6).as("pid_out"))
+  }
+
+  private val q19Sql =
+    s"""SELECT event_type, day, round(e, 6) AS error,
+       |  round(2.0 * e + 0.1 * integral + 0.05 * derivative, 6) AS pid_out
+       |FROM (
+       |  SELECT event_type, day, e,
+       |    sum(e) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS integral,
+       |    coalesce(e - lag(e) OVER (PARTITION BY event_type ORDER BY day), 0.0) AS derivative
+       |  FROM (
+       |    SELECT event_type, day, 50.0 - daily_mean AS e
+       |    FROM (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+       |            ${Q.davgSql("value")} AS daily_mean
+       |          FROM events GROUP BY 1, 2)))""".stripMargin
+
+  /** q20: full autoscale decision — capacity model (A10), predictive
+    * next-count extrapolation (A8 applied), weighted blend with the
+    * reference's int() truncation + clamp to [1,10] (A11), and the
+    * multiplicative decision confidence (A12). Service rate 2 jobs/s,
+    * target utilization 0.7 (`controller.py:131-135,179`). */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("rate", col("n").cast("double") / 86400.0)
+      .withColumn("cap_target",
+        capacityTarget(col("rate"), 0.7, 2.0).cast("double"))
+      .withColumn("pid_target", col("cap_target"))
+      .withColumn("n_next",
+        greatest(lit(0L), col("n") * 2 - coalesce(lag(col("n"), 1)
+          .over(byDay), col("n"))))
+      .withColumn("pred_target",
+        ceil(col("n_next").cast("double") / 86400.0 / 0.7 / 2.0)
+          .cast("double"))
+      .withColumn("target",
+        blendTarget(col("cap_target"), col("pid_target"),
+          col("pred_target"), 1, 10).cast("long"))
+      .withColumn("confidence", round(
+        lit(1.0) *
+          when(col("n") === 0, 0.5).otherwise(1.0) *
+          when(abs(col("pred_target") - col("cap_target")) <= 1.0, 1.0)
+            .otherwise(0.8), 6))
+      .select(col("event_type"), col("day"), col("n"), col("target"),
+        col("confidence"))
+  }
+
+  private val q20Sql =
+    """SELECT event_type, day, n,
+      |  CAST(least(greatest(floor(
+      |    0.4 * cap_target + 0.3 * cap_target + 0.3 * pred_target),
+      |    1.0), 10.0) AS BIGINT) AS target,
+      |  CAST(round(1.0 * (CASE WHEN n = 0 THEN 0.5 ELSE 1.0 END)
+      |    * (CASE WHEN abs(pred_target - cap_target) <= 1.0 THEN 1.0 ELSE 0.8 END),
+      |    6) AS DOUBLE) AS confidence
+      |FROM (
+      |  SELECT event_type, day, n,
+      |    ceil(CAST(n AS DOUBLE) / 86400.0 / 0.7 / 2.0) AS cap_target,
+      |    ceil(CAST(greatest(0, n * 2 - coalesce(
+      |      lag(n) OVER (PARTITION BY event_type ORDER BY day), n)) AS DOUBLE)
+      |      / 86400.0 / 0.7 / 2.0) AS pred_target
+      |  FROM (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |          count(*) AS n
+      |        FROM events GROUP BY 1, 2))""".stripMargin
+
+  /** q21: staged degradation levels from utilization — reference X2
+    * (`backpressure.py:171-247`): hourly utilization vs the type's peak,
+    * mapped to level 0-3. */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("util",
+        col("n").cast("double") / max(col("n")).over(byType))
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("util"), 6).as("util"),
+        degradationLevel(col("util")).as("level"))
+  }
+
+  private val q21Sql =
+    """SELECT event_type, hour, n, round(util, 6) AS util,
+      |  CASE WHEN util < 0.7 THEN 0 WHEN util < 0.8 THEN 1
+      |       WHEN util < 0.9 THEN 2 ELSE 3 END AS level
+      |FROM (
+      |  SELECT event_type, hour, n,
+      |    CAST(n AS DOUBLE) / max(n) OVER (PARTITION BY event_type) AS util
+      |  FROM (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+      |          count(*) AS n
+      |        FROM events GROUP BY 1, 2))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q14_sessionize", q14, Some(q14Sql)),
+    QueryDef("q15_transcript_assembly", q15, Some(q15Sql)),
+    QueryDef("q16_silence_islands", q16, Some(q16Sql)),
+    QueryDef("q17_arrival_rate", q17, Some(q17Sql)),
+    QueryDef("q18_trend_slope", q18, Some(q18Sql)),
+    QueryDef("q19_pid_controller", q19, Some(q19Sql)),
+    QueryDef("q20_autoscale_target", q20, Some(q20Sql)),
+    QueryDef("q21_degradation_levels", q21, Some(q21Sql)))
+}

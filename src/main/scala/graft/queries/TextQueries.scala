@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Text-analysis and deduplication operators for large-scale training-data
+  * pipelines (driver north star; beyond the reference's own surface):
+  * token counting, quality scoring, language-ID heuristics, content
+  * fingerprinting, exact dedup, MinHash + LSH banding, SimHash, and
+  * n-gram Jaccard — all as pure column expressions (whole-stage codegen,
+  * no UDFs) with DuckDB-parity SQL.
+  *
+  * Scale: each operator is per-row math or a single hash-keyed
+  * shuffle (groupBy doc_id after an explode, or an LSH-bucket
+  * equi-join). Nothing is quadratic in corpus size: the only pairwise
+  * work (q29/q31) happens inside LSH/band buckets.
+  */
+object TextQueries {
+
+  /** words = whitespace-split tokens (the corpus is single-spaced). */
+  private val wordsExpr = "split(text, ' ')"
+  private val wordsSqlExpr = "str_split(text, ' ')"
+
+  /** q23: token counting — whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single other), chars. */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      size(expr(wordsExpr)).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .as("bpe_ish_tokens"))
+
+  private val q23Sql =
+    s"""SELECT doc_id, length(text) AS n_chars_calc,
+       |  len($wordsSqlExpr) AS ws_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+       |FROM documents""".stripMargin
+
+  /** q24: document quality scoring — length, mean word length, stopword
+    * ratio, blended score (heuics from C4/Gopher-style filters). */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", expr(wordsExpr))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(words, x -> x IN ('the','a','and','of','to')))")
+        .cast("long"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_stop"),
+        round(length(regexp_replace(col("text"), lit(" "), lit("")))
+          .cast("double") / col("n_words"), 6).as("mean_word_len"),
+        round(col("n_stop").cast("double") / col("n_words"), 6)
+          .as("stop_ratio"),
+        round(
+          least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.5 +
+            (col("n_stop").cast("double") / col("n_words")) * 0.3 +
+            least(lit(1.0),
+              (length(regexp_replace(col("text"), lit(" "), lit("")))
+                .cast("double") / col("n_words")) / 8.0) * 0.2,
+          6).as("quality_score"))
+
+  private val q24Sql =
+    s"""SELECT doc_id, n_words, n_stop,
+       |  round(nosp / n_words, 6) AS mean_word_len,
+       |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+       |  round(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5
+       |    + (CAST(n_stop AS DOUBLE) / n_words) * 0.3
+       |    + least(1.0, (nosp / n_words) / 8.0) * 0.2, 6) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len($wordsSqlExpr) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter($wordsSqlExpr,
+       |      x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nosp
+       |  FROM documents)""".stripMargin
+
+  /** q25: language-ID heuristic — marker-token votes per language with a
+    * fixed priority tie-break (en > es > de > fr > zh). The heuristic is
+    * the declared operator; the `lang` column is NOT consulted. */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    def cnt(ws: Column, markers: Seq[String]): Column =
+      expr(s"size(filter(words, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))")
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of"),
+      "es" -> Seq("el", "la", "de"),
+      "de" -> Seq("der", "und", "das"),
+      "fr" -> Seq("le", "et", "les"),
+      "zh" -> Seq("shi", "bu", "wo"))
+    var df = Tables.documents(s, d).withColumn("words", expr(wordsExpr))
+    for ((l, ms) <- markers) df = df.withColumn(s"c_$l", cnt(col("words"), ms))
+    val best = markers.map { case (l, _) => col(s"c_$l") }
+    df.select(col("doc_id"), col("c_en"), col("c_es"), col("c_de"),
+        col("c_fr"), col("c_zh"),
+        when(col("c_en") === greatest(best: _*), "en")
+          .when(col("c_es") === greatest(best: _*), "es")
+          .when(col("c_de") === greatest(best: _*), "de")
+          .when(col("c_fr") === greatest(best: _*), "fr")
+          .otherwise("zh").as("predicted_lang"))
+  }
+
+  private val q25Sql = {
+    def cnt(markers: Seq[String]): String =
+      s"len(list_filter($wordsSqlExpr, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+    s"""SELECT doc_id, c_en, c_es, c_de, c_fr, c_zh,
+       |  CASE WHEN c_en = greatest(c_en, c_es, c_de, c_fr, c_zh) THEN 'en'
+       |       WHEN c_es = greatest(c_en, c_es, c_de, c_fr, c_zh) THEN 'es'
+       |       WHEN c_de = greatest(c_en, c_es, c_de, c_fr, c_zh) THEN 'de'
+       |       WHEN c_fr = greatest(c_en, c_es, c_de, c_fr, c_zh) THEN 'fr'
+       |       ELSE 'zh' END AS predicted_lang
+       |FROM (
+       |  SELECT doc_id,
+       |    ${cnt(Seq("the", "and", "of"))} AS c_en,
+       |    ${cnt(Seq("el", "la", "de"))} AS c_es,
+       |    ${cnt(Seq("der", "und", "das"))} AS c_de,
+       |    ${cnt(Seq("le", "et", "les"))} AS c_fr,
+       |    ${cnt(Seq("shi", "bu", "wo"))} AS c_zh
+       |  FROM documents)""".stripMargin
+  }
+
+  /** q26: content fingerprinting — md5 of the normalized text plus the
+    * 32-bit engine hash (both engines compute identical md5). */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(lower(trim(col("text")))).as("fingerprint"),
+      hash32(lower(trim(col("text")))).as("fp32"))
+
+  private val q26Sql =
+    s"""SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+       |  ${hash32Sql("lower(trim(text))")} AS fp32
+       |FROM documents""".stripMargin
+
+  /** q27: exact-dedup statistics per source — full-text and 40-char-prefix
+    * duplicate ratios (hash-groupBy dedup; the 100 TB path is groupBy on
+    * the md5, which shuffles only 16-byte keys). */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        countDistinct(md5(substring(col("text"), 1, 40)))
+          .as("n_distinct_prefix40"))
+      .withColumn("dup_ratio", round(lit(1.0) -
+        col("n_distinct").cast("double") / col("n_docs"), 6))
+
+  private val q27Sql =
+    """SELECT source, n_docs, n_distinct, n_distinct_prefix40,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_ratio
+      |FROM (
+      |  SELECT source, count(*) AS n_docs,
+      |    count(DISTINCT md5(text)) AS n_distinct,
+      |    count(DISTINCT md5(substr(text, 1, 40))) AS n_distinct_prefix40
+      |  FROM documents GROUP BY source)""".stripMargin
+
+  /** MinHash permutation constants: h_i(x) = (a_i·h + b_i) mod p over the
+    * 32-bit token hash (`hash32`, md5-derived so both engines agree).
+    * a_i·h < 1e9 · 2^32 < 2^63 — no overflow. */
+  private val P = 2147483647L
+  private val perms = Seq(
+    (824633721L, 97L), (592397613L, 1031L), (405187081L, 65537L),
+    (975319753L, 257L), (163841233L, 8209L), (741002381L, 12289L),
+    (318271183L, 524287L), (662551321L, 2053L))
+
+  private def minhashAgg(df: DataFrame): DataFrame = {
+    val h = hash32(col("w"))
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((h * a + b) % P).as(s"m$i")
+    }
+    df.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashSqlCols: String =
+    perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((${hash32Sql("w")} * $a + $b) % $P) AS m$i"
+    }.mkString(",\n    ")
+
+  /** q28: MinHash signatures (k=8) over the token sets — the shingle →
+    * minhash step of MinHash-LSH dedup. explode + hash-keyed groupBy;
+    * partial (map-side) min aggregation makes the shuffle tiny. */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    minhashAgg(Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w")))
+
+  private val q28Sql =
+    s"""SELECT doc_id,
+       |    $minhashSqlCols
+       |FROM (SELECT doc_id, unnest($wordsSqlExpr) AS w FROM documents)
+       |GROUP BY doc_id""".stripMargin
+
+  /** q29: LSH candidate pairs + Jaccard verification — band the 8-hash
+    * signature into 2 bands of 4 (collision prob ≈ s⁴ per band, tuned
+    * for the ~0.84 near-dup threshold), equi-join on the band key, then
+    * verify with exact token-set Jaccard ≥ 0.7. At 100 TB the band join
+    * is the only pairwise step and it shuffles on band-key buckets. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val sig = q28(s, d)
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(expr(wordsExpr)).as("wset"))
+    val bands = sig.select(col("doc_id"),
+        explode(array(
+          md5(concat_ws("_", lit("b0"), col("m0"), col("m1"), col("m2"),
+            col("m3"))),
+          md5(concat_ws("_", lit("b1"), col("m4"), col("m5"), col("m6"),
+            col("m7"))))).as("band"))
+      .toDF("doc_id", "band")
+    val pairs = bands.as("x").join(bands.as("y"), col("x.band") === col("y.band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(words.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("wset", "wa"), "doc_a")
+      .join(words.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("wset", "wb"), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))), 6))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private val q29Sql =
+    s"""WITH sig AS ($q28Sql),
+       |bands AS (
+       |  SELECT doc_id, md5('b0_' || m0 || '_' || m1 || '_' || m2 || '_' || m3) AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, md5('b1_' || m4 || '_' || m5 || '_' || m6 || '_' || m7) AS band FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+       |wsets AS (SELECT doc_id, list_distinct($wordsSqlExpr) AS wset FROM documents)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
+       |    / (len(wa.wset) + len(wb.wset) - len(list_intersect(wa.wset, wb.wset))), 6) AS jaccard
+       |FROM pairs
+       |JOIN wsets wa ON wa.doc_id = doc_a
+       |JOIN wsets wb ON wb.doc_id = doc_b
+       |WHERE round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
+       |    / (len(wa.wset) + len(wb.wset) - len(list_intersect(wa.wset, wb.wset))), 6) >= 0.7""".stripMargin
+
+  /** q30: SimHash (16-bit) over token hashes — per-bit signed votes, bit
+    * set when the vote is positive. Single explode + groupBy; the
+    * signature packs back into one BIGINT. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val bits = 0 until 16
+    val df = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+      .withColumn("h", hash32(col("w")))
+    val votes = bits.map(b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1))
+        .as(s"v$b"))
+    df.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        bits.map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  private val q30Sql = {
+    val votes = (0 until 16).map(b =>
+      s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val pack = (0 until 16)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($pack AS BIGINT) AS simhash
+       |FROM (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM (SELECT doc_id, ${hash32Sql("w")} AS h
+       |        FROM (SELECT doc_id, unnest($wordsSqlExpr) AS w FROM documents))
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** q31: word-trigram Jaccard near-dup within source buckets — the
+    * n-gram variant of q29's verification. Buckets bound the pairwise
+    * work (per-source blocking; at 100 TB the blocking key would be an
+    * LSH band as in q29). */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val tri = Tables.documents(s, d)
+      .withColumn("w", expr(wordsExpr))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("source"),
+        array_distinct(expr(
+          "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+          .as("tri"))
+    tri.as("x").join(tri.as("y"),
+        col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("x.tri"), col("y.tri"))).cast("double") /
+          size(array_union(col("x.tri"), col("y.tri"))), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("jaccard"))
+  }
+
+  private val q31Sql =
+    s"""WITH tri AS (
+       |  SELECT doc_id, source,
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                   for i in range(1, len(w) - 1)]) AS tri
+       |  FROM (SELECT doc_id, source, $wordsSqlExpr AS w FROM documents)
+       |  WHERE len(w) >= 3)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  round(CAST(len(list_intersect(x.tri, y.tri)) AS DOUBLE)
+       |    / (len(x.tri) + len(y.tri) - len(list_intersect(x.tri, y.tri))), 6) AS jaccard
+       |FROM tri x JOIN tri y ON x.source = y.source AND x.doc_id < y.doc_id
+       |WHERE round(CAST(len(list_intersect(x.tri, y.tri)) AS DOUBLE)
+       |    / (len(x.tri) + len(y.tri) - len(list_intersect(x.tri, y.tri))), 6) >= 0.2""".stripMargin
+
+  /** q35: multimodal binary-column plumbing — payload treated as opaque
+    * bytes with typed metadata (size, magic, content hash). The decode /
+    * feature-extract stage is the `graft.multimodal` stub operator
+    * (mapPartitions seam); this declares the metadata surface. */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("payload_bytes"),
+      substring(col("text"), 1, 4).as("magic"),
+      hash32(col("text")).as("content_hash"))
+
+  private val q35Sql =
+    s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       |  substr(text, 1, 4) AS magic, ${hash32Sql("text")} AS content_hash
+       |FROM documents""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q23_token_counts", q23, Some(q23Sql)),
+    QueryDef("q24_quality_score", q24, Some(q24Sql)),
+    QueryDef("q25_langid", q25, Some(q25Sql)),
+    QueryDef("q26_fingerprint", q26, Some(q26Sql)),
+    QueryDef("q27_dedup_exact", q27, Some(q27Sql)),
+    QueryDef("q28_minhash_signatures", q28, Some(q28Sql)),
+    QueryDef("q29_lsh_near_dup", q29, Some(q29Sql)),
+    QueryDef("q30_simhash", q30, Some(q30Sql)),
+    QueryDef("q31_trigram_jaccard", q31, Some(q31Sql)),
+    QueryDef("q35_binary_metadata", q35, Some(q35Sql)))
+}

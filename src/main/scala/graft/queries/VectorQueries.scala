@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the embedding column (driver north star):
+  * brute-force cosine top-k as the correctness baseline and an
+  * IVF-partitioned variant as the scale path.
+  *
+  * Scale: q32 broadcast-joins the (tiny) query set against the corpus —
+  * a map-only scan at any corpus size. q33 additionally prunes by
+  * cluster (label = IVF cell, nprobe=1): the join key includes the cell
+  * id, so a 100 TB corpus bucketed by cell turns ANN into a co-located
+  * partial scan. Ordering ties break on candidate id, so top-k is
+  * deterministic.
+  */
+object VectorQueries {
+
+  private def scored(s: SparkSession, d: String, sameLabel: Boolean)
+      : DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val cands = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("label").as("c_label"))
+    val joined =
+      if (sameLabel)
+        cands.join(broadcast(queries), col("q_label") === col("c_label"))
+      else cands.crossJoin(broadcast(queries))
+    joined.filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos_sim"))
+  }
+
+  private def topK(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  private def scoredSql(sameLabel: Boolean): String = {
+    val joinCond =
+      if (sameLabel) "q.label = c.label AND c.vec_id <> q.vec_id"
+      else "c.vec_id <> q.vec_id"
+    s"""SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |  round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+       |FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+       |JOIN embeddings c ON $joinCond""".stripMargin
+  }
+
+  private def topKSql(inner: String, k: Int): String =
+    s"""SELECT q_id, c_id, cos_sim, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, c_id) AS rk
+       |  FROM ($inner))
+       |WHERE rk <= $k""".stripMargin
+
+  /** q32: brute-force cosine top-5 — the exact ANN baseline. */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    topK(scored(s, d, sameLabel = false), 5)
+
+  /** q33: IVF-style ANN — same-cell (label) candidates only, top-3. */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    topK(scored(s, d, sameLabel = true), 3)
+
+  /** q34: per-cluster embedding statistics (norms in double, exact
+    * dims), the profile a 100 TB pipeline computes before choosing an
+    * index layout. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), size(col("embedding")).as("dim"),
+        norm(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+
+  private val q34Sql =
+    s"""SELECT label, count(*) AS n,
+       |  min(len(embedding)) AS min_dim, max(len(embedding)) AS max_dim,
+       |  round(min(${normSql("embedding")}), 6) AS min_norm,
+       |  round(max(${normSql("embedding")}), 6) AS max_norm
+       |FROM embeddings GROUP BY label""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q32_knn_bruteforce", q32,
+      Some(topKSql(scoredSql(sameLabel = false), 5))),
+    QueryDef("q33_ann_ivf_label", q33,
+      Some(topKSql(scoredSql(sameLabel = true), 3))),
+    QueryDef("q34_embedding_stats", q34, Some(q34Sql)))
+}
