@@ -194,30 +194,42 @@ object TextQueries {
     * signature into 2 bands of 4 (collision prob ≈ s⁴ per band, tuned
     * for the ~0.84 near-dup threshold), equi-join on the band key, then
     * verify with exact token-set Jaccard ≥ 0.7. At 100 TB the band join
-    * is the only pairwise step and it shuffles on band-key buckets. */
+    * is the only pairwise step and it shuffles on band-key buckets.
+    *
+    * Perf: the verification intersects 32-bit token-HASH sets, not
+    * string sets (identical hashes on both engines → identical counts;
+    * ~8× lighter shuffle rows), and prunes pairs with the exact integer
+    * bound 10·min(|A|,|B|) ≥ 7·max(|A|,|B|), which J ≥ 0.7 implies. */
   private def q29(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.SortedLongIntersectCount.register(s)
     val sig = q28(s, d)
     val words = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(expr(wordsExpr)).as("wset"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(expr(wordsExpr), w => hash32(w))))
+          .as("wset"))
+      .withColumn("nw", size(col("wset")).cast("long"))
     val bands = sig.select(col("doc_id"),
         explode(array(
           md5(concat_ws("_", lit("b0"), col("m0"), col("m1"), col("m2"),
             col("m3"))),
           md5(concat_ws("_", lit("b1"), col("m4"), col("m5"), col("m6"),
-            col("m7"))))).as("band"))
+            col("m7")))).as("band")))
       .toDF("doc_id", "band")
     val pairs = bands.as("x").join(bands.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     pairs
-      .join(words.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("wset", "wa"), "doc_a")
-      .join(words.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("wset", "wb"), "doc_b")
+      .join(words.select(col("doc_id").as("doc_a"), col("wset").as("wa"),
+        col("nw").as("na")), "doc_a")
+      .join(words.select(col("doc_id").as("doc_b"), col("wset").as("wb"),
+        col("nw").as("nb")), "doc_b")
+      .filter(least(col("na"), col("nb")) * 10 >=
+        greatest(col("na"), col("nb")) * 7)
+      .withColumn("inter", expr("sorted_long_intersect_count(wa, wb)"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("wa"), col("wb"))).cast("double") /
-          size(array_union(col("wa"), col("wb"))), 6))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")),
+        6))
       .filter(col("jaccard") >= 0.7)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -231,15 +243,22 @@ object TextQueries {
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
-       |wsets AS (SELECT doc_id, list_distinct($wordsSqlExpr) AS wset FROM documents)
+       |wsets AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform($wordsSqlExpr,
+       |      w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT))) AS wset,
+       |    CAST(len(list_distinct(list_transform($wordsSqlExpr,
+       |      w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT)))) AS BIGINT) AS nw
+       |  FROM documents)
        |SELECT doc_a, doc_b,
        |  round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
-       |    / (len(wa.wset) + len(wb.wset) - len(list_intersect(wa.wset, wb.wset))), 6) AS jaccard
+       |    / (wa.nw + wb.nw - len(list_intersect(wa.wset, wb.wset))), 6) AS jaccard
        |FROM pairs
        |JOIN wsets wa ON wa.doc_id = doc_a
        |JOIN wsets wb ON wb.doc_id = doc_b
-       |WHERE round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
-       |    / (len(wa.wset) + len(wb.wset) - len(list_intersect(wa.wset, wb.wset))), 6) >= 0.7""".stripMargin
+       |WHERE least(wa.nw, wb.nw) * 10 >= greatest(wa.nw, wb.nw) * 7
+       |  AND round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
+       |    / (wa.nw + wb.nw - len(list_intersect(wa.wset, wb.wset))), 6) >= 0.7""".stripMargin
 
   /** q30: SimHash (16-bit) over token hashes — per-bit signed votes, bit
     * set when the vote is positive. Single explode + groupBy; the
@@ -279,19 +298,25 @@ object TextQueries {
     * work (per-source blocking; at 100 TB the blocking key would be an
     * LSH band as in q29). */
   private def q31(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.SortedLongIntersectCount.register(s)
     val tri = Tables.documents(s, d)
       .withColumn("w", expr(wordsExpr))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), col("source"),
-        array_distinct(expr(
-          "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
-          .as("tri"))
+        array_sort(array_distinct(transform(expr(
+          "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"),
+          t => hash32(t)))).as("tri"))
+      .withColumn("nt", size(col("tri")).cast("long"))
     tri.as("x").join(tri.as("y"),
         col("x.source") === col("y.source") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.nt"), col("y.nt")) * 10 >=
+            greatest(col("x.nt"), col("y.nt")) * 2)
+      .withColumn("inter",
+        expr("sorted_long_intersect_count(x.tri, y.tri)"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("x.tri"), col("y.tri"))).cast("double") /
-          size(array_union(col("x.tri"), col("y.tri"))), 6))
+        col("inter").cast("double") /
+          (col("x.nt") + col("y.nt") - col("inter")), 6))
       .filter(col("jaccard") >= 0.2)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("jaccard"))
@@ -300,16 +325,21 @@ object TextQueries {
   private val q31Sql =
     s"""WITH tri AS (
        |  SELECT doc_id, source,
-       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-       |                   for i in range(1, len(w) - 1)]) AS tri
+       |    list_distinct(list_transform(
+       |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+       |      t -> CAST(('0x' || substr(md5(t),1,8)) AS BIGINT))) AS tri,
+       |    CAST(len(list_distinct(list_transform(
+       |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+       |      t -> CAST(('0x' || substr(md5(t),1,8)) AS BIGINT)))) AS BIGINT) AS nt
        |  FROM (SELECT doc_id, source, $wordsSqlExpr AS w FROM documents)
        |  WHERE len(w) >= 3)
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  round(CAST(len(list_intersect(x.tri, y.tri)) AS DOUBLE)
-       |    / (len(x.tri) + len(y.tri) - len(list_intersect(x.tri, y.tri))), 6) AS jaccard
+       |    / (x.nt + y.nt - len(list_intersect(x.tri, y.tri))), 6) AS jaccard
        |FROM tri x JOIN tri y ON x.source = y.source AND x.doc_id < y.doc_id
+       |  AND least(x.nt, y.nt) * 10 >= greatest(x.nt, y.nt) * 2
        |WHERE round(CAST(len(list_intersect(x.tri, y.tri)) AS DOUBLE)
-       |    / (len(x.tri) + len(y.tri) - len(list_intersect(x.tri, y.tri))), 6) >= 0.2""".stripMargin
+       |    / (x.nt + y.nt - len(list_intersect(x.tri, y.tri))), 6) >= 0.2""".stripMargin
 
   /** q35: multimodal binary-column plumbing — payload treated as opaque
     * bytes with typed metadata (size, magic, content hash). The decode /
