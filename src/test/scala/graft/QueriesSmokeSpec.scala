@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + known-value checks for the declared query surface at
+  * sf0.001 (full oracle parity runs via graft.Verify + DuckDB). */
+class QueriesSmokeSpec extends SparkSpec {
+
+  test("every declared query with an oracle also parses and returns a schema") {
+    // Construction (plan analysis) must succeed for every query.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      assert(df.schema.fields.nonEmpty, name)
+    }
+  }
+
+  test("oracleSql covers every query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q))
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q13 queue depth partitions all events") {
+    val depths = SparkEntry.queries("q13_queue_depth")(spark, sf0001)
+    val total = depths.agg(sum("depth")).head().getLong(0)
+    val events = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(total == events)
+  }
+
+  test("q14 sessions never split within the 30-minute gap") {
+    val sess = SparkEntry.queries("q14_sessionize")(spark, sf0001)
+    // durations are non-negative and n_events >= 1
+    assert(sess.filter(col("duration_us") < 0).count() == 0)
+    assert(sess.filter(col("n_events") < 1).count() == 0)
+  }
+
+  test("q32 knn returns exactly top-5 per query vector") {
+    val knn = SparkEntry.queries("q32_knn_bruteforce")(spark, sf0001)
+    val counts = knn.groupBy("q_id").count().collect()
+    assert(counts.nonEmpty)
+    assert(counts.forall(_.getLong(1) == 5L))
+    // cosine within [-1, 1]
+    assert(knn.filter(abs(col("cos_sim")) > 1.000001).count() == 0)
+  }
+
+  test("q30 simhash fits in 16 bits") {
+    val sh = SparkEntry.queries("q30_simhash")(spark, sf0001)
+    assert(sh.filter(col("simhash") < 0 || col("simhash") > 65535).count() == 0)
+  }
+}
