@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CoreFunctions._
+
+/** Audio/image scalar-transform surface (SURVEY.md §2.9 F3/F16/F18/F19/
+  * F23-F30, §2.3 P5, §2.5 A3, §2.7 B10/A15) — the column-expressible
+  * transforms, declared with oracles; the sequential kernels (AGC,
+  * resample) live in AudioDsp and are property-tested instead. */
+object MediaQueries {
+
+  /** q36: bounding box from quad points (A3, `ocr/service.py:231-240`):
+    * 4 (x, y) corners from the first 8 embedding components — bbox =
+    * (min x, min y, max−min). Exact double min/max, rounded 6. */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    def e(i: Int) = element_at(col("embedding"), i).cast("double")
+    val xs = (1 to 4).map(e)
+    val ys = (5 to 8).map(e)
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      round(bboxX(xs), 6).as("bbox_x"),
+      round(bboxY(ys), 6).as("bbox_y"),
+      round(bboxW(xs), 6).as("bbox_w"),
+      round(bboxH(ys), 6).as("bbox_h"))
+  }
+
+  private val q36Sql = {
+    def e(i: Int) = s"CAST(embedding[$i] AS DOUBLE)"
+    val xs = (1 to 4).map(e).mkString(", ")
+    val ys = (5 to 8).map(e).mkString(", ")
+    s"""SELECT vec_id,
+       |  round(least($xs), 6) AS bbox_x,
+       |  round(least($ys), 6) AS bbox_y,
+       |  round(greatest($xs) - least($xs), 6) AS bbox_w,
+       |  round(greatest($ys) - least($ys), 6) AS bbox_h
+       |FROM embeddings""".stripMargin
+  }
+
+  /** q37: RMS→dBFS normalization gain (F3, `audio_processor.py:93-114`):
+    * gain to −20 dBFS, clamped to the AGC bounds [0.1, 10]. The event
+    * value stands in for the frame RMS. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value") > 0.0)
+      .select(col("event_id"),
+        round(lit(20.0) * log10(col("value")), 6).as("dbfs"),
+        round(clamp(
+          pow(lit(10.0), (lit(-20.0) - lit(20.0) * log10(col("value"))) / 20.0),
+          lit(0.1), lit(10.0)), 6).as("gain"))
+
+  private val q37Sql =
+    """SELECT event_id, round(20.0 * log10(value), 6) AS dbfs,
+      |  round(least(greatest(
+      |    pow(10.0, (-20.0 - 20.0 * log10(value)) / 20.0), 0.1), 10.0), 6) AS gain
+      |FROM events WHERE value > 0.0""".stripMargin
+
+  /** q38: layout-region classification by aspect ratio (F19,
+    * `image_processor.py:288-335`): >5 line, >2 paragraph, 0.8-1.2
+    * square, else text_block; synthetic boxes from lineitem
+    * (w = quantity, h = linenumber), reading-order sort key (B7). */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_quantity").as("w"),
+        col("l_linenumber").cast("double").as("h"))
+      .withColumn("aspect", col("w") / col("h"))
+      .withColumn("block_type",
+        when(col("aspect") > 5.0, "line")
+          .when(col("aspect") > 2.0, "paragraph")
+          .when(col("aspect") >= 0.8 && col("aspect") <= 1.2, "square")
+          .otherwise("text_block"))
+      .groupBy(col("block_type"))
+      .agg(count(lit(1)).as("n"), round(Q.davg(col("w")), 6).as("avg_w"))
+
+  private val q38Sql =
+    s"""SELECT block_type, count(*) AS n, round(${Q.davgSql("w")}, 6) AS avg_w
+       |FROM (
+       |  SELECT w, CASE WHEN aspect > 5.0 THEN 'line'
+       |    WHEN aspect > 2.0 THEN 'paragraph'
+       |    WHEN aspect >= 0.8 AND aspect <= 1.2 THEN 'square'
+       |    ELSE 'text_block' END AS block_type
+       |  FROM (SELECT l_quantity AS w,
+       |          l_quantity / CAST(l_linenumber AS DOUBLE) AS aspect
+       |        FROM lineitem))
+       |GROUP BY block_type""".stripMargin
+
+  /** q39: validation predicate (P5/F23, `image_processor.py:422-446`):
+    * size window [100, 10000] + minimum content ratio, per source. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_words",
+        size(split(col("text"), " ")).cast("long"))
+      .withColumn("valid",
+        (col("n_chars") >= 100 && col("n_chars") <= 10000 &&
+          col("n_words") >= 10).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("valid")).as("n_valid"))
+
+  private val q39Sql =
+    """SELECT source, count(*) AS n,
+      |  sum(CAST(n_chars >= 100 AND n_chars <= 10000
+      |      AND len(str_split(text, ' ')) >= 10 AS INT)) AS n_valid
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** q40: job-envelope scalar kit — JSON payload decode (F24,
+    * `redis_queue.py:122,236`), job-id synthesis (F29,
+    * `redis_queue.py:110`), preview truncation (F30), priority default
+    * (P3, `redis_queue.py:117-118`). */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      concat(lit("job_"), Q.us, lit("_"), col("event_id")).as("job_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("payload_k"),
+      substring(col("props"), 1, 50).as("preview"),
+      coalesce(
+        when(col("event_type") === "error", 3)
+          .when(col("event_type") === "purchase", 2)
+          .when(col("event_type") === "signup", 1),
+        lit(0)).as("priority"))
+
+  private val q40Sql =
+    s"""SELECT event_id,
+       |  'job_' || ${Q.usSql} || '_' || event_id AS job_id,
+       |  CAST(props->>'k' AS BIGINT) AS payload_k,
+       |  substr(props, 1, 50) AS preview,
+       |  coalesce(CASE WHEN event_type = 'error' THEN 3
+       |    WHEN event_type = 'purchase' THEN 2
+       |    WHEN event_type = 'signup' THEN 1 END, 0) AS priority
+       |FROM events""".stripMargin
+
+  /** q41: last-N retention + rolling context (B10/A15,
+    * `stt_worker.py:510-520`: keep the last transcripts per session for
+    * conditioning): last 5 events per user, each with its rolling
+    * 5-event context window. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val ctx = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+      .rowsBetween(-4, Window.currentRow)
+    val desc5 = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Q.us.as("t_us"))
+      .withColumn("context",
+        concat_ws(" ", collect_list(col("event_type")).over(ctx)))
+      .withColumn("rn", row_number().over(desc5))
+      .filter(col("rn") <= 5)
+      .select(col("user_id"), col("event_id"), col("rn"), col("context"))
+  }
+
+  private val q41Sql =
+    s"""SELECT user_id, event_id, rn, context FROM (
+       |  SELECT user_id, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY t_us DESC, event_id DESC) AS rn,
+       |    string_agg(event_type, ' ') OVER (PARTITION BY user_id
+       |      ORDER BY t_us, event_id
+       |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS context
+       |  FROM (SELECT event_id, user_id, event_type, ${Q.usSql} AS t_us
+       |        FROM events))
+       |WHERE rn <= 5""".stripMargin
+
+  /** q43: approx-distinct sketch (engine extension; HLL is not
+    * oracle-comparable → rows-only check, exact bounds tested in the
+    * suite). */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+
+  /** q44: multimodal decode features (stub codec behind mapPartitions —
+    * not SQL-expressible by design → rows-only check). */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.featuresQuery(s, d)
+
+  /** q45: the streaming sessionizer applied in batch (typed
+    * flatMapGroupsWithState path; event-time semantics identical to the
+    * streaming run → rows-only check, semantics oracle-tested via
+    * SessionLogicSpec + the q14/q15 SQL analogs). */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val byUser = Window.partitionBy(col("user_id"))
+    val chunks = Tables.events(s, d)
+      .withColumn("t_us", Q.us)
+      .withColumn("base_us", min(col("t_us")).over(byUser))
+      .select(
+        col("user_id").cast("string").as("sessionId"),
+        encode(coalesce(col("props"), lit("")), "UTF-8").as("content"),
+        ((col("t_us") - col("base_us")) / 1000L).cast("long").as("offsetMs"),
+        lit(50L).as("durationMs"),
+        lit(false).as("isFinal"))
+      .as[graft.model.AudioChunk](Encoders.product[graft.model.AudioChunk])
+    graft.streaming.SessionProcessor.attach(chunks, timeoutMs = 0L).toDF()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q36_bbox_from_quad", q36, Some(q36Sql)),
+    QueryDef("q37_audio_normalize_gain", q37, Some(q37Sql)),
+    QueryDef("q38_layout_classify", q38, Some(q38Sql)),
+    QueryDef("q39_validate_predicate", q39, Some(q39Sql)),
+    QueryDef("q40_job_envelope", q40, Some(q40Sql)),
+    QueryDef("q41_last_n_context", q41, Some(q41Sql)),
+    QueryDef("q43_approx_distinct", q43, None),
+    QueryDef("q44_multimodal_features", q44, None),
+    QueryDef("q45_streaming_sessionize", q45, None))
+}
