@@ -165,11 +165,13 @@ object TextQueries {
     (318271183L, 524287L), (662551321L, 2053L))
 
   private def minhashAgg(df: DataFrame): DataFrame = {
-    val h = hash32(col("w"))
+    // project the md5-derived hash ONCE, then run the 8 permutation mins
+    // over it — otherwise each min() re-evaluates md5 per word.
     val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((h * a + b) % P).as(s"m$i")
+      min((col("h") * a + b) % P).as(s"m$i")
     }
-    df.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    df.select(col("doc_id"), hash32(col("w")).as("h"))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   private def minhashSqlCols: String =
