@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.expressions.SortedLongIntersectCount
+
+/** Session extensions for cluster deployment: ship the engine's native
+  * expressions to every session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`). Local callers can use
+  * [[graft.expressions.SortedLongIntersectCount.register]] instead. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_long_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedLongIntersectCount].getName,
+        null,
+        "sorted_long_intersect_count",
+        "sorted_long_intersect_count(a, b) - |A ∩ B| of two ascending sorted BIGINT arrays (merge scan, codegen).",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedLongIntersectCount(exprs(0), exprs(1))))
+  }
+}
