@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed result table with TTL — the engine analog of the reference's
+  * `SETEX result:{job_id} 3600` store (K1 `redis_queue.py:305-314`,
+  * retrieval K2 `:316-344`, retention K5 `:382-397`).
+  *
+  * Storage is append-only parquet (works on any object store at any
+  * scale); "upsert" is resolved at READ time by last-write-wins over
+  * the key — the standard log-structured pattern when the sink has no
+  * native upsert. `ttlSweep` compacts: rewrites the table keeping only
+  * live, latest rows (the reference's XTRIM/minid analog as a
+  * maintenance job).
+  *
+  * At 100 TB: appends are partitioned writes (no read-modify-write),
+  * `latest` is one window pass over the key partitioning, and the sweep
+  * is an embarrassingly parallel rewrite driven by the same predicate.
+  */
+object ResultStore {
+
+  /** Append a batch of results. `results` must carry `job_id` and
+    * `stored_at_us`; other columns pass through. Usable directly inside
+    * `writeStream.foreachBatch`. */
+  def append(results: DataFrame, path: String): Unit =
+    results.write.mode(SaveMode.Append).parquet(path)
+
+  /** Latest result per job_id (last-write-wins upsert semantics). */
+  def latest(spark: SparkSession, path: String): DataFrame = {
+    val w = Window.partitionBy(col("job_id"))
+      .orderBy(col("stored_at_us").desc)
+    spark.read.parquet(path)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Retrieval with TTL semantics: a result older than `ttlUs` relative
+    * to `nowUs` is expired (reference returns nothing after SETEX TTL). */
+  def get(spark: SparkSession, path: String, jobId: String, nowUs: Long,
+      ttlUs: Long = 3600L * 1000000L): Option[org.apache.spark.sql.Row] = {
+    val rows = latest(spark, path)
+      .filter(col("job_id") === jobId &&
+        col("stored_at_us") > nowUs - ttlUs)
+      .collect()
+    rows.headOption
+  }
+
+  /** Maintenance sweep: rewrite keeping only latest + unexpired rows. */
+  def ttlSweep(spark: SparkSession, path: String, nowUs: Long,
+      ttlUs: Long = 3600L * 1000000L): Unit = {
+    val live = latest(spark, path)
+      .filter(col("stored_at_us") > nowUs - ttlUs)
+    val tmp = path + "_compact"
+    live.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-enough swap for a maintenance job: rewrite target from tmp
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}
