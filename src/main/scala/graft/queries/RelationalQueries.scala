@@ -255,7 +255,29 @@ object RelationalQueries {
        | AND s.t_res >= r.t_req AND s.t_res <= r.t_req + 604800000000
        |GROUP BY r.user_id""".stripMargin
 
+  /** q48: salted two-phase aggregation — the explicit skew-mitigation
+    * pattern for low-cardinality hot keys (5 event types × 100k rows
+    * would hash to 5 reducers; salting spreads the partial aggregation
+    * across 16× the parallelism, and the merge combines 80 tiny rows).
+    * DECIMAL partials make the two-phase sum bit-equal to the direct
+    * oracle sum regardless of how rows landed in salt buckets. */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", (col("event_id") % 16).cast("int"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("part_sum"),
+        count(lit(1)).as("part_n"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("part_sum")).cast("double").as("total_value"),
+        sum(col("part_n")).as("n"))
+
+  private val q48Sql =
+    s"""SELECT event_type, ${Q.dsumSql("value")} AS total_value,
+       |  count(*) AS n
+       |FROM events GROUP BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q48_salted_agg", q48, Some(q48Sql)),
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_top_orders", q02, Some(q02Sql)),
     QueryDef("q03_region_revenue", q03, Some(q03Sql)),

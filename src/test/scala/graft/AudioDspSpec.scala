@@ -44,4 +44,42 @@ class AudioDspSpec extends SparkSpec {
     val y = AudioDsp.applyAgc(x)
     assert(y.forall(v => v >= -1.0 && v <= 1.0))
   }
+
+  test("F5 high-pass attenuates DC, passes 1 kHz") {
+    val n = 8000
+    val dc = Array.fill(n)(0.8)
+    val tone = Array.tabulate(n)(i => math.sin(2 * math.Pi * 1000 * i / 16000.0))
+    def rmsTail(a: Array[Double]) = {
+      val t = a.drop(n / 2); math.sqrt(t.map(v => v * v).sum / t.length)
+    }
+    assert(rmsTail(AudioDsp.highPass(dc)) < 0.01)
+    assert(rmsTail(AudioDsp.highPass(tone)) > 0.6)
+  }
+
+  test("F9 split-on-silence: placement and length conservation") {
+    val fs = 16000
+    def sine(sec: Double) = Array.tabulate((fs * sec).toInt)(
+      i => 0.5 * math.sin(2 * math.Pi * 440 * i / fs.toDouble))
+    def silence(sec: Double) = Array.fill((fs * sec).toInt)(0.0)
+    val x = sine(1.0) ++ silence(1.0) ++ sine(1.0)
+    val segs = AudioDsp.splitOnSilence(x, frameLen = 400,
+      threshold = 0.01, minSilenceFrames = 4)
+    assert(segs.length == 2)
+    // reference property: each kept segment is within a frame of 1 s
+    assert(segs.forall(s => math.abs(s.length - fs) <= 800))
+    // conservation: kept + dropped == total
+    assert(segs.map(_.length).sum + fs <= x.length)
+    assert(segs.map(_.length).sum >= x.length - fs - 800)
+  }
+
+  test("F10 features: silence vs tone are separable") {
+    val fs = 16000
+    val tone = Array.tabulate(fs)(i => 0.5 * math.sin(2 * math.Pi * 2000 * i / fs.toDouble))
+    val quiet = Array.fill(fs)(0.0)
+    val ft = AudioDsp.extractFeatures(tone)
+    val fq = AudioDsp.extractFeatures(quiet)
+    assert(ft.rms > 0.3 && fq.rms == 0.0)
+    assert(ft.zcr > 0.1)
+    assert(ft.centroidHz > 500.0)
+  }
 }
