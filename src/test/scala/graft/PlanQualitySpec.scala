@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-quality regression guards (PLANS.md): these lock in the
+  * properties that matter at 100 TB — filter/column pushdown to the
+  * scan, broadcast dimension joins, and no accidental cartesian /
+  * shuffle regressions when queries are edited. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q01 pushes the date filter and prunes to 6 columns") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"missing pushed filter:\n$p")
+    // column pruning: the scan's projected column list must not include
+    // any of the 5 unused lineitem columns
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_tax"))
+      assert(!scanLine.contains(c), s"scan reads unused column $c:\n$scanLine")
+  }
+
+  test("q03 joins all five dimensions by broadcast") {
+    val p = planOf("q03_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5, s"expected 5 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    // region filter reached its scan
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+  }
+
+  test("q28 aggregates map-side (partial_min before the exchange)") {
+    val p = planOf("q28_minhash_signatures")
+    assert(p.contains("partial_min"), s"no map-side combine:\n$p")
+  }
+
+  test("q32 broadcasts the query vectors (no cartesian shuffle)") {
+    val p = planOf("q32_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("q11 top-100 does not materialize a global sort of all rows") {
+    val p = planOf("q11_priority_dequeue")
+    // row_number over a global window needs a single-partition sort, but
+    // the filter rank<=100 must sit directly above it (no extra shuffle
+    // after) — guard that the pattern stays window+filter
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected window operator:\n$p")
+  }
+}
