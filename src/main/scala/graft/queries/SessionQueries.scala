@@ -322,7 +322,32 @@ object SessionQueries {
       |          count(*) AS n
       |        FROM events GROUP BY 1, 2))""".stripMargin
 
+  /** q49: the same session semantics via Spark's BUILT-IN
+    * `session_window` (dynamic-gap session windows merge exactly like
+    * the gaps-and-islands rule) — declared alongside the manual q14 to
+    * show the operator both ways; the oracle derives end = max + gap
+    * from the islands. In streaming this operator works unchanged with
+    * a watermark. */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(Q.us).as("event_time"))
+      .groupBy(session_window(col("event_time"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
+  private val q49Sql =
+    s"""SELECT user_id, min(t_us) AS start_us,
+       |  max(t_us) + $gapUs AS end_us, count(*) AS n_events
+       |FROM ($sessionizedSql)
+       |GROUP BY user_id, session_seq""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q49_session_window_builtin", q49, Some(q49Sql)),
     QueryDef("q14_sessionize", q14, Some(q14Sql)),
     QueryDef("q15_transcript_assembly", q15, Some(q15Sql)),
     QueryDef("q16_silence_islands", q16, Some(q16Sql)),
