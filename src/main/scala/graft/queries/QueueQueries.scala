@@ -121,9 +121,88 @@ object QueueQueries {
        |                $priorityOfSql AS priority FROM events)))
        |GROUP BY priority, bucket, batch_id""".stripMargin
 
+  /** q50: consumer-lag rollup — reference A6 (XPENDING per priority
+    * stream, `redis_queue.py:364-380`): count and oldest age of
+    * un-acked deliveries (ack simulated by a deterministic id rule). */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val jobs = Tables.events(s, d)
+      .withColumn("priority", priorityOf(col("event_type")))
+      .withColumn("t_us", Q.us)
+      .withColumn("acked", col("event_id") % 7 =!= 0)
+    val maxTs = jobs.agg(max(col("t_us"))).head().getLong(0)
+    jobs.filter(!col("acked"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("pending"),
+        (lit(maxTs) - min(col("t_us"))).as("oldest_pending_age_us"))
+  }
+
+  private val q50Sql =
+    s"""SELECT priority, count(*) AS pending,
+       |  (SELECT max(${Q.usSql}) FROM events) - min(t_us) AS oldest_pending_age_us
+       |FROM (SELECT $priorityOfSql AS priority, ${Q.usSql} AS t_us, event_id
+       |      FROM events)
+       |WHERE event_id % 7 = 0
+       |GROUP BY priority""".stripMargin
+
+  /** q51: benchmark statistics rollup — reference A14 RPS/error-rate
+    * (`run_benchmarks.py:582-611`): per day, requests/sec over the
+    * observed span and the error share. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"),
+        Q.us.as("t_us"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "error").cast("long")).as("n_errors"),
+        (max(col("t_us")) - min(col("t_us"))).as("span_us"))
+      .filter(col("span_us") > 0)
+      .select(col("day"), col("n"), col("n_errors"),
+        round(col("n").cast("double") /
+          (col("span_us").cast("double") / 1000000.0), 6).as("rps"),
+        round(col("n_errors").cast("double") / col("n"), 6).as("error_rate"))
+
+  private val q51Sql =
+    s"""SELECT day, n, n_errors,
+       |  round(CAST(n AS DOUBLE) / (CAST(span_us AS DOUBLE) / 1000000.0), 6) AS rps,
+       |  round(CAST(n_errors AS DOUBLE) / n, 6) AS error_rate
+       |FROM (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n,
+       |    sum(CAST(event_type = 'error' AS BIGINT)) AS n_errors,
+       |    max(${Q.usSql}) - min(${Q.usSql}) AS span_us
+       |  FROM events GROUP BY 1)
+       |WHERE span_us > 0""".stripMargin
+
+  /** q52: sliding windows with overlap — the batch analog of the
+    * reference's 320 ms / 170 ms advance overlap retention (W4,
+    * `stt_worker.py:481-504`), scaled to 320 s windows sliding 170 s.
+    * Uses Spark's native window(); the oracle enumerates the ≤2
+    * epoch-aligned candidate windows per event. */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), timestamp_micros(Q.us).as("event_time"))
+      .groupBy(window(col("event_time"), "320 seconds", "170 seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("win_start_us"), col("n"))
+
+  private val q52Sql =
+    s"""SELECT event_type, win_start_us, count(*) AS n
+       |FROM (
+       |  SELECT event_type, t_us,
+       |    unnest([((t_us // 170000000) - k) * 170000000
+       |            for k in [0, 1]]) AS win_start_us
+       |  FROM (SELECT event_type, ${Q.usSql} AS t_us FROM events))
+       |WHERE win_start_us >= 0 AND t_us >= win_start_us
+       |  AND t_us < win_start_us + 320000000
+       |GROUP BY event_type, win_start_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q11_priority_dequeue", q11, Some(q11Sql)),
     QueryDef("q12_retry_demote_dlq", q12, Some(q12Sql)),
     QueryDef("q13_queue_depth", q13, Some(q13Sql)),
-    QueryDef("q22_edf_batches", q22, Some(q22Sql)))
+    QueryDef("q22_edf_batches", q22, Some(q22Sql)),
+    QueryDef("q50_consumer_lag", q50, Some(q50Sql)),
+    QueryDef("q51_bench_stats", q51, Some(q51Sql)),
+    QueryDef("q52_sliding_windows", q52, Some(q52Sql)))
 }
