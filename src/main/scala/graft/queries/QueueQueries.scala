@@ -22,7 +22,13 @@ object QueueQueries {
   /** q11: strict priority dequeue order with EDF tiebreak — the batch
     * analog of `redis_queue.py:157-224` (scan priorities 3→0) + B2
     * earliest-deadline-first. Deterministic: (priority desc, deadline
-    * asc, event_id) is a total order. */
+    * asc, event_id) is a total order.
+    *
+    * Scale: the top-100 comes from orderBy().limit() —
+    * TakeOrderedAndProject keeps a 100-row heap PER PARTITION and
+    * merges on the driver (no global sort); the rank window then runs
+    * over only the 100 survivors. A row_number() over a global window
+    * here would single-partition-sort the whole table. */
   private def q11(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val jobs = Tables.events(s, d)
@@ -32,8 +38,10 @@ object QueueQueries {
     val w = Window.orderBy(col("priority").desc, col("deadline_us").asc,
       col("event_id").asc)
     jobs.select(col("event_id"), col("priority"), col("deadline_us"))
+      .orderBy(col("priority").desc, col("deadline_us").asc,
+        col("event_id").asc)
+      .limit(100)
       .withColumn("dequeue_rank", row_number().over(w))
-      .filter(col("dequeue_rank") <= 100)
   }
 
   private val q11Sql =
