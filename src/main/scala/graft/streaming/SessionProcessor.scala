@@ -149,6 +149,41 @@ object SessionLogic {
 
 object SessionProcessor {
 
+  /** Event-time variant of W5: sessions finalize when the WATERMARK
+    * passes lastChunkEnd + idleGapMs — fully deterministic under
+    * checkpoint replay (processing-time timeouts depend on the wall
+    * clock; at 100 TB with task retries that nondeterminism leaks
+    * duplicate END_OF_UTTERANCE events; this form cannot).
+    *
+    * `chunks` must already carry a watermark on an event-time column
+    * derived from `offsetMs` (see SessionEventTimeSpec). */
+  def attachEventTime(
+      chunks: Dataset[AudioChunk],
+      cfg: SessionLogic.Config = SessionLogic.Config(),
+      idleGapMs: Long = 300000L): Dataset[TranscriptEvent] = {
+    implicit val stateEnc = Encoders.kryo[SessionLogic.State]
+    implicit val outEnc = Encoders.product[TranscriptEvent]
+    chunks.groupByKey(_.sessionId)(Encoders.STRING)
+      .flatMapGroupsWithState[SessionLogic.State, TranscriptEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (sid, it, gs: GroupState[SessionLogic.State]) =>
+          if (gs.hasTimedOut) {
+            val events = SessionLogic.finalize(sid,
+              gs.getOption.getOrElse(SessionLogic.empty))
+            gs.remove()
+            events.iterator
+          } else {
+            val batch = it.toSeq
+            val (next, events) = SessionLogic.step(sid, batch,
+              gs.getOption.getOrElse(SessionLogic.empty), cfg)
+            gs.update(next)
+            val lastEndMs = batch.map(c => c.offsetMs + c.durationMs).max
+            gs.setTimeoutTimestamp(lastEndMs + idleGapMs)
+            events.iterator
+          }
+      }
+  }
+
   /** Wire the session logic into a (streaming or batch) Dataset. With a
     * streaming source use OutputMode.Append/Update and a checkpoint; the
     * state store carries [[SessionLogic.State]] across micro-batches.
