@@ -210,12 +210,15 @@ object TextQueries {
         array_sort(array_distinct(transform(expr(wordsExpr), w => hash32(w))))
           .as("wset"))
       .withColumn("nw", size(col("wset")).cast("long"))
+    // Band keys as exact modular folds (LONG join keys beat 32-char md5
+    // strings for the self-join + distinct; both engines compute the
+    // identical value — operands stay < 2^39, no overflow anywhere).
+    def fold(seed: Long, ms: Seq[String]): Column =
+      ms.foldLeft(lit(seed))((acc, m) => (acc * 127 + col(m)) % P)
     val bands = sig.select(col("doc_id"),
         explode(array(
-          md5(concat_ws("_", lit("b0"), col("m0"), col("m1"), col("m2"),
-            col("m3"))),
-          md5(concat_ws("_", lit("b1"), col("m4"), col("m5"), col("m6"),
-            col("m7")))).as("band")))
+          fold(1L, Seq("m0", "m1", "m2", "m3")),
+          fold(2L, Seq("m4", "m5", "m6", "m7"))).as("band")))
       .toDF("doc_id", "band")
     val pairs = bands.as("x").join(bands.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -239,9 +242,13 @@ object TextQueries {
   private val q29Sql =
     s"""WITH sig AS ($q28Sql),
        |bands AS (
-       |  SELECT doc_id, md5('b0_' || m0 || '_' || m1 || '_' || m2 || '_' || m3) AS band FROM sig
+       |  SELECT doc_id,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
+       |  FROM sig
        |  UNION ALL
-       |  SELECT doc_id, md5('b1_' || m4 || '_' || m5 || '_' || m6 || '_' || m7) AS band FROM sig),
+       |  SELECT doc_id,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
+       |  FROM sig),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
