@@ -158,6 +158,50 @@ object AudioDsp {
     Features(rmsV, zcrV, if (den > 0) num / den else 0.0)
   }
 
+  /** F4 (surrogate): noise suppression by envelope subtraction — noise
+    * floor estimated from the first `noiseSec` (like the reference's
+    * first-0.5 s STFT estimate), over-subtraction α = 2.0, spectral
+    * floor β = 0.01 (`audio_processor.py:116-157`). Works on the
+    * amplitude envelope instead of STFT bins — deterministic, no FFT
+    * dependency; the same α/β contract. */
+  def denoiseSubtract(x: Array[Double], fsHz: Double = 16000.0,
+      noiseSec: Double = 0.5, alpha: Double = 2.0,
+      beta: Double = 0.01): Array[Double] = {
+    if (x.isEmpty) return x.clone()
+    val n0 = math.max(1, math.min(x.length, (fsHz * noiseSec).toInt))
+    var noise = 0.0
+    var i = 0
+    while (i < n0) { noise += math.abs(x(i)); i += 1 }
+    noise /= n0
+    val out = new Array[Double](x.length)
+    i = 0
+    while (i < x.length) {
+      val mag = math.abs(x(i))
+      val cleaned = math.max(beta * mag, mag - alpha * noise)
+      out(i) = if (x(i) >= 0) cleaned else -cleaned
+      i += 1
+    }
+    out
+  }
+
+  /** F7: frame VAD — 30 ms frames, last frame zero-padded like the
+    * reference (`audio_processor.py:217-278`); energy decision per
+    * frame (the WebRTC classifier surrogate, same frame contract). */
+  def vadFlags(x: Array[Double], fsHz: Double = 16000.0,
+      frameMs: Int = 30, threshold: Double = 0.01): Array[Boolean] = {
+    val frameLen = math.max(1, (fsHz * frameMs / 1000.0).toInt)
+    val nFrames = (x.length + frameLen - 1) / frameLen
+    Array.tabulate(nFrames) { f =>
+      val a = f * frameLen
+      val b = math.min(x.length, a + frameLen)
+      var s = 0.0
+      var i = a
+      while (i < b) { s += x(i) * x(i); i += 1 }
+      // zero-padding the last frame = dividing by the FULL frame length
+      math.sqrt(s / frameLen) >= threshold
+    }
+  }
+
   /** F6: automatic gain control — per-sample envelope follower with
     * attack/release smoothing; gain bounded to [0.1, 10]. */
   def applyAgc(x: Array[Double], targetLevel: Double = 0.5,

@@ -72,6 +72,30 @@ class AudioDspSpec extends SparkSpec {
     assert(segs.map(_.length).sum >= x.length - fs - 800)
   }
 
+  test("F4 denoise: noise floor removed, signal polarity preserved") {
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(16000)(0.005 * (rnd.nextDouble() * 2 - 1))
+    val signal = Array.tabulate(16000)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / 16000.0))
+    val x = noise ++ signal.zip(Array.fill(16000)(0.0)).map(_._1)
+    val y = AudioDsp.denoiseSubtract(x)
+    def rms(a: Array[Double]) = math.sqrt(a.map(v => v * v).sum / a.length)
+    // noise region shrinks by ~beta while signal survives
+    assert(rms(y.take(16000)) < 0.2 * rms(x.take(16000)))
+    assert(rms(y.drop(16000)) > 0.8 * rms(x.drop(16000)))
+  }
+
+  test("F7 frame VAD: 30 ms frames with padded last frame") {
+    val fs = 16000
+    val loud = Array.fill(fs / 2)(0.5)
+    val quiet = Array.fill(fs / 2)(0.0)
+    val flags = AudioDsp.vadFlags(loud ++ quiet)
+    val frameLen = fs * 30 / 1000
+    val expected = (loud.length + quiet.length + frameLen - 1) / frameLen
+    assert(flags.length == expected)
+    assert(flags.take(loud.length / frameLen).forall(identity))
+    assert(!flags.last)
+  }
+
   test("F10 features: silence vs tone are separable") {
     val fs = 16000
     val tone = Array.tabulate(fs)(i => 0.5 * math.sin(2 * math.Pi * 2000 * i / fs.toDouble))
