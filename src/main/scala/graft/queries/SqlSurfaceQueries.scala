@@ -117,7 +117,75 @@ object SqlSurfaceQueries {
       |  levenshtein(p_brand, p_type) AS brand_type_dist
       |FROM part""".stripMargin
 
+  /** q59: left-semi join — customers with at least one urgent order,
+    * counted per market segment (EXISTS pushdown shape; the semi join
+    * shuffles only keys, never multiplies rows). */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_with_urgent"))
+  }
+
+  private val q59Sql =
+    """SELECT c_mktsegment, count(*) AS n_with_urgent
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** q60: left-anti join — customers with no URGENT order, per nation
+    * (NOT EXISTS shape; anti against all orders is empty on this data,
+    * so the predicate keeps the declaration non-trivial). */
+  private def q60(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_no_urgent"))
+
+  private val q60Sql =
+    """SELECT c_nationkey, count(*) AS n_no_urgent
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey""".stripMargin
+
+  /** q61: scalar subquery — parts priced above the global average
+    * retail price, per brand (average via exact decimal sum on both
+    * engines so the comparison threshold is bit-identical). */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val avgPrice = Tables.part(s, d)
+      .agg((sum(col("p_retailprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("a"))
+      .head().getDouble(0)
+    Tables.part(s, d)
+      .filter(col("p_retailprice") > avgPrice)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_above_avg"),
+        Q.dsum(col("p_retailprice")).as("sum_price"))
+  }
+
+  private val q61Sql =
+    s"""SELECT p_brand, count(*) AS n_above_avg,
+       |  ${Q.dsumSql("p_retailprice")} AS sum_price
+       |FROM part
+       |WHERE p_retailprice > (
+       |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+       |  FROM part)
+       |GROUP BY p_brand""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q59_semi_join", q59, Some(q59Sql)),
+    QueryDef("q60_anti_join", q60, Some(q60Sql)),
+    QueryDef("q61_scalar_subquery", q61, Some(q61Sql)),
     QueryDef("q54_grouping_sets", q54, Some(q54Sql)),
     QueryDef("q55_pivot", q55, Some(q55Sql)),
     QueryDef("q56_ntile_quartiles", q56, Some(q56Sql)),

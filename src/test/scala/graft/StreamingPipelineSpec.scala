@@ -49,6 +49,30 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup with watermarked state cleanup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ev = MemoryStream[(String, Long)] // (job_id, epoch_ms)
+    val deduped = ev.toDS().toDF("job_id", "t_ms")
+      .withColumn("event_time", timestamp_millis(col("t_ms")))
+      .withWatermark("event_time", "1 minute")
+      .dropDuplicatesWithinWatermark("job_id")
+
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000L
+      ev.addData(("a", base), ("a", base + 100), ("b", base + 200))
+      q.processAllAvailable()
+      ev.addData(("a", base + 300)) // still within the watermark window
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("job_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(ids.sorted == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window counts (W11 event-time analytics)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
