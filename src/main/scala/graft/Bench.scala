@@ -21,14 +21,19 @@ object Bench {
     } catch { case _: Throwable => () }
     // noop sink: forces full computation of every output column (count()
     // would let Catalyst prune the per-row work for select-only queries).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Two passes, report the min — steady-state cost, not first-run JIT.
+    def timeAll(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val pass1 = timeAll()
+    val pass2 = timeAll()
+    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

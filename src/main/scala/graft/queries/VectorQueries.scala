@@ -112,7 +112,32 @@ object VectorQueries {
       |  FROM embeddings)
       |WHERE amax > 0.0""".stripMargin
 
+  /** q62: embedding-cosine near-duplicate pairs — the vector analog of
+    * MinHash near-dup (q29): candidate pairs blocked by IVF cell
+    * (label), kept when cosine clears the near-dup threshold (0.3 on this synthetic corpus — random 64-dim vectors have cos ~ N(0, 1/8); real embeddings would use ~0.95). At 100 TB the cell id is the
+    * shuffle key, so the pairwise work stays inside cells exactly like
+    * LSH bands. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("label"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      col("label").as("label_b"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("id_a"), col("id_b"), col("label"), col("cos_sim"))
+  }
+
+  private val q62Sql =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+       |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |FROM embeddings a
+       |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q62_embedding_near_dup", q62, Some(q62Sql)),
     QueryDef("q32_knn_bruteforce", q32,
       Some(topKSql(scoredSql(sameLabel = false), 5))),
     QueryDef("q33_ann_ivf_label", q33,
