@@ -37,7 +37,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // flagship throughput: events/sec through the sessionize+transcript
+    // path (q15), the reference's streaming STT shape (§3.1)
+    val flagshipEps = try {
+      val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+      results.get("q15_transcript_assembly")
+        .filter(_ > 0).map(t => n / t).getOrElse(0.0)
+    } catch { case _: Throwable => 0.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flagship_events_per_sec":$flagshipEps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
