@@ -48,6 +48,26 @@ object ResultStore {
     rows.headOption
   }
 
+  /** K2 poll-wait: block until the result appears or the timeout lapses
+    * (reference `wait_for_result`, 100 ms poll, `redis_queue.py:316-344`).
+    * Driver-side convenience — a consumer would normally subscribe to
+    * the result stream instead (J1 stream-stream join). */
+  def waitFor(spark: SparkSession, path: String, jobId: String,
+      timeoutMs: Long = 30000L, pollMs: Long = 100L,
+      ttlUs: Long = 3600L * 1000000L)
+      : Option[org.apache.spark.sql.Row] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var result: Option[org.apache.spark.sql.Row] = None
+    while (result.isEmpty && System.nanoTime() < deadline) {
+      result =
+        try get(spark, path, jobId, nowUs = System.currentTimeMillis() * 1000L,
+          ttlUs = ttlUs)
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (result.isEmpty) Thread.sleep(pollMs)
+    }
+    result
+  }
+
   /** Maintenance sweep: rewrite keeping only latest + unexpired rows. */
   def ttlSweep(spark: SparkSession, path: String, nowUs: Long,
       ttlUs: Long = 3600L * 1000000L): Unit = {
