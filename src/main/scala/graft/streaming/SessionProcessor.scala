@@ -79,23 +79,26 @@ object SessionLogic {
       // W4: emit [bufferStartMs, upToMs), retain the trailing overlap.
       val emitMs = upToMs - st.bufferStartMs
       if (emitMs > 0 && st.bufferMs > 0) {
+        // W8: a debounced partial neither emits NOR advances the buffer —
+        // the audio keeps accumulating and is transcribed by the next
+        // allowed emission (the reference delays processing, it never
+        // drops the segment; `stt_worker.py:332-356` + partial interval).
+        val debounced = !isFinal &&
+          st.lastPartialMs != Long.MinValue &&
+          upToMs - st.lastPartialMs < cfg.partialIntervalMs
+        if (debounced) return
         val bytesPerMs = math.max(1L, st.buffer.length / math.max(1L, st.bufferMs))
         val emitBytes = math.min(st.buffer.length, emitMs * bytesPerMs).toInt
         val segment = st.buffer.take(emitBytes).toArray
         val (text, conf) = inferencer.transcribe(segment)
-        val debounced = !isFinal &&
-          st.lastPartialMs != Long.MinValue &&
-          upToMs - st.lastPartialMs < cfg.partialIntervalMs
-        if (!debounced) {
-          out += TranscriptEvent(
-            sessionId = sessionId,
-            eventType = if (isFinal) "FINAL" else "PARTIAL",
-            text = text,
-            confidence = conf,
-            resultOffsetMs = st.bufferStartMs,
-            isPartial = !isFinal)
-          st = st.copy(lastPartialMs = upToMs, nEmitted = st.nEmitted + 1)
-        }
+        out += TranscriptEvent(
+          sessionId = sessionId,
+          eventType = if (isFinal) "FINAL" else "PARTIAL",
+          text = text,
+          confidence = conf,
+          resultOffsetMs = st.bufferStartMs,
+          isPartial = !isFinal)
+        st = st.copy(lastPartialMs = upToMs, nEmitted = st.nEmitted + 1)
         val keepFromMs = if (isFinal) upToMs
           else math.max(st.bufferStartMs, upToMs - cfg.overlapMs)
         val dropBytes = math.min(st.buffer.length,

@@ -81,6 +81,24 @@ class SessionLogicSpec extends SparkSpec {
     assert(SessionLogic.finalize("s1", SessionLogic.empty).isEmpty)
   }
 
+  test("W8: debounced audio is retained, not dropped (final hears everything)") {
+    // long debounce interval forces the second size trigger (at 640,
+    // 320 ms after the first) onto the debounced path; its audio must
+    // stay buffered and come out with the final flush
+    val slowCfg = cfg.copy(partialIntervalMs = 400)
+    val chunks = Seq(loud(0, 320), loud(320, 60), loud(380, 260),
+      loud(640, 10, isFinal = true))
+    val (st, out) = SessionLogic.step("s1", chunks, SessionLogic.empty, slowCfg)
+    assert(st.bufferMs == 0)
+    // surrogate text ends with the segment byte length
+    val emitted = out.map(_.text.split("_").last.toLong).sum
+    val totalBytes = chunks.map(_.content.length.toLong).sum
+    // every byte is transcribed at least once (overlap re-emission can
+    // only add); with the debounce-drop bug this sum falls short
+    assert(emitted >= totalBytes,
+      s"emitted $emitted < total $totalBytes: debounced segment was dropped")
+  }
+
   test("deterministic surrogate inference (idempotent replay)") {
     val chunks = Seq(loud(0, 320), loud(320, 320))
     val a = SessionLogic.step("s1", chunks, SessionLogic.empty, cfg)
