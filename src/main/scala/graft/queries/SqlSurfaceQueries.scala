@@ -182,7 +182,109 @@ object SqlSurfaceQueries {
        |  FROM part)
        |GROUP BY p_brand""".stripMargin
 
+  /** q63: statistical aggregate surface — Pearson correlation, population
+    * covariance and stddev of value vs day (A8's regr_slope family; the
+    * exact-decimal OLS variant is q18). Both engines accumulate in
+    * double; outputs are normalized/rounded so summation-order noise
+    * (~1e-15) cannot flip the 6-dp rounding. */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(corr(col("value"), col("day").cast("double")), 6).as("corr_vd"),
+        round(covar_pop(col("value"), col("day").cast("double")), 4)
+          .as("covar_vd"),
+        round(stddev_pop(col("value")), 6).as("sd_value"))
+
+  private val q63Sql =
+    """SELECT event_type,
+      |  round(corr(value, CAST(day AS DOUBLE)), 6) AS corr_vd,
+      |  round(covar_pop(value, CAST(day AS DOUBLE)), 4) AS covar_vd,
+      |  round(stddev_pop(value), 6) AS sd_value
+      |FROM (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  /** q64: rank-distribution windows — percent_rank and cume_dist over a
+    * total order (value, event_id), summarized per decile so the output
+    * stays compact. */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("decile", floor(col("pr") * 10).cast("int"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"), round(max(col("cd")), 6).as("max_cume"))
+  }
+
+  private val q64Sql =
+    """SELECT event_type, decile, count(*) AS n,
+      |  round(max(cd), 6) AS max_cume
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(floor(percent_rank() OVER w * 10) AS INT) AS decile,
+      |    cume_dist() OVER w AS cd
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+      |GROUP BY event_type, decile""".stripMargin
+
+  /** q65: higher-order array function surface over embeddings —
+    * filter/exists/transform/aggregate compose without UDFs. */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      expr("size(filter(embedding, x -> x > CAST(0.0 AS FLOAT)))")
+        .as("n_positive"),
+      expr("exists(embedding, x -> abs(CAST(x AS DOUBLE)) > 0.45)")
+        .cast("int").as("has_large"),
+      round(expr(
+        "aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), " +
+          "(x, i) -> CAST(x AS DOUBLE) * CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END), " +
+          "CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"), 6)
+        .as("alternating_sum"))
+
+  private val q65Sql =
+    """SELECT vec_id,
+      |  len(list_filter(embedding, x -> x > 0.0)) AS n_positive,
+      |  CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 0.45)) > 0 AS INT) AS has_large,
+      |  round(list_reduce(
+      |    [CAST(embedding[i] AS DOUBLE)
+      |       * (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+      |     for i in range(1, len(embedding) + 1)],
+      |    (a, b) -> a + b), 6) AS alternating_sum
+      |FROM embeddings""".stripMargin
+
+  /** q67: union of the four per-priority streams (SURVEY §2.8 — the
+    * reference reads one job off ANY of 4 Redis streams; here four
+    * filtered sources union back into one flow, preserving totals). */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("priority", priorityOf(col("event_type")))
+    val streams = (0 to 3).map(p => ev.filter(col("priority") === p))
+    streams.reduce(_ unionAll _)
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total_value"))
+  }
+
+  private val q67Sql =
+    s"""SELECT priority, count(*) AS n, ${Q.dsumSql("value")} AS total_value
+       |FROM (
+       |  SELECT * FROM (SELECT *, $priorityOfSql AS priority FROM events) WHERE priority = 0
+       |  UNION ALL SELECT * FROM (SELECT *, $priorityOfSql AS priority FROM events) WHERE priority = 1
+       |  UNION ALL SELECT * FROM (SELECT *, $priorityOfSql AS priority FROM events) WHERE priority = 2
+       |  UNION ALL SELECT * FROM (SELECT *, $priorityOfSql AS priority FROM events) WHERE priority = 3)
+       |GROUP BY priority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q63_statistical_aggs", q63, Some(q63Sql)),
+    QueryDef("q64_rank_distribution", q64, Some(q64Sql)),
+    QueryDef("q65_array_hof", q65, Some(q65Sql)),
+    QueryDef("q67_union_priority_streams", q67, Some(q67Sql)),
     QueryDef("q59_semi_join", q59, Some(q59Sql)),
     QueryDef("q60_anti_join", q60, Some(q60Sql)),
     QueryDef("q61_scalar_subquery", q61, Some(q61Sql)),
