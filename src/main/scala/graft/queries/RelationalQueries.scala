@@ -276,7 +276,77 @@ object RelationalQueries {
        |  count(*) AS n
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** q68: TPC-H Q6 shape — tight selective filter straight to one
+    * aggregated number (the pushdown showcase: three range predicates
+    * reach the scan, one map-side partial sum, one exchange of a single
+    * row). */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  private val q68Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  /** q69: TPC-H Q12 shape — conditional counts per class (high/low
+    * priority line split via CASE aggregation). */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("bucket", (col("l_quantity") >= 25.0).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum((col("o_orderpriority").isin("1-URGENT", "2-HIGH")).cast("long"))
+          .as("high_count"),
+        sum((!col("o_orderpriority").isin("1-URGENT", "2-HIGH")).cast("long"))
+          .as("low_count"))
+
+  private val q69Sql =
+    """SELECT CAST(l_quantity >= 25.0 AS INT) AS bucket,
+      |  sum(CAST(o_orderpriority IN ('1-URGENT','2-HIGH') AS BIGINT)) AS high_count,
+      |  sum(CAST(o_orderpriority NOT IN ('1-URGENT','2-HIGH') AS BIGINT)) AS low_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  /** q70: TPC-H Q14 shape — conditional revenue share (promo = small
+    * parts), exact decimal numerator/denominator before the one double
+    * division. */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_size") <= 10,
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("double") * 100.0 /
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double")).as("promo_share_pct"))
+      .select(round(col("promo_share_pct"), 6).as("promo_share_pct"))
+
+  private val q70Sql =
+    """SELECT round(
+      |  CAST(sum(CASE WHEN p_size <= 10
+      |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+      |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+      |  6) AS promo_share_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q68_selective_filter_agg", q68, Some(q68Sql)),
+    QueryDef("q69_conditional_counts", q69, Some(q69Sql)),
+    QueryDef("q70_promo_share", q70, Some(q70Sql)),
     QueryDef("q48_salted_agg", q48, Some(q48Sql)),
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_top_orders", q02, Some(q02Sql)),
