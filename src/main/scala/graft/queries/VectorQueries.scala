@@ -19,21 +19,29 @@ import graft.functions.VectorFunctions._
   */
 object VectorQueries {
 
+  /** Norms are precomputed per VECTOR (not per pair) and the dot is the
+    * fused native expression — per pair only one multiply-add loop
+    * remains. Values are bit-identical to the per-pair HOF formulation
+    * (same fold order), so the oracle SQL is unchanged. */
   private def scored(s: SparkSession, d: String, sameLabel: Boolean)
       : DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
     val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", norm(col("embedding")))
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("label").as("q_label"))
+        col("label").as("q_label"), col("nrm").as("q_nrm"))
     val cands = emb.select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), col("label").as("c_label"))
+      col("embedding").as("c_emb"), col("label").as("c_label"),
+      col("nrm").as("c_nrm"))
     val joined =
       if (sameLabel)
         cands.join(broadcast(queries), col("q_label") === col("c_label"))
       else cands.crossJoin(broadcast(queries))
     joined.filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos_sim"))
+        round(expr("float_vector_dot(q_emb, c_emb)") /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
   }
 
   private def topK(df: DataFrame, k: Int): DataFrame = {
@@ -118,13 +126,16 @@ object VectorQueries {
     * shuffle key, so the pairwise work stays inside cells exactly like
     * LSH bands. */
   private def q62(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
     val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", norm(col("embedding")))
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
-      col("label"))
+      col("label"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
-      col("label").as("label_b"))
+      col("label").as("label_b"), col("nrm").as("nb"))
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("e_a"), col("e_b")), 6))
+      .withColumn("cos_sim",
+        round(expr("float_vector_dot(e_a, e_b)") / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.3)
       .select(col("id_a"), col("id_b"), col("label"), col("cos_sim"))
   }
