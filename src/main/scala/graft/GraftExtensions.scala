@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.SortedLongIntersectCount
+import graft.expressions.{FloatVectorDot, SortedLongIntersectCount}
 
 /** Session extensions for cluster deployment: ship the engine's native
   * expressions to every session via
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`). Local callers can use
-  * [[graft.expressions.SortedLongIntersectCount.register]] instead. */
+  * the expressions' `register` helpers instead. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -22,5 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedLongIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(
+        classOf[FloatVectorDot].getName,
+        null,
+        "float_vector_dot",
+        "float_vector_dot(a, b) - fused dot product of two FLOAT arrays accumulated in DOUBLE (codegen).",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVectorDot(exprs(0), exprs(1))))
   }
 }

@@ -20,6 +20,11 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT sorted_long_intersect_count(array(1L,2L,3L), array(2L,3L,9L)) v")
         .head().getLong(0)
       assert(v == 2L)
+      val d = s2.sql(
+        "SELECT float_vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) d")
+        .head().getDouble(0)
+      assert(d == 11.0)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
