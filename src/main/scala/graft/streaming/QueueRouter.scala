@@ -31,6 +31,9 @@ object QueueRouter {
     Routed(
       results = jobs.filter(col("succeeded")),
       retries = failed.filter(col("retry_count") < maxRetries)
+        // P11: scrub delivery-specific fields before requeue
+        // (`redis_queue.py:286-289`); drop() is a no-op when absent.
+        .drop("message_id", "stream_key", "dequeued_at")
         .withColumn("priority", demote(col("priority")))
         .withColumn("retry_count", col("retry_count") + 1)
         .withColumn("backoff_s",

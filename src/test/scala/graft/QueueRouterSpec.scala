@@ -27,6 +27,18 @@ class QueueRouterSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet == Set("j4"))
   }
 
+  test("P11: delivery-specific fields are scrubbed before requeue") {
+    import spark.implicits._
+    val withDelivery = Seq(("j2", 3, 0, false, "m-1", "s:high", 12345L))
+      .toDF("job_id", "priority", "retry_count", "succeeded",
+        "message_id", "stream_key", "dequeued_at")
+    val r = QueueRouter.route(withDelivery)
+    val cols = r.retries.columns.toSet
+    assert(!cols.contains("message_id") && !cols.contains("stream_key") &&
+      !cols.contains("dequeued_at"))
+    assert(cols.contains("job_id") && cols.contains("backoff_s"))
+  }
+
   test("no row is lost or duplicated across the three routes") {
     val r = QueueRouter.route(jobs)
     val total = r.results.count() + r.retries.count() + r.deadLetters.count()
