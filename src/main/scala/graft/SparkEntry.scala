@@ -19,9 +19,16 @@ object SparkEntry {
       OcrTreeQueries.defs ++ SqlSurfaceQueries.defs
 
   /** Flagship: sessionized ordered transcript assembly (reference §3.1
-    * streaming STT path, batch form) on sf0.001. */
-  def entry(spark: SparkSession): DataFrame =
+    * streaming STT path, batch form) on sf0.001.
+    *
+    * The caller's session may not carry the nanos-timestamp reader
+    * config that events.parquet needs (Verify/Bench set it in their
+    * builders; the driver's smoke session might not) — it's a runtime
+    * SQLConf, so set it here defensively. */
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     queries("q15_transcript_assembly")(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
