@@ -40,6 +40,28 @@ class PlanQualitySpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("per-row column pipelines stay inside whole-stage codegen") {
+    // q12 is pure per-row math over 6 outputs: the whole thing must be
+    // one fused codegen stage over the scan (no interpreted expressions)
+    val df = SparkEntry.queries("q12_retry_demote_dlq")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), s"no codegen span (missing *(n) marker):\n$p")
+  }
+
+  test("the native intersect expression runs inside codegen") {
+    graft.expressions.SortedLongIntersectCount.register(spark)
+    // non-foldable input (literals would constant-fold to LocalTableScan)
+    val df = spark.range(100)
+      .selectExpr("sequence(0L, id % 10) AS a", "sequence(0L, 5L) AS b")
+      .selectExpr("sorted_long_intersect_count(a, b) AS c")
+    val total = df.agg(org.apache.spark.sql.functions.sum("c")).head().getLong(0)
+    assert(total > 0)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), s"custom expr fell back (no *(n) marker):\n$p")
+  }
+
   test("q11 top-100 does not materialize a global sort of all rows") {
     val p = planOf("q11_priority_dequeue")
     // row_number over a global window needs a single-partition sort, but
