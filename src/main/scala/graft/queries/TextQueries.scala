@@ -366,7 +366,31 @@ object TextQueries {
        |  substr(text, 1, 4) AS magic, ${hash32Sql("text")} AS content_hash
        |FROM documents""".stripMargin
 
+  /** q71: language-ID agreement — the q25 heuristic scored against the
+    * corpus's lang labels, per source (the eval loop a real langid
+    * pipeline runs before trusting the classifier). */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    q25(s, d).select(col("doc_id"), col("predicted_lang"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("predicted_lang") === col("lang")).cast("long"))
+          .as("n_agree"),
+        round(sum((col("predicted_lang") === col("lang")).cast("long"))
+          .cast("double") / count(lit(1)), 6).as("agreement"))
+
+  private val q71Sql =
+    s"""SELECT source, count(*) AS n,
+       |  sum(CAST(predicted_lang = lang AS BIGINT)) AS n_agree,
+       |  round(CAST(sum(CAST(predicted_lang = lang AS BIGINT)) AS DOUBLE)
+       |    / count(*), 6) AS agreement
+       |FROM ($q25Sql) p
+       |JOIN documents USING (doc_id)
+       |GROUP BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q71_langid_agreement", q71, Some(q71Sql)),
     QueryDef("q23_token_counts", q23, Some(q23Sql)),
     QueryDef("q24_quality_score", q24, Some(q24Sql)),
     QueryDef("q25_langid", q25, Some(q25Sql)),
