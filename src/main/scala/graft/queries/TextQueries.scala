@@ -389,7 +389,45 @@ object TextQueries {
        |JOIN documents USING (doc_id)
        |GROUP BY source""".stripMargin
 
+  /** q72: rolling-hash document fingerprinting — (a) full-text
+    * polynomial hash h = fold(acc·131 + code(c)) mod (2³¹−1), the
+    * Rabin-Karp accumulator as a sequential HOF fold (identical order
+    * both engines, operands < 2³⁹); (b) winnowing-lite: min/max over
+    * the 8-gram window hashes plus their distinct count — the k-gram
+    * sketch used for containment detection. */
+  private def q72(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      // Spark's sequence(1, n) DESCENDS for n < 1 (DuckDB range is
+      // empty): exclude sub-8-char docs identically on both sides
+      .filter(length(col("text")) >= 8)
+      .withColumn("poly_hash", expr(
+        "aggregate(split(text, ''), 0L, (acc, c) -> (acc * 131 + ascii(c)) % 2147483647)"))
+      .withColumn("grams", expr(
+        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))
+      .withColumn("gram_hashes",
+        array_distinct(transform(col("grams"), g => hash32(g))))
+      .select(col("doc_id"), col("poly_hash"),
+        array_min(col("gram_hashes")).as("min_gram_hash"),
+        array_max(col("gram_hashes")).as("max_gram_hash"),
+        size(col("gram_hashes")).cast("long").as("n_distinct_grams"))
+
+  private val q72Sql =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, c) -> (acc * 131 + c) % 2147483647) AS poly_hash,
+       |  list_min(gh) AS min_gram_hash,
+       |  list_max(gh) AS max_gram_hash,
+       |  CAST(len(gh) AS BIGINT) AS n_distinct_grams
+       |FROM (
+       |  SELECT doc_id, text,
+       |    list_distinct(list_transform(
+       |      [substr(text, i, 8) for i in range(1, length(text) - 6)],
+       |      g -> CAST(('0x' || substr(md5(g),1,8)) AS BIGINT))) AS gh
+       |  FROM documents WHERE length(text) >= 8)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q72_rolling_fingerprint", q72, Some(q72Sql)),
     QueryDef("q71_langid_agreement", q71, Some(q71Sql)),
     QueryDef("q23_token_counts", q23, Some(q23Sql)),
     QueryDef("q24_quality_score", q24, Some(q24Sql)),
