@@ -22,20 +22,32 @@ object Bench {
     // noop sink: forces full computation of every output column (count()
     // would let Catalyst prune the per-row work for select-only queries).
     // Two passes, report the min — steady-state cost, not first-run JIT.
+    // A query that throws reports -1 (never a valid elapsed time) and is
+    // listed in "failed" — a silent failure must not corrupt the totals.
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val pass1 = timeAll()
     val pass2 = timeAll()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val merged = pass1.map { case (k, v) =>
+      val w = pass2(k)
+      k -> (if (v < 0 || w < 0) -1.0 else math.min(v, w))
+    }
+    val (failed, results) = merged.partition(_._2 < 0)
+    def r3(v: Double): String = "%.3f".format(v)
+    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + r3(v) } ++
+      failed.keys.map(k => s"\"" + k + "\":null"))
       .mkString("{", ",", "}")
+    val failedArr = failed.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // flagship throughput: events/sec through the sessionize+transcript
     // path (q15), the reference's streaming STT shape (§3.1)
@@ -44,7 +56,7 @@ object Bench {
       results.get("q15_transcript_assembly")
         .filter(_ > 0).map(t => n / t).getOrElse(0.0)
     } catch { case _: Throwable => 0.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flagship_events_per_sec":$flagshipEps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"flagship_events_per_sec":${r3(flagshipEps)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

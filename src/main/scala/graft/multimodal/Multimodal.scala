@@ -96,7 +96,12 @@ object Multimodal {
   }
 
   /** DataFrame surface used by SparkEntry (rows-only check: the stubbed
-    * decode is not SQL-expressible, by design). */
+    * decode is not SQL-expressible, by design). The embedding array is
+    * surfaced as a CSV string — the rows-only checker loads this into
+    * pandas and sorts it, which requires every column to be scalar. */
   def featuresQuery(spark: SparkSession, dir: String): DataFrame =
     decodeAll(payloadsFromDocuments(spark, dir)).toDF()
+      .withColumn("embedding",
+        array_join(transform(col("embedding"),
+          e => format_number(e.cast("double"), 5)), ","))
 }

@@ -100,8 +100,8 @@ object MediaQueries {
 
   private val q39Sql =
     """SELECT source, count(*) AS n,
-      |  sum(CAST(n_chars >= 100 AND n_chars <= 10000
-      |      AND len(str_split(text, ' ')) >= 10 AS INT)) AS n_valid
+      |  CAST(sum(CAST(n_chars >= 100 AND n_chars <= 10000
+      |      AND len(str_split(text, ' ')) >= 10 AS INT)) AS BIGINT) AS n_valid
       |FROM documents GROUP BY source""".stripMargin
 
   /** q40: job-envelope scalar kit — JSON payload decode (F24,

@@ -71,7 +71,7 @@ object OcrTreeQueries {
   private val q47Sql =
     s"""SELECT doc_id, block_idx,
        |  string_agg(word, ' ' ORDER BY line_idx, word_pos) AS block_text,
-       |  count(*) AS n_words, sum(length(word)) AS n_chars
+       |  count(*) AS n_words, CAST(sum(length(word)) AS BIGINT) AS n_chars
        |FROM ($q46Sql)
        |GROUP BY doc_id, block_idx""".stripMargin
 

@@ -175,7 +175,7 @@ object QueueQueries {
        |  round(CAST(n_errors AS DOUBLE) / n, 6) AS error_rate
        |FROM (
        |  SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n,
-       |    sum(CAST(event_type = 'error' AS BIGINT)) AS n_errors,
+       |    CAST(sum(CAST(event_type = 'error' AS BIGINT)) AS BIGINT) AS n_errors,
        |    max(${Q.usSql}) - min(${Q.usSql}) AS span_us
        |  FROM events GROUP BY 1)
        |WHERE span_us > 0""".stripMargin

@@ -314,8 +314,8 @@ object RelationalQueries {
 
   private val q69Sql =
     """SELECT CAST(l_quantity >= 25.0 AS INT) AS bucket,
-      |  sum(CAST(o_orderpriority IN ('1-URGENT','2-HIGH') AS BIGINT)) AS high_count,
-      |  sum(CAST(o_orderpriority NOT IN ('1-URGENT','2-HIGH') AS BIGINT)) AS low_count
+      |  CAST(sum(CAST(o_orderpriority IN ('1-URGENT','2-HIGH') AS BIGINT)) AS BIGINT) AS high_count,
+      |  CAST(sum(CAST(o_orderpriority NOT IN ('1-URGENT','2-HIGH') AS BIGINT)) AS BIGINT) AS low_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 

@@ -41,9 +41,9 @@ object SessionQueries {
 
   private val sessionizedSql =
     s"""SELECT event_id, user_id, event_type, value, t_us,
-       |  sum(is_new) OVER (PARTITION BY user_id
+       |  CAST(sum(is_new) OVER (PARTITION BY user_id
        |    ORDER BY t_us, event_id
-       |    ROWS UNBOUNDED PRECEDING) AS session_seq
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
        |FROM (
        |  SELECT *, CAST(prev_us IS NULL OR t_us - prev_us > $gapUs AS BIGINT) AS is_new
        |  FROM (
@@ -126,8 +126,8 @@ object SessionQueries {
        |  min(t_us) AS start_us, max(t_us) AS end_us
        |FROM (
        |  SELECT user_id, t_us, silent,
-       |    sum(started) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-       |      ROWS UNBOUNDED PRECEDING) AS island
+       |    CAST(sum(started) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
        |  FROM (
        |    SELECT *, CAST(silent AND NOT coalesce(
        |        lag(silent) OVER (PARTITION BY user_id ORDER BY t_us, event_id),
@@ -340,10 +340,27 @@ object SessionQueries {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
 
+  /** q49 oracle islands use `>=` (not the manual form's `>`): Spark's
+    * session_window merges only on STRICT overlap, so an event arriving
+    * at exactly prev + gap starts a NEW session, whereas the manual
+    * q14/q15 rule `t - prev > gap` keeps it. Both conventions are
+    * internally consistent (each Spark side matches its own oracle);
+    * the boundary difference is covered by SessionBoundarySpec. */
   private val q49Sql =
     s"""SELECT user_id, min(t_us) AS start_us,
        |  max(t_us) + $gapUs AS end_us, count(*) AS n_events
-       |FROM ($sessionizedSql)
+       |FROM (
+       |  SELECT user_id, t_us,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY t_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM (
+       |    SELECT *, CAST(prev_us IS NULL OR t_us - prev_us >= $gapUs AS BIGINT) AS is_new
+       |    FROM (
+       |      SELECT event_id, user_id, ${Q.usSql} AS t_us,
+       |        lag(${Q.usSql}) OVER (PARTITION BY user_id
+       |          ORDER BY ${Q.usSql}, event_id) AS prev_us
+       |      FROM events)))
        |GROUP BY user_id, session_seq""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

@@ -52,11 +52,11 @@ object SqlSurfaceQueries {
 
   private val q55Sql =
     """SELECT user_id % 10 AS user_bucket,
-      |  sum(CAST(event_type = 'click' AS BIGINT)) AS click,
-      |  sum(CAST(event_type = 'view' AS BIGINT)) AS view,
-      |  sum(CAST(event_type = 'signup' AS BIGINT)) AS signup,
-      |  sum(CAST(event_type = 'purchase' AS BIGINT)) AS purchase,
-      |  sum(CAST(event_type = 'error' AS BIGINT)) AS error
+      |  CAST(sum(CAST(event_type = 'click' AS BIGINT)) AS BIGINT) AS click,
+      |  CAST(sum(CAST(event_type = 'view' AS BIGINT)) AS BIGINT) AS view,
+      |  CAST(sum(CAST(event_type = 'signup' AS BIGINT)) AS BIGINT) AS signup,
+      |  CAST(sum(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT) AS purchase,
+      |  CAST(sum(CAST(event_type = 'error' AS BIGINT)) AS BIGINT) AS error
       |FROM events GROUP BY 1""".stripMargin
 
   /** q56: ntile quartiles by value within each event type (total order

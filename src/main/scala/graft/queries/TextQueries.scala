@@ -382,7 +382,7 @@ object TextQueries {
 
   private val q71Sql =
     s"""SELECT source, count(*) AS n,
-       |  sum(CAST(predicted_lang = lang AS BIGINT)) AS n_agree,
+       |  CAST(sum(CAST(predicted_lang = lang AS BIGINT)) AS BIGINT) AS n_agree,
        |  round(CAST(sum(CAST(predicted_lang = lang AS BIGINT)) AS DOUBLE)
        |    / count(*), 6) AS agreement
        |FROM ($q25Sql) p

@@ -68,14 +68,34 @@ object ResultStore {
     result
   }
 
-  /** Maintenance sweep: rewrite keeping only latest + unexpired rows. */
+  /** Maintenance sweep: rewrite keeping only latest + unexpired rows.
+    *
+    * Crash safety: the compacted table is staged to a side directory and
+    * swapped in with two renames (old table parked, stage promoted), so
+    * no moment exists where the live path holds a partially written
+    * table; a crash between the renames loses only the sweep, not the
+    * data (the parked copy remains). Both staging and parked dirs are
+    * removed on the next successful sweep even if a previous crash left
+    * them behind. On object stores without atomic rename the same
+    * sequence is still write-then-promote — never overwrite-in-place. */
   def ttlSweep(spark: SparkSession, path: String, nowUs: Long,
       ttlUs: Long = 3600L * 1000000L): Unit = {
-    val live = latest(spark, path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val stage = new org.apache.hadoop.fs.Path(path + "_compact_stage")
+    val parked = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    fs.delete(stage, true) // leftovers from a crashed sweep
+    fs.delete(parked, true)
+    latest(spark, path)
       .filter(col("stored_at_us") > nowUs - ttlUs)
-    val tmp = path + "_compact"
-    live.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-enough swap for a maintenance job: rewrite target from tmp
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    if (!fs.rename(target, parked))
+      throw new java.io.IOException(s"ttlSweep: cannot park $target")
+    if (!fs.rename(stage, target)) {
+      fs.rename(parked, target) // roll back; table unchanged
+      throw new java.io.IOException(s"ttlSweep: cannot promote $stage")
+    }
+    fs.delete(parked, true)
   }
 }

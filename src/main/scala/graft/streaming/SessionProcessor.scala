@@ -43,20 +43,50 @@ object SessionLogic {
       partialIntervalMs: Long = 150L,
       silenceRmsThreshold: Double = 10.0)
 
-  /** Carried per-session state. `buffer` holds raw bytes not yet emitted
-    * (including the overlap carried back), `bufferStartMs` its position
-    * on the session's time axis, `emittedThroughMs` the exclusive end of
-    * the last emitted segment, `lastPartialMs` the debounce clock. */
+  /** One buffered chunk's bytes pinned to its own time span — byte
+    * positions map to time per-chunk, so variable-rate content (chunk
+    * byte length not proportional to durationMs) still splits at exact
+    * positions instead of drifting with a global bytes/ms estimate. */
+  final case class Seg(startMs: Long, durMs: Long, bytes: Vector[Byte]) {
+    def endMs: Long = startMs + durMs
+  }
+
+  /** Carried per-session state. `segs` holds the not-yet-emitted chunks
+    * (including the overlap carried back), `bufferStartMs` the buffer
+    * origin on the session's time axis, `lastPartialMs` the debounce
+    * clock. */
   final case class State(
-      buffer: Vector[Byte],
+      segs: Vector[Seg],
       bufferStartMs: Long,
-      bufferMs: Long,
       silenceMs: Long,
       speechSeen: Boolean,
       lastPartialMs: Long,
-      nEmitted: Int)
+      nEmitted: Int) {
+    def buffer: Vector[Byte] = segs.flatMap(_.bytes)
+    def bufferMs: Long = segs.map(_.durMs).sum
+  }
 
-  val empty: State = State(Vector.empty, 0L, 0L, 0L, false, Long.MinValue, 0)
+  val empty: State = State(Vector.empty, 0L, 0L, false, Long.MinValue, 0)
+
+  /** Split buffered segments at time `t`: bytes strictly before `t` /
+    * segments from `t` on. A segment straddling `t` splits at the byte
+    * proportional to `t` WITHIN that segment (exact at chunk
+    * boundaries; proportional only inside one chunk). */
+  private def splitAt(segs: Vector[Seg], t: Long)
+      : (Vector[Byte], Vector[Seg]) = {
+    val emitted = Vector.newBuilder[Byte]
+    val kept = Vector.newBuilder[Seg]
+    segs.foreach { s =>
+      if (s.endMs <= t) emitted ++= s.bytes
+      else if (s.startMs >= t) kept += s
+      else {
+        val n = (s.bytes.length.toLong * (t - s.startMs) / s.durMs).toInt
+        emitted ++= s.bytes.take(n)
+        kept += Seg(t, s.endMs - t, s.bytes.drop(n))
+      }
+    }
+    (emitted.result(), kept.result())
+  }
 
   def rms(bytes: Array[Byte]): Double =
     if (bytes.isEmpty) 0.0
@@ -78,7 +108,7 @@ object SessionLogic {
     def emit(upToMs: Long, isFinal: Boolean): Unit = {
       // W4: emit [bufferStartMs, upToMs), retain the trailing overlap.
       val emitMs = upToMs - st.bufferStartMs
-      if (emitMs > 0 && st.bufferMs > 0) {
+      if (emitMs > 0 && st.segs.nonEmpty) {
         // W8: a debounced partial neither emits NOR advances the buffer —
         // the audio keeps accumulating and is transcribed by the next
         // allowed emission (the reference delays processing, it never
@@ -87,10 +117,8 @@ object SessionLogic {
           st.lastPartialMs != Long.MinValue &&
           upToMs - st.lastPartialMs < cfg.partialIntervalMs
         if (debounced) return
-        val bytesPerMs = math.max(1L, st.buffer.length / math.max(1L, st.bufferMs))
-        val emitBytes = math.min(st.buffer.length, emitMs * bytesPerMs).toInt
-        val segment = st.buffer.take(emitBytes).toArray
-        val (text, conf) = inferencer.transcribe(segment)
+        val (segBytes, _) = splitAt(st.segs, upToMs)
+        val (text, conf) = inferencer.transcribe(segBytes.toArray)
         out += TranscriptEvent(
           sessionId = sessionId,
           eventType = if (isFinal) "FINAL" else "PARTIAL",
@@ -101,22 +129,18 @@ object SessionLogic {
         st = st.copy(lastPartialMs = upToMs, nEmitted = st.nEmitted + 1)
         val keepFromMs = if (isFinal) upToMs
           else math.max(st.bufferStartMs, upToMs - cfg.overlapMs)
-        val dropBytes = math.min(st.buffer.length,
-          (keepFromMs - st.bufferStartMs) * bytesPerMs).toInt
-        st = st.copy(
-          buffer = if (isFinal) Vector.empty else st.buffer.drop(dropBytes),
-          bufferStartMs = keepFromMs,
-          bufferMs = if (isFinal) 0L
-            else st.bufferMs - (keepFromMs - st.bufferStartMs))
+        val keptSegs = if (isFinal) Vector.empty[Seg]
+          else splitAt(st.segs, keepFromMs)._2
+        st = st.copy(segs = keptSegs, bufferStartMs = keepFromMs)
       }
     }
 
     chunks.sortBy(c => (c.offsetMs, c.durationMs)).foreach { c =>
       // W1: append; establish the time base from the first chunk.
-      if (st.buffer.isEmpty && st.bufferMs == 0L)
+      if (st.segs.isEmpty)
         st = st.copy(bufferStartMs = c.offsetMs)
-      st = st.copy(buffer = st.buffer ++ c.content,
-        bufferMs = st.bufferMs + c.durationMs)
+      st = st.copy(segs =
+        st.segs :+ Seg(c.offsetMs, c.durationMs, c.content.toVector))
       // VAD bookkeeping (P7 energy VAD, `stt_worker.py:522-536`).
       if (rms(c.content) < cfg.silenceRmsThreshold)
         st = st.copy(silenceMs = st.silenceMs + c.durationMs)

@@ -28,8 +28,16 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("embedding stub is 8-dim and bounded") {
+    // typed surface: real array
+    import spark.implicits._
+    val typed = Multimodal.decodeAll(
+      Multimodal.payloadsFromDocuments(spark, sf0001)).toDF()
+    assert(typed.filter(size(col("embedding")) =!= 8).count() == 0)
+    assert(typed.filter(exists(col("embedding"),
+      x => abs(x) > 0.5001)).count() == 0)
+    // DataFrame surface: CSV string (scalar-only for the rows checker)
     val f = Multimodal.featuresQuery(spark, sf0001)
-    assert(f.filter(size(col("embedding")) =!= 8).count() == 0)
-    assert(f.filter(exists(col("embedding"), x => abs(x) > 0.5001)).count() == 0)
+    assert(f.schema("embedding").dataType.typeName == "string")
+    assert(f.filter(size(split(col("embedding"), ",")) =!= 8).count() == 0)
   }
 }
