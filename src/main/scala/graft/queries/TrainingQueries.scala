@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline operators beyond the reference surface (driver
+  * north star): temporal/as-of correlation, interval containment, split
+  * management, cross-split contamination, sequence packing, and
+  * deterministic sampling — each the shape a 100 TB LLM-data pipeline
+  * runs daily, each expressed so the heavy work is one equi-shuffle (or
+  * a broadcast) and never a pairwise cross product.
+  */
+object TrainingQueries {
+
+  /** q42: AS-OF join — for every request (click) the most recent metric
+    * (view) at or before its event time, per user. Spark lacks a native
+    * as-of join; the scalable form is NOT a range self-join (pairwise)
+    * but a single union + one shuffle on the key + a running
+    * last-non-null window — per-key linear work that survives any
+    * scale. Ties at the same timestamp: the metric sorts before the
+    * request (is_req 0 < 1), matching the oracle's `r.t >= m.t`
+    * inclusive semantics; same-timestamp metrics are pre-deduped to
+    * max(value) so both engines pick the same row.
+    * (Reference analog: J1 request↔result correlation by key+time,
+    * `src/queue/redis_queue.py:329-344`.) */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), Q.us.as("t_us"))
+    val metrics = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("t_us")).agg(max(col("value")).as("mval"))
+    val reqs = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t_us"), col("event_id"))
+    val m = metrics.select(col("user_id"), col("t_us"), col("mval"),
+      lit(0).as("is_req"), lit(null).cast("long").as("event_id"))
+    val r = reqs.select(col("user_id"), col("t_us"),
+      lit(null).cast("double").as("mval"), lit(1).as("is_req"),
+      col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("is_req").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.unionByName(r)
+      .withColumn("asof_value", last(col("mval"), ignoreNulls = true).over(w))
+      .filter(col("is_req") === 1)
+      .select(col("event_id"), col("user_id"), col("t_us"), col("asof_value"))
+  }
+
+  private val q42Sql =
+    """SELECT r.event_id, r.user_id, r.t_us, m.mval AS asof_value
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us
+      |      FROM events WHERE event_type = 'click') r
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS mval
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) m
+      |ON r.user_id = m.user_id AND r.t_us >= m.t_us""".stripMargin
+
+  /** q66: FULL OUTER reconciliation — per-nation customer vs supplier
+    * counts with zero-fill on either side (the split-vs-split audit
+    * shape: which partitions exist on one side only). */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("ckey")).agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("skey")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("ckey") === col("skey"), "full_outer")
+      .select(coalesce(col("ckey"), col("skey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  private val q66Sql =
+    """SELECT coalesce(c.ckey, s.skey) AS nationkey,
+      |  CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust,
+      |  CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp
+      |FROM (SELECT c_nationkey AS ckey, count(*) AS n_cust
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS skey, count(*) AS n_supp
+      |      FROM supplier GROUP BY 1) s
+      |ON c.ckey = s.skey""".stripMargin
+
+  /** q73: interval containment join, bucketized — flag events falling
+    * inside any ±5 s error window. The scalable plan: explode each
+    * interval into the 10 s time buckets it overlaps (≤ 2, since bucket
+    * width = interval width), equi-join on the bucket, then apply the
+    * range predicate — work stays proportional to ACTUAL overlaps
+    * instead of |events| × |intervals| (a nested-loop range join dies at
+    * 100 TB; the oracle's IEJoin is single-node-only). */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val bucketUs = 10000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), Q.us.as("t_us"))
+    val iv = ev.filter(col("event_type") === "error")
+      .select((col("t_us") - 5000000L).as("lo"), (col("t_us") + 5000000L).as("hi"))
+    val ivb = iv.withColumn("bucket",
+      explode(sequence(expr(s"lo div $bucketUs"), expr(s"hi div $bucketUs"))))
+    val evb = ev.withColumn("bucket", expr(s"t_us div $bucketUs"))
+    val flagged = evb.join(ivb, "bucket")
+      .filter(col("t_us") >= col("lo") && col("t_us") <= col("hi"))
+      .select(col("event_id"), col("event_type")).distinct()
+    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+    val fl = flagged.groupBy(col("event_type")).agg(count(lit(1)).as("n_flagged"))
+    totals.join(fl, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_total"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+  }
+
+  private val q73Sql =
+    """SELECT t.event_type, t.n_total,
+      |  CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged
+      |FROM (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1) t
+      |LEFT JOIN (
+      |  SELECT event_type, count(*) AS n_flagged FROM (
+      |    SELECT DISTINCT e.event_id, e.event_type
+      |    FROM (SELECT event_id, event_type, epoch_us(ts) AS t_us
+      |          FROM events) e
+      |    JOIN (SELECT epoch_us(ts) - 5000000 AS lo, epoch_us(ts) + 5000000 AS hi
+      |          FROM events WHERE event_type = 'error') i
+      |    ON e.t_us BETWEEN i.lo AND i.hi)
+      |  GROUP BY 1) f
+      |USING (event_type)""".stripMargin
+
+  /** q74: deterministic stratified train/holdout split — assignment by
+    * the first md5 byte of the doc id (hex-string compare, identical in
+    * both engines; 'e5' keeps 230/256 ≈ 89.8 % in train). Hash-based
+    * splits are reproducible under re-partitioning, re-runs, and data
+    * growth — the property a 100 TB split must have (random() is not
+    * replayable and rand(seed) is partition-order-dependent). */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          <= "e5", "train").otherwise("holdout"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+          .as("avg_chars"))
+
+  private val q74Sql =
+    """SELECT source,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+      |    THEN 'train' ELSE 'holdout' END AS split,
+      |  count(*) AS n,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** q75: cross-split contamination — source pairs sharing an 8-word
+    * prefix fingerprint (the train/test-leak audit: exact-prefix overlap
+    * across corpus slices). Join key is a 16-byte md5, so the shuffle
+    * carries fingerprints, not documents. */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(md5(array_join(slice(split(col("text"), " "), 1, 8), " "))
+        .as("fp"), col("source"))
+      .distinct()
+    val a = fp.select(col("fp"), col("source").as("src_a"))
+    val b = fp.select(col("fp"), col("source").as("src_b"))
+    a.join(b, "fp").filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+  }
+
+  private val q75Sql =
+    """SELECT a.src_a, b.src_b, count(*) AS n_shared_fp
+      |FROM (SELECT DISTINCT md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS fp,
+      |        source AS src_a FROM documents) a
+      |JOIN (SELECT DISTINCT md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS fp,
+      |        source AS src_b FROM documents) b
+      |ON a.fp = b.fp AND a.src_a < b.src_b
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q76: sequence packing — greedy in-order packing of each source's
+    * docs into 8192-token context bins: running token sum, bin = cum
+    * BEFORE the doc, integer-divided by the context length. One shuffle
+    * on source + an in-partition window — the standard pre-tokenization
+    * packing pass, scalable because bins never cross the partition key. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr("(cum - n_tokens) div 8192"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+  }
+
+  private val q76Sql =
+    """SELECT source, bin, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM (
+      |  SELECT source, CAST((cum - n_tokens) // 8192 AS BIGINT) AS bin, n_tokens
+      |  FROM (
+      |    SELECT source, n_tokens,
+      |      sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum
+      |    FROM (SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens
+      |          FROM documents)))
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q77: deterministic stratified sample — 5 docs per source, picked by
+    * md5(text) order (content-addressed, so the sample is stable across
+    * runs and replication; doc_id tiebreak makes the order total). */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text").cast("binary")).asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("doc_id"), col("rn"))
+  }
+
+  private val q77Sql =
+    """SELECT source, doc_id, rn FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q42_asof_join", q42, Some(q42Sql)),
+    QueryDef("q66_full_outer_counts", q66, Some(q66Sql)),
+    QueryDef("q73_interval_flag_join", q73, Some(q73Sql)),
+    QueryDef("q74_stratified_split", q74, Some(q74Sql)),
+    QueryDef("q75_contamination_pairs", q75, Some(q75Sql)),
+    QueryDef("q76_sequence_packing", q76, Some(q76Sql)),
+    QueryDef("q77_stratified_sample", q77, Some(q77Sql)))
+}
