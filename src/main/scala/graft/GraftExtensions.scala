@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{FloatVectorDot, SortedLongIntersectCount}
+import graft.expressions.{FloatVectorDot, RollingFingerprint, SortedLongIntersectCount}
 
 /** Session extensions for cluster deployment: ship the engine's native
   * expressions to every session via
@@ -32,5 +32,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(
+        classOf[RollingFingerprint].getName,
+        null,
+        "rolling_fingerprint",
+        "rolling_fingerprint(text[, k]) - struct(poly_hash, min_gram_hash, max_gram_hash, n_distinct_grams): Rabin-Karp fold + rolling k-gram sketch in one codegen'd scan.",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => RollingFingerprint(c)
+          case Seq(c, kLit) => RollingFingerprint(c,
+            kLit.eval().asInstanceOf[Number].intValue())
+          case _ => throw new IllegalArgumentException(
+            "rolling_fingerprint(text[, k])")
+        }))
   }
 }

@@ -391,40 +391,41 @@ object TextQueries {
 
   /** q72: rolling-hash document fingerprinting — (a) full-text
     * polynomial hash h = fold(acc·131 + code(c)) mod (2³¹−1), the
-    * Rabin-Karp accumulator as a sequential HOF fold (identical order
-    * both engines, operands < 2³⁹); (b) winnowing-lite: min/max over
-    * the 8-gram window hashes plus their distinct count — the k-gram
-    * sketch used for containment detection. */
-  private def q72(s: SparkSession, d: String): DataFrame =
+    * Rabin-Karp accumulator; (b) winnowing-lite: min/max over the
+    * 8-gram window hashes (same fold per window) plus their distinct
+    * count — the k-gram sketch used for containment detection.
+    * Spark side is the native codegen'd [[graft.expressions.RollingFingerprint]]
+    * (one linear scan per doc, O(1) rolling update per gram); the
+    * oracle recomputes every gram hash by direct folding. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.RollingFingerprint.register(s)
     Tables.documents(s, d)
-      // Spark's sequence(1, n) DESCENDS for n < 1 (DuckDB range is
-      // empty): exclude sub-8-char docs identically on both sides
+      // exclude sub-8-char docs identically on both sides
       .filter(length(col("text")) >= 8)
-      .withColumn("poly_hash", expr(
-        "aggregate(split(text, ''), 0L, (acc, c) -> (acc * 131 + ascii(c)) % 2147483647)"))
-      .withColumn("grams", expr(
-        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))
-      .withColumn("gram_hashes",
-        array_distinct(transform(col("grams"), g => hash32(g))))
-      .select(col("doc_id"), col("poly_hash"),
-        array_min(col("gram_hashes")).as("min_gram_hash"),
-        array_max(col("gram_hashes")).as("max_gram_hash"),
-        size(col("gram_hashes")).cast("long").as("n_distinct_grams"))
+      .withColumn("fp", expr("rolling_fingerprint(text, 8)"))
+      .select(col("doc_id"),
+        col("fp.poly_hash").as("poly_hash"),
+        col("fp.min_gram_hash").as("min_gram_hash"),
+        col("fp.max_gram_hash").as("max_gram_hash"),
+        col("fp.n_distinct_grams").as("n_distinct_grams"))
+  }
 
   private val q72Sql =
     s"""SELECT doc_id,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS poly_hash,
        |  list_min(gh) AS min_gram_hash,
        |  list_max(gh) AS max_gram_hash,
-       |  CAST(len(gh) AS BIGINT) AS n_distinct_grams
+       |  CAST(len(list_distinct(gh)) AS BIGINT) AS n_distinct_grams
        |FROM (
-       |  SELECT doc_id, text,
-       |    list_distinct(list_transform(
-       |      [substr(text, i, 8) for i in range(1, length(text) - 6)],
-       |      g -> CAST(('0x' || substr(md5(g),1,8)) AS BIGINT))) AS gh
-       |  FROM documents WHERE length(text) >= 8)""".stripMargin
+       |  SELECT doc_id, codes,
+       |    [list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+7]),
+       |       (acc, c) -> (acc * 131 + c) % 2147483647)
+       |     for i in range(1, len(codes) - 6)] AS gh
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes
+       |    FROM documents WHERE length(text) >= 8))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q72_rolling_fingerprint", q72, Some(q72Sql)),
