@@ -340,27 +340,17 @@ object SessionQueries {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
 
-  /** q49 oracle islands use `>=` (not the manual form's `>`): Spark's
-    * session_window merges only on STRICT overlap, so an event arriving
-    * at exactly prev + gap starts a NEW session, whereas the manual
-    * q14/q15 rule `t - prev > gap` keeps it. Both conventions are
-    * internally consistent (each Spark side matches its own oracle);
-    * the boundary difference is covered by SessionBoundarySpec. */
+  /** q49 oracle boundary: Spark's session_window merges INCLUSIVELY —
+    * an event at exactly prev + gap still extends the session (each
+    * event's window is [t, t+gap] and touching windows merge), which is
+    * precisely the manual islands rule `t - prev > gap` keeps-together
+    * convention. Verified by SessionBoundarySpec (an exact-gap pair
+    * yields ONE session under both forms), so the oracle derives from
+    * the same sessionized islands as q14/q15. */
   private val q49Sql =
     s"""SELECT user_id, min(t_us) AS start_us,
        |  max(t_us) + $gapUs AS end_us, count(*) AS n_events
-       |FROM (
-       |  SELECT user_id, t_us,
-       |    CAST(sum(is_new) OVER (PARTITION BY user_id
-       |      ORDER BY t_us, event_id
-       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-       |  FROM (
-       |    SELECT *, CAST(prev_us IS NULL OR t_us - prev_us >= $gapUs AS BIGINT) AS is_new
-       |    FROM (
-       |      SELECT event_id, user_id, ${Q.usSql} AS t_us,
-       |        lag(${Q.usSql}) OVER (PARTITION BY user_id
-       |          ORDER BY ${Q.usSql}, event_id) AS prev_us
-       |      FROM events)))
+       |FROM ($sessionizedSql)
        |GROUP BY user_id, session_seq""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
