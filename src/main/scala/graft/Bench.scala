@@ -43,11 +43,16 @@ object Bench {
     }
     val (failed, results) = merged.partition(_._2 < 0)
     def r3(v: Double): String = "%.3f".format(v)
-    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + r3(v) } ++
-      failed.keys.map(k => s"\"" + k + "\":null"))
+    // Driver captures only the last 2000 chars of output: keys shrink to
+    // their unique qNN prefix so the whole JSON line fits that window
+    // (full names are in SURVEY.md §2.12 / Verify output).
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val qs = (results.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + short(k) + "\":" + r3(v) } ++
+      failed.keys.toSeq.sorted.map(k => s"\"" + short(k) + "\":null"))
       .mkString("{", ",", "}")
     val failedArr = failed.keys.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+      .map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // flagship throughput: events/sec through the sessionize+transcript
     // path (q15), the reference's streaming STT shape (§3.1)
