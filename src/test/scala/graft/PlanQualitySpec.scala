@@ -70,4 +70,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       s"expected window operator:\n$p")
   }
+
+  test("q42 as-of join is union + ONE key shuffle, never a range join") {
+    val p = planOf("q42_asof_join")
+    assert(p.contains("Union"), s"expected union form:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated to a pairwise join:\n$p")
+    // both event_type filters reached the scans
+    assert(p.contains("EqualTo(event_type,view)") &&
+      p.contains("EqualTo(event_type,click)"), s"filters not pushed:\n$p")
+  }
+
+  test("q73 interval join stays bucketized (no cartesian)") {
+    val p = planOf("q73_interval_flag_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a cross product:\n$p")
+    assert(p.contains("Generate"), s"expected interval bucket explode:\n$p")
+  }
+
+  test("q75 contamination shuffles fingerprints, not documents") {
+    val p = planOf("q75_contamination_pairs")
+    // the self-join key is the 16-byte md5; text must not survive past
+    // the fingerprint projection into any exchange
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"raw text crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
 }
