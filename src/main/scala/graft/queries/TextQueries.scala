@@ -201,7 +201,20 @@ object TextQueries {
     * Perf: the verification intersects 32-bit token-HASH sets, not
     * string sets (identical hashes on both engines → identical counts;
     * ~8× lighter shuffle rows), and prunes pairs with the exact integer
-    * bound 10·min(|A|,|B|) ≥ 7·max(|A|,|B|), which J ≥ 0.7 implies. */
+    * bound 10·min(|A|,|B|) ≥ 7·max(|A|,|B|), which J ≥ 0.7 implies.
+    *
+    * Shape: each band is its own hash table (join key = band INDEX +
+    * band value, standard LSH), word-sets attach to the (doc, band)
+    * rows BEFORE the self-join so the only shuffles are band-key-sized
+    * (2 rows/doc), and duplicate candidates are eliminated WITHOUT any
+    * distinct by the first-matching-band rule: a band-2 match is kept
+    * only when the docs' band-1 keys differ (each qualifying pair is
+    * emitted exactly once, by its first matching band). Candidate rows
+    * flow from the join straight into prune + intersect without ever
+    * being shuffled. Alternatives measured on the pathological corpus:
+    * distinct-pairs-then-rejoin-wordsets shuffles millions of pair rows
+    * twice; verify-all-then-distinct intersects 1.4× more candidates —
+    * both slower. */
   private def q29(s: SparkSession, d: String): DataFrame = {
     graft.expressions.SortedLongIntersectCount.register(s)
     val sig = q28(s, d)
@@ -211,26 +224,31 @@ object TextQueries {
           .as("wset"))
       .withColumn("nw", size(col("wset")).cast("long"))
     // Band keys as exact modular folds (LONG join keys beat 32-char md5
-    // strings for the self-join + distinct; both engines compute the
-    // identical value — operands stay < 2^39, no overflow anywhere).
+    // strings for the self-join; both engines compute the identical
+    // value — operands stay < 2^39, no overflow anywhere).
     def fold(seed: Long, ms: Seq[String]): Column =
       ms.foldLeft(lit(seed))((acc, m) => (acc * 127 + col(m)) % P)
-    val bands = sig.select(col("doc_id"),
+    val bandRows = sig
+      .select(col("doc_id"),
+        fold(1L, Seq("m0", "m1", "m2", "m3")).as("band1"),
+        fold(2L, Seq("m4", "m5", "m6", "m7")).as("band2"))
+      .select(col("doc_id"), col("band1"),
         explode(array(
-          fold(1L, Seq("m0", "m1", "m2", "m3")),
-          fold(2L, Seq("m4", "m5", "m6", "m7"))).as("band")))
-      .toDF("doc_id", "band")
-    val pairs = bands.as("x").join(bands.as("y"), col("x.band") === col("y.band"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    pairs
-      .join(words.select(col("doc_id").as("doc_a"), col("wset").as("wa"),
-        col("nw").as("na")), "doc_a")
-      .join(words.select(col("doc_id").as("doc_b"), col("wset").as("wb"),
-        col("nw").as("nb")), "doc_b")
-      .filter(least(col("na"), col("nb")) * 10 >=
-        greatest(col("na"), col("nb")) * 7)
+          struct(lit(1).as("bidx"), col("band1").as("band")),
+          struct(lit(2).as("bidx"), col("band2").as("band")))).as("e"))
+      .select(col("doc_id"), col("band1"),
+        col("e.bidx").as("bidx"), col("e.band").as("band"))
+      .join(words, "doc_id")
+    val x = bandRows.select(col("bidx"), col("band"),
+      col("doc_id").as("doc_a"), col("band1").as("b1a"),
+      col("wset").as("wa"), col("nw").as("na"))
+    val y = bandRows.select(col("bidx"), col("band"),
+      col("doc_id").as("doc_b"), col("band1").as("b1b"),
+      col("wset").as("wb"), col("nw").as("nb"))
+    x.join(y, Seq("bidx", "band"))
+      .filter(col("doc_a") < col("doc_b") &&
+        (col("bidx") === 1 || col("b1a") =!= col("b1b")) &&
+        least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 7)
       .withColumn("inter", expr("sorted_long_intersect_count(wa, wb)"))
       .withColumn("jaccard", round(
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")),
@@ -242,16 +260,17 @@ object TextQueries {
   private val q29Sql =
     s"""WITH sig AS ($q28Sql),
        |bands AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, 1 AS bidx,
        |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
        |  FROM sig
        |  UNION ALL
-       |  SELECT doc_id,
+       |  SELECT doc_id, 2 AS bidx,
        |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
        |  FROM sig),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+       |  FROM bands x JOIN bands y
+       |  ON x.bidx = y.bidx AND x.band = y.band AND x.doc_id < y.doc_id),
        |wsets AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform($wordsSqlExpr,
