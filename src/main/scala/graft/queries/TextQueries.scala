@@ -288,6 +288,81 @@ object TextQueries {
        |  AND round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
        |    / (wa.nw + wb.nw - len(list_intersect(wa.wset, wb.wset))), 6) >= 0.7""".stripMargin
 
+  /** q78: duplicate-CLUSTER connected components — the step after LSH
+    * in a real dedup pipeline: group transitively-linked docs and pick
+    * a canonical representative (min doc_id). Scalable construction:
+    * never materialize band cliques — each band group contributes STAR
+    * edges to its min doc (2 edges/doc total), and components emerge by
+    * iterative min-label propagation (the DataFrame form of
+    * large-star/small-star CC), converging in O(component diameter)
+    * rounds with `localCheckpoint` truncating lineage each round. The
+    * oracle computes the same fixpoint with a recursive CTE
+    * (reachability labels → min per node). */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = q28(s, d)
+    def fold(seed: Long, ms: Seq[String]): Column =
+      ms.foldLeft(lit(seed))((acc, m) => (acc * 127 + col(m)) % P)
+    val bands = sig.select(col("doc_id"),
+        explode(array(
+          struct(lit(1).as("bidx"), fold(1L, Seq("m0", "m1", "m2", "m3")).as("band")),
+          struct(lit(2).as("bidx"), fold(2L, Seq("m4", "m5", "m6", "m7")).as("band")))).as("e"))
+      .select(col("doc_id"), col("e.bidx").as("bidx"), col("e.band").as("band"))
+    val stars = bands
+      .withColumn("root",
+        min(col("doc_id")).over(Window.partitionBy(col("bidx"), col("band"))))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id"), col("root"))
+      .distinct()
+    val edges = stars.select(col("doc_id").as("src"), col("root").as("dst"))
+      .union(stars.select(col("root").as("src"), col("doc_id").as("dst")))
+      .localCheckpoint()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels = next
+    }
+    labels.groupBy(col("label").as("canonical_doc"))
+      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
+  private val q78Sql =
+    s"""WITH RECURSIVE sig AS ($q28Sql),
+       |bandt AS (
+       |  SELECT doc_id, 1 AS bidx,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS bidx,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
+       |  FROM sig),
+       |stars AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(doc_id) OVER (PARTITION BY bidx, band) AS root
+       |  FROM bandt),
+       |edges AS (
+       |  SELECT doc_id AS src, root AS dst FROM stars WHERE doc_id <> root
+       |  UNION ALL
+       |  SELECT root AS src, doc_id AS dst FROM stars WHERE doc_id <> root),
+       |lab AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, lab.label AS label
+       |  FROM lab JOIN edges e ON lab.node = e.src),
+       |final AS (SELECT node, min(label) AS label FROM lab GROUP BY node)
+       |SELECT label AS canonical_doc, count(*) AS n_docs, max(node) AS max_doc
+       |FROM final GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
   /** q30: SimHash (16-bit) over token hashes — per-bit signed votes, bit
     * set when the vote is positive. Single explode + groupBy; the
     * signature packs back into one BIGINT. */
@@ -456,6 +531,7 @@ object TextQueries {
     QueryDef("q27_dedup_exact", q27, Some(q27Sql)),
     QueryDef("q28_minhash_signatures", q28, Some(q28Sql)),
     QueryDef("q29_lsh_near_dup", q29, Some(q29Sql)),
+    QueryDef("q78_dup_clusters", q78, Some(q78Sql)),
     QueryDef("q30_simhash", q30, Some(q30Sql)),
     QueryDef("q31_trigram_jaccard", q31, Some(q31Sql)),
     QueryDef("q35_binary_metadata", q35, Some(q35Sql)))
