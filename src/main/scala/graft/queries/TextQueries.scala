@@ -363,6 +363,36 @@ object TextQueries {
        |SELECT label AS canonical_doc, count(*) AS n_docs, max(node) AS max_doc
        |FROM final GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
+  /** q79: canonical selection within exact-dup groups — after grouping
+    * docs by a 40-char-prefix fingerprint, KEEP the longest doc
+    * (doc_id tiebreak): the standard "pick the best copy" rule a dedup
+    * pipeline applies before dropping the rest. One shuffle on the
+    * 16-byte fingerprint, then per-group window work. */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy(col("fp"))
+    val best = Window.partitionBy(col("fp"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(md5(substring(col("text"), 1, 40).cast("binary")).as("fp"),
+        col("doc_id"), col("n_chars"))
+      .withColumn("n_dups", count(lit(1)).over(byFp))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("n_dups") > 1 && col("rn") === 1)
+      .select(col("fp"), col("n_dups"), col("doc_id").as("keep_doc"),
+        col("n_chars").as("keep_chars"))
+  }
+
+  private val q79Sql =
+    """SELECT fp, n_dups, doc_id AS keep_doc, n_chars AS keep_chars
+      |FROM (
+      |  SELECT md5(substr(text, 1, 40)) AS fp, doc_id, n_chars,
+      |    count(*) OVER (PARTITION BY md5(substr(text, 1, 40))) AS n_dups,
+      |    row_number() OVER (PARTITION BY md5(substr(text, 1, 40))
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |WHERE n_dups > 1 AND rn = 1""".stripMargin
+
   /** q30: SimHash (16-bit) over token hashes — per-bit signed votes, bit
     * set when the vote is positive. Single explode + groupBy; the
     * signature packs back into one BIGINT. */
@@ -532,6 +562,7 @@ object TextQueries {
     QueryDef("q28_minhash_signatures", q28, Some(q28Sql)),
     QueryDef("q29_lsh_near_dup", q29, Some(q29Sql)),
     QueryDef("q78_dup_clusters", q78, Some(q78Sql)),
+    QueryDef("q79_canonical_selection", q79, Some(q79Sql)),
     QueryDef("q30_simhash", q30, Some(q30Sql)),
     QueryDef("q31_trigram_jaccard", q31, Some(q31Sql)),
     QueryDef("q35_binary_metadata", q35, Some(q35Sql)))
