@@ -90,6 +90,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected interval bucket explode:\n$p")
   }
 
+  test("NO query plans a CartesianProduct; nested-loop only where intended") {
+    // global guard over the whole declared surface: an accidental
+    // cross product is the one plan shape that cannot survive 100 TB.
+    // BroadcastNestedLoopJoin is allowed only for the ANN queries that
+    // intentionally broadcast a tiny query-vector side.
+    val nestedLoopAllowed = Set("q32_knn_bruteforce", "q33_ann_ivf_label")
+    // q78 runs an iterative fixpoint at construction time — planJudged
+    // via its components; skip the expensive build here.
+    for ((name, fn) <- SparkEntry.queries if name != "q78_dup_clusters") {
+      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      if (!nestedLoopAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$p")
+    }
+  }
+
   test("q75 contamination shuffles fingerprints, not documents") {
     val p = planOf("q75_contamination_pairs")
     // the self-join key is the 16-byte md5; text must not survive past
