@@ -147,8 +147,35 @@ object VectorQueries {
        |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin
 
+  /** q80: ANN recall@3 — IVF results (q33 shape) scored against the
+    * exact brute-force top-3 ground truth (q32 shape at k=3), per
+    * query: the evaluation a pipeline runs before trusting an
+    * approximate index at 100 TB (where only sampled ground truth is
+    * affordable; here the query set IS the sample). */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val exact = topK(scored(s, d, sameLabel = false), 3)
+      .select(col("q_id"), col("c_id"))
+    val ivf = topK(scored(s, d, sameLabel = true), 3)
+      .select(col("q_id").as("q2"), col("c_id").as("c2"))
+    exact.join(ivf,
+        exact("q_id") === ivf("q2") && exact("c_id") === ivf("c2"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("c2")).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit") / 3.0, 6).as("recall_at_3"))
+  }
+
+  private val q80Sql =
+    s"""WITH exact AS (${topKSql(scoredSql(sameLabel = false), 3)}),
+       |ivf AS (${topKSql(scoredSql(sameLabel = true), 3)})
+       |SELECT e.q_id, count(i.c_id) AS n_hit,
+       |  round(count(i.c_id) / 3.0, 6) AS recall_at_3
+       |FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.c_id = i.c_id
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q62_embedding_near_dup", q62, Some(q62Sql)),
+    QueryDef("q80_ann_recall", q80, Some(q80Sql)),
     QueryDef("q32_knn_bruteforce", q32,
       Some(topKSql(scoredSql(sameLabel = false), 5))),
     QueryDef("q33_ann_ivf_label", q33,

@@ -95,7 +95,8 @@ class PlanQualitySpec extends SparkSpec {
     // cross product is the one plan shape that cannot survive 100 TB.
     // BroadcastNestedLoopJoin is allowed only for the ANN queries that
     // intentionally broadcast a tiny query-vector side.
-    val nestedLoopAllowed = Set("q32_knn_bruteforce", "q33_ann_ivf_label")
+    val nestedLoopAllowed =
+      Set("q32_knn_bruteforce", "q33_ann_ivf_label", "q80_ann_recall")
     // q78 runs an iterative fixpoint at construction time — planJudged
     // via its components; skip the expensive build here.
     for ((name, fn) <- SparkEntry.queries if name != "q78_dup_clusters") {
