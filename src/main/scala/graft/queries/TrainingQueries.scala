@@ -219,8 +219,75 @@ object TrainingQueries {
       |  FROM documents)
       |WHERE rn <= 5""".stripMargin
 
+  /** q81: distribution-drift score (PSI) per source vs the global
+    * corpus — the ingest-batch monitoring a training pipeline runs to
+    * catch a source whose length profile shifted. Fixed-width 10-bucket
+    * histogram of n_chars (integer math, engine-identical), Laplace
+    * smoothing for empty buckets, and the PSI sum computed as an
+    * ORDERED window fold over the bucket axis so the double summation
+    * order is deterministic on both engines (a plain groupBy sum of
+    * doubles is partial-order-dependent). */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"),
+        least(expr("n_chars div 500"), lit(9L)).as("bucket"))
+    val g = docs.groupBy(col("bucket")).agg(count(lit(1)).as("gn"))
+    val p = docs.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("sn"))
+    val stot = docs.groupBy(col("source")).agg(count(lit(1)).as("stot"))
+    val gtot = docs.count() // scalar, driver-side: one tiny job
+    val grid = docs.select(col("source")).distinct()
+      .select(col("source"), explode(sequence(lit(0L), lit(9L))).as("bucket"))
+    val byBucket = Window.partitionBy(col("source")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(p, Seq("source", "bucket"), "left")
+      .join(g, Seq("bucket"), "left")
+      .join(stot, Seq("source"))
+      .withColumn("sn", coalesce(col("sn"), lit(0L)))
+      .withColumn("gn", coalesce(col("gn"), lit(0L)))
+      .withColumn("ps",
+        (col("sn") + 1).cast("double") / (col("stot") + 10).cast("double"))
+      .withColumn("pg",
+        (col("gn") + 1).cast("double") / lit((gtot + 10).toDouble))
+      .withColumn("term", (col("ps") - col("pg")) * log(col("ps") / col("pg")))
+      .withColumn("psi_cum", sum(col("term")).over(byBucket))
+      .filter(col("bucket") === 9)
+      .select(col("source"), col("stot").as("n_docs"),
+        round(col("psi_cum"), 6).as("psi"))
+  }
+
+  private val q81Sql =
+    """WITH docs AS (
+      |  SELECT source, least(n_chars // 500, 9) AS bucket FROM documents),
+      |g AS (SELECT bucket, count(*) AS gn FROM docs GROUP BY 1),
+      |p AS (SELECT source, bucket, count(*) AS sn FROM docs GROUP BY 1, 2),
+      |stot AS (SELECT source, count(*) AS stot FROM docs GROUP BY 1),
+      |grid AS (
+      |  SELECT s.source, b.bucket
+      |  FROM (SELECT DISTINCT source FROM docs) s,
+      |       (SELECT unnest(range(0, 10)) AS bucket) b),
+      |terms AS (
+      |  SELECT grid.source, grid.bucket, stot.stot,
+      |    (CAST(coalesce(p.sn, 0) + 1 AS DOUBLE)
+      |      / CAST(stot.stot + 10 AS DOUBLE)) AS ps,
+      |    (CAST(coalesce(g.gn, 0) + 1 AS DOUBLE)
+      |      / CAST((SELECT count(*) FROM docs) + 10 AS DOUBLE)) AS pg
+      |  FROM grid
+      |  LEFT JOIN p ON p.source = grid.source AND p.bucket = grid.bucket
+      |  LEFT JOIN g ON g.bucket = grid.bucket
+      |  JOIN stot ON stot.source = grid.source)
+      |SELECT source, stot AS n_docs, round(psi_cum, 6) AS psi
+      |FROM (
+      |  SELECT source, bucket, stot,
+      |    sum((ps - pg) * ln(ps / pg)) OVER (PARTITION BY source
+      |      ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS psi_cum
+      |  FROM terms)
+      |WHERE bucket = 9""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_asof_join", q42, Some(q42Sql)),
+    QueryDef("q81_drift_psi", q81, Some(q81Sql)),
     QueryDef("q66_full_outer_counts", q66, Some(q66Sql)),
     QueryDef("q73_interval_flag_join", q73, Some(q73Sql)),
     QueryDef("q74_stratified_split", q74, Some(q74Sql)),
