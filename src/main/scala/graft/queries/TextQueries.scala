@@ -393,6 +393,44 @@ object TextQueries {
       |  FROM documents)
       |WHERE n_dups > 1 AND rn = 1""".stripMargin
 
+  /** q82: repetition detection (Gopher/C4-style quality filter) —
+    * duplicate-bigram ratio and most-frequent-bigram share per doc.
+    * explode + two-level groupBy: the shuffle carries (doc, gram)
+    * counts, partial-combined map-side; no per-doc state bigger than
+    * its distinct grams. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .withColumn("w", expr(wordsExpr))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+        .as("gram"))
+    grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bi"), count(lit(1)).as("n_dist"),
+        max(col("cnt")).as("top_n"))
+      .select(col("doc_id"), col("n_bi"), col("n_dist"),
+        round(lit(1.0) -
+          col("n_dist").cast("double") / col("n_bi").cast("double"), 6)
+          .as("dup_ratio"),
+        round(col("top_n").cast("double") / col("n_bi").cast("double"), 6)
+          .as("top_share"))
+  }
+
+  private val q82Sql =
+    s"""WITH bi AS (
+       |  SELECT doc_id,
+       |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+       |  FROM (SELECT doc_id, $wordsSqlExpr AS w FROM documents)
+       |  WHERE len(w) >= 2),
+       |counts AS (SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bi, count(*) AS n_dist,
+       |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+       |    AS dup_ratio,
+       |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+       |    AS top_share
+       |FROM counts GROUP BY 1""".stripMargin
+
   /** q30: SimHash (16-bit) over token hashes — per-bit signed votes, bit
     * set when the vote is positive. Single explode + groupBy; the
     * signature packs back into one BIGINT. */
@@ -563,6 +601,7 @@ object TextQueries {
     QueryDef("q29_lsh_near_dup", q29, Some(q29Sql)),
     QueryDef("q78_dup_clusters", q78, Some(q78Sql)),
     QueryDef("q79_canonical_selection", q79, Some(q79Sql)),
+    QueryDef("q82_repetition", q82, Some(q82Sql)),
     QueryDef("q30_simhash", q30, Some(q30Sql)),
     QueryDef("q31_trigram_jaccard", q31, Some(q31Sql)),
     QueryDef("q35_binary_metadata", q35, Some(q35Sql)))
