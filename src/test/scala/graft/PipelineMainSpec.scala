@@ -1,0 +1,27 @@
+package graft
+
+/** Conservation invariants of the assembled flagship pipeline
+  * (PipelineMain = SURVEY.md §3.1 end-to-end): no envelope is lost or
+  * duplicated across the validate/route fan-out, and every pipeline
+  * stage actually receives traffic. */
+class PipelineMainSpec extends SparkSpec {
+
+  test("end-to-end run conserves envelopes and exercises every route") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val s = PipelineMain.run(spark, sf0001, out)
+    assert(s.events == 1000)
+    assert(s.accepted + s.rejected == s.events,
+      s"validation must partition the stream: $s")
+    assert(s.results + s.retries + s.deadLetters == s.accepted,
+      s"routing must partition accepted jobs: $s")
+    assert(s.rejected > 0, s"malformed slice should be rejected: $s")
+    assert(s.retries > 0, s"some failures should retry: $s")
+    assert(s.deadLetters > 0, s"some failures should dead-letter: $s")
+    assert(s.transcripts > 0 && s.sessions > 0, s"sessionizer emitted: $s")
+
+    // retried envelopes were demoted and got a backoff
+    val retries = spark.read.parquet(s"$out/retries")
+    assert(retries.filter(org.apache.spark.sql.functions.col("backoff_s")
+      .isNull).count() == 0)
+  }
+}
