@@ -81,6 +81,68 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame from a (video/audio) payload. */
+  final case class Frame(
+      id: Long,
+      frameIdx: Int,
+      offsetMs: Long,
+      content: Array[Byte])
+
+  /** Frame sampling: 1 payload → ≤ `n` frame rows, evenly spaced on the
+    * stub decoder's frame axis (reference analog: frame extraction
+    * before OCR/vision inference). The 1→N shape is a flatMap — rows
+    * explode inside the partition, no shuffle; a real decoder swaps in
+    * behind the same signature. The stub slices the payload bytes
+    * deterministically so downstream tests have stable content. */
+  def sampleFrames(payloads: Dataset[Payload], n: Int,
+      mkDecoder: () => Decoder = () => new StubDecoder): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    payloads.mapPartitions { it =>
+      val decoder = mkDecoder()
+      it.flatMap { p =>
+        val f = decoder.decode(p)
+        val take = math.min(n, f.nFrames)
+        val frameMs = 40L // 25 fps stub timebase
+        (0 until take).iterator.map { k =>
+          val idx = if (take == 1) 0 else k * (f.nFrames - 1) / (take - 1)
+          val sliceLen = math.max(1, p.content.length / math.max(1, f.nFrames))
+          val start = math.max(0, math.min(p.content.length - 1, idx * sliceLen))
+          Frame(p.id, idx, idx * frameMs,
+            p.content.slice(start, math.min(p.content.length, start + sliceLen)))
+        }
+      }
+    }
+  }
+
+  /** Resize: metadata-transforming payload op (reference F18 adjust_dpi
+    * / preprocess resize). The stub records the target dims and scale
+    * factor; content passes through opaquely (a codec-backed impl would
+    * re-encode). Pure per-row projection — stays in one codegen stage
+    * around the mapPartitions seam. */
+  final case class Resized(
+      id: Long,
+      modality: String,
+      srcWidth: Int,
+      srcHeight: Int,
+      dstWidth: Int,
+      dstHeight: Int,
+      scale: Double,
+      content: Array[Byte])
+
+  def resizeStub(payloads: Dataset[Payload], dstW: Int, dstH: Int,
+      mkDecoder: () => Decoder = () => new StubDecoder): Dataset[Resized] = {
+    implicit val enc = Encoders.product[Resized]
+    payloads.mapPartitions { it =>
+      val decoder = mkDecoder()
+      it.map { p =>
+        val f = decoder.decode(p)
+        val scale = math.min(dstW.toDouble / f.width, dstH.toDouble / f.height)
+        Resized(p.id, p.modality, f.width, f.height, dstW, dstH,
+          math.round(scale * 1e6) / 1e6, p.content)
+      }
+    }
+  }
+
   /** Documents table → payload rows (text bytes standing in for media
     * payloads on the synthetic corpus). */
   def payloadsFromDocuments(spark: SparkSession, dir: String): Dataset[Payload] = {

@@ -27,6 +27,36 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.filter(col("byteLength") =!= col("n")).count() == 0)
   }
 
+  test("frame sampling: bounded count, ordered offsets, stable content") {
+    val payloads = Multimodal.payloadsFromDocuments(spark, sf0001)
+    val frames = Multimodal.sampleFrames(payloads, 4).collect()
+    assert(frames.nonEmpty)
+    // ≤ 4 frames per payload, frameIdx strictly increasing per id
+    val byId = frames.groupBy(_.id)
+    assert(byId.values.forall(_.length <= 4))
+    for (fs <- byId.values) {
+      val idxs = fs.sortBy(_.frameIdx).map(_.frameIdx).toSeq
+      assert(idxs == idxs.distinct.sorted, s"non-monotonic frames: $idxs")
+      assert(fs.forall(f => f.offsetMs == f.frameIdx * 40L))
+    }
+    // deterministic across re-runs and partitioning
+    val again = Multimodal.sampleFrames(payloads.repartition(7), 4).collect()
+    assert(again.map(f => (f.id, f.frameIdx, f.content.toSeq)).toSet ==
+      frames.map(f => (f.id, f.frameIdx, f.content.toSeq)).toSet)
+  }
+
+  test("resize stub: aspect-preserving scale against stub dims") {
+    val payloads = Multimodal.payloadsFromDocuments(spark, sf0001)
+    val resized = Multimodal.resizeStub(payloads, 640, 480).collect()
+    assert(resized.nonEmpty)
+    for (r <- resized) {
+      assert(r.dstWidth == 640 && r.dstHeight == 480)
+      val expected = math.min(640.0 / r.srcWidth, 480.0 / r.srcHeight)
+      assert(math.abs(r.scale - expected) < 1e-5)
+      assert(r.content.nonEmpty) // opaque passthrough
+    }
+  }
+
   test("embedding stub is 8-dim and bounded") {
     // typed surface: real array
     import spark.implicits._
