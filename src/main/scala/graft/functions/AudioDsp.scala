@@ -220,4 +220,25 @@ object AudioDsp {
     }
     out
   }
+
+  /** F6 trace form: same recurrence, but returns (final gain, number of
+    * samples the limiter clipped) — the summary the oracle-checked q83
+    * compares (the math is +, *, /, abs, min/max only: IEEE-exact and
+    * engine-identical, unlike transcendental kernels). */
+  def agcTrace(x: Array[Double], targetLevel: Double = 0.5,
+      attack: Double = 0.1, release: Double = 0.9): (Double, Long) = {
+    var gain = 1.0
+    var nClip = 0L
+    var i = 0
+    while (i < x.length) {
+      val level = math.abs(x(i))
+      val desired = if (level > 1e-9) targetLevel / level else gain
+      val alpha = if (desired < gain) attack else release
+      gain = gain + alpha * (desired - gain)
+      gain = math.max(0.1, math.min(10.0, gain))
+      if (math.abs(x(i) * gain) > 1.0) nClip += 1L
+      i += 1
+    }
+    (gain, nClip)
+  }
 }

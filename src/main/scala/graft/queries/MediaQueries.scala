@@ -198,7 +198,58 @@ object MediaQueries {
     graft.streaming.SessionProcessor.attach(chunks, timeoutMs = 0L).toDF()
   }
 
+  /** q83: AGC recurrence trace (F6, `audio_processor.py:182-215`) made
+    * oracle-checkable — the attack/release gain follower runs over the
+    * embedding components (the stand-in signal), summarized as the
+    * final gain and the limiter clip count. Sequential per row (the
+    * recurrence is inherently a scan) but embarrassingly parallel
+    * across rows; the kernel is +, *, /, abs, min/max only, so both
+    * engines produce bit-identical doubles with no transcendental-libm
+    * risk. DuckDB folds the same recurrence with a struct accumulator. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val agc = udf((emb: Seq[Float]) => {
+      val (g, n) = graft.functions.AudioDsp.agcTrace(emb.map(_.toDouble).toArray)
+      (g, n)
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), agc(col("embedding")).as("t"))
+      .select(col("vec_id"), round(col("t._1"), 6).as("final_gain"),
+        col("t._2").as("n_clip"))
+  }
+
+  /** The oracle unrolls the recurrence as a recursive CTE over
+    * (vec_id, sample idx) — NOT a list_reduce lambda: DuckDB 1.0's
+    * list_reduce re-evaluates the repeated gain subexpression
+    * inconsistently across fold steps (observed: clip counts 2 low on
+    * 64-sample folds while a single step evaluates correctly), whereas
+    * the plain-SQL recursion computes each step's gain once in a
+    * subquery and reuses it for both state columns. */
+  private val q83Sql = {
+    val desired = "(CASE WHEN abs(j.x) > 1e-9 THEN 0.5 / abs(j.x) ELSE s.g END)"
+    val gain = s"least(greatest(s.g + (CASE WHEN $desired < s.g " +
+      s"THEN 0.1 ELSE 0.9 END) * ($desired - s.g), 0.1), 10.0)"
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |step AS (
+       |  SELECT vec_id, 0 AS idx, CAST(1.0 AS DOUBLE) AS g,
+       |         CAST(0 AS BIGINT) AS nclip
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id, idx, g2,
+       |    CAST(nclip + (CASE WHEN abs(x * g2) > 1.0 THEN 1 ELSE 0 END)
+       |      AS BIGINT)
+       |  FROM (
+       |    SELECT s.vec_id, j.idx, j.x, s.nclip, $gain AS g2
+       |    FROM step s JOIN ex j ON j.vec_id = s.vec_id AND j.idx = s.idx + 1))
+       |SELECT vec_id, round(g, 6) AS final_gain, nclip AS n_clip
+       |FROM step
+       |QUALIFY idx = max(idx) OVER (PARTITION BY vec_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q83_agc_trace", q83, Some(q83Sql)),
     QueryDef("q36_bbox_from_quad", q36, Some(q36Sql)),
     QueryDef("q37_audio_normalize_gain", q37, Some(q37Sql)),
     QueryDef("q38_layout_classify", q38, Some(q38Sql)),
