@@ -248,8 +248,56 @@ object MediaQueries {
        |QUALIFY idx = max(idx) OVER (PARTITION BY vec_id)""".stripMargin
   }
 
+  /** q84: linear-interpolation resample probe (F1,
+    * `audio_processor.py:70-82`): each embedding, treated as a 16 kHz
+    * signal, resampled to 12 kHz by the shared kernel; the oracle
+    * recomputes the interpolation at three probe positions (¼, ½, ¾ of
+    * the output) in closed form — position-indexed math (+,*,trunc),
+    * no recurrence, engine-identical doubles. */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((emb: Seq[Float]) => {
+      val y = graft.functions.AudioDsp.resampleLinear(
+        emb.map(_.toDouble).toArray, 16000, 12000)
+      val n = y.length
+      def at(i: Int) = y(math.max(1, i) - 1)
+      (n.toLong, at(n / 4), at(n / 2), at(3 * n / 4))
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), probe(col("embedding")).as("t"))
+      .select(col("vec_id"), col("t._1").as("n_out"),
+        round(col("t._2"), 6).as("y_q1"),
+        round(col("t._3"), 6).as("y_mid"),
+        round(col("t._4"), 6).as("y_q3"))
+  }
+
+  private val q84Sql = {
+    // y(i): 1-based output index → kernel interpolation in closed form
+    def y(iExpr: String): String = {
+      val pos = s"((greatest(1, $iExpr) - 1) * step)"
+      val i0 = s"CAST(trunc($pos) AS INT)"
+      s"""(x[least(n - 1, $i0) + 1] * (1.0 - ($pos - least(n - 1, $i0)))
+         | + x[least(n - 1, least(n - 1, $i0) + 1) + 1]
+         |   * ($pos - least(n - 1, $i0)))""".stripMargin
+    }
+    s"""SELECT vec_id, CAST(n_out AS BIGINT) AS n_out,
+       |  round(${y("n_out // 4")}, 6) AS y_q1,
+       |  round(${y("n_out // 2")}, 6) AS y_mid,
+       |  round(${y("(3 * n_out) // 4")}, 6) AS y_q3
+       |FROM (
+       |  SELECT vec_id, x, n, n_out,
+       |    CAST(n - 1 AS DOUBLE) / greatest(1, n_out - 1) AS step
+       |  FROM (
+       |    SELECT vec_id,
+       |      list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+       |      len(embedding) AS n,
+       |      greatest(1, CAST(round(len(embedding) * 12000 / 16000.0) AS INT))
+       |        AS n_out
+       |    FROM embeddings))""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_agc_trace", q83, Some(q83Sql)),
+    QueryDef("q84_resample_probe", q84, Some(q84Sql)),
     QueryDef("q36_bbox_from_quad", q36, Some(q36Sql)),
     QueryDef("q37_audio_normalize_gain", q37, Some(q37Sql)),
     QueryDef("q38_layout_classify", q38, Some(q38Sql)),
