@@ -295,9 +295,66 @@ object MediaQueries {
        |    FROM embeddings))""".stripMargin
   }
 
+  /** q85: high-pass biquad probe (F5, `audio_processor.py:159-180`) —
+    * the 2nd-order feedback recurrence over the embedding signal,
+    * probed at the midpoint and final samples. The transcendental
+    * coefficient math (tan/sqrt) runs ONCE in Scala and the exact
+    * doubles are embedded as round-trip literals in the oracle — the
+    * per-sample recurrence is then add/multiply only, so 64 feedback
+    * steps stay bit-identical across engines. Oracle = recursive CTE
+    * carrying the (y1, y2, x1, x2) filter state. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((emb: Seq[Float]) => {
+      val y = graft.functions.AudioDsp.highPass(emb.map(_.toDouble).toArray)
+      val n = y.length
+      def at(i: Int) = y(math.max(1, i) - 1)
+      (n.toLong, at(n / 2), at(n))
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), probe(col("embedding")).as("t"))
+      .select(col("vec_id"), col("t._1").as("n"),
+        round(col("t._2"), 6).as("y_mid"),
+        round(col("t._3"), 6).as("y_last"))
+  }
+
+  private val q85Sql = {
+    // the kernel's coefficients, computed once here; Double.toString is
+    // the shortest round-trip form, so DuckDB parses the same doubles
+    val k = math.tan(math.Pi * 80.0 / 16000.0)
+    val q = math.sqrt(2.0) / 2.0
+    val norm = 1.0 / (1.0 + k / q + k * k)
+    val (b0, b1, b2) = (norm, -2.0 * norm, norm)
+    val a1 = 2.0 * (k * k - 1.0) * norm
+    val a2 = (1.0 - k / q + k * k) * norm
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |dims AS (SELECT vec_id, len(embedding) AS n FROM embeddings),
+       |step AS (
+       |  SELECT vec_id, 0 AS idx, CAST(0.0 AS DOUBLE) AS y1,
+       |    CAST(0.0 AS DOUBLE) AS y2, CAST(0.0 AS DOUBLE) AS x1,
+       |    CAST(0.0 AS DOUBLE) AS x2, CAST(NULL AS DOUBLE) AS y
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id, idx, yv AS y1, y1 AS y2, xv AS x1, x1 AS x2, yv AS y
+       |  FROM (
+       |    SELECT s.vec_id, j.idx, j.x AS xv, s.y1, s.y2, s.x1, s.x2,
+       |      ($b0 * j.x + $b1 * s.x1 + $b2 * s.x2
+       |        - $a1 * s.y1 - $a2 * s.y2) AS yv
+       |    FROM step s JOIN ex j ON j.vec_id = s.vec_id AND j.idx = s.idx + 1))
+       |SELECT s.vec_id, CAST(d.n AS BIGINT) AS n,
+       |  round(max(CASE WHEN s.idx = d.n // 2 THEN s.y END), 6) AS y_mid,
+       |  round(max(CASE WHEN s.idx = d.n THEN s.y END), 6) AS y_last
+       |FROM step s JOIN dims d USING (vec_id)
+       |WHERE s.idx > 0
+       |GROUP BY s.vec_id, d.n""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_agc_trace", q83, Some(q83Sql)),
     QueryDef("q84_resample_probe", q84, Some(q84Sql)),
+    QueryDef("q85_highpass_probe", q85, Some(q85Sql)),
     QueryDef("q36_bbox_from_quad", q36, Some(q36Sql)),
     QueryDef("q37_audio_normalize_gain", q37, Some(q37Sql)),
     QueryDef("q38_layout_classify", q38, Some(q38Sql)),
