@@ -351,10 +351,48 @@ object MediaQueries {
        |GROUP BY s.vec_id, d.n""".stripMargin
   }
 
+  /** q86: stereo downmix + frame VAD (F2+F7 composed,
+    * `audio_processor.py:84-91,217-278`): the embedding as 2-channel
+    * interleaved audio → per-sample channel mean → 8-sample frames →
+    * energy decision per frame (zero-padded last frame = divide by the
+    * full frame length). sqrt is IEEE-exact, frame sums fold
+    * left-to-right on both engines. */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((emb: Seq[Float]) => {
+      val mono = graft.functions.AudioDsp.toMono(
+        emb.map(_.toDouble).toArray, 2)
+      val flags = graft.functions.AudioDsp.vadFlags(
+        mono, fsHz = 1000.0, frameMs = 8, threshold = 0.15)
+      (mono.length.toLong, flags.length.toLong,
+        flags.count(identity).toLong, mono(mono.length / 2))
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), probe(col("embedding")).as("t"))
+      .select(col("vec_id"), col("t._1").as("n_mono"),
+        col("t._2").as("n_frames"), col("t._3").as("n_speech"),
+        round(col("t._4"), 6).as("mono_mid"))
+  }
+
+  private val q86Sql =
+    """SELECT vec_id, CAST(nm AS BIGINT) AS n_mono,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(len(list_filter(range(1, nf + 1), f ->
+      |    sqrt(list_reduce(list_transform(m[(f-1)*8+1 : f*8], v -> v * v),
+      |      (a, b) -> a + b) / 8.0) >= 0.15)) AS BIGINT) AS n_speech,
+      |  round(m[CAST(nm // 2 + 1 AS INT)], 6) AS mono_mid
+      |FROM (
+      |  SELECT vec_id,
+      |    [ (CAST(embedding[2*i-1] AS DOUBLE) + CAST(embedding[2*i] AS DOUBLE))
+      |      / 2.0 for i in range(1, len(embedding) // 2 + 1) ] AS m,
+      |    len(embedding) // 2 AS nm,
+      |    (len(embedding) // 2 + 7) // 8 AS nf
+      |  FROM embeddings)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_agc_trace", q83, Some(q83Sql)),
     QueryDef("q84_resample_probe", q84, Some(q84Sql)),
     QueryDef("q85_highpass_probe", q85, Some(q85Sql)),
+    QueryDef("q86_downmix_vad", q86, Some(q86Sql)),
     QueryDef("q36_bbox_from_quad", q36, Some(q36Sql)),
     QueryDef("q37_audio_normalize_gain", q37, Some(q37Sql)),
     QueryDef("q38_layout_classify", q38, Some(q38Sql)),
