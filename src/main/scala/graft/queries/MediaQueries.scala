@@ -388,7 +388,57 @@ object MediaQueries {
       |    (len(embedding) // 2 + 7) // 8 AS nf
       |  FROM embeddings)""".stripMargin
 
+  /** q87: envelope spectral-subtraction denoise probe (F4,
+    * `audio_processor.py:116-157`): noise floor = running mean |x| over
+    * the estimation window (the whole 64-sample signal at this fs),
+    * α=2.0 over-subtraction, β=0.01 spectral floor, sign preserved.
+    * Outputs the noise estimate, the mid/last cleaned samples, and how
+    * many samples hit the β floor — abs/add/multiply/max only. */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((emb: Seq[Float]) => {
+      val x = emb.map(_.toDouble).toArray
+      val y = graft.functions.AudioDsp.denoiseSubtract(x)
+      var noise = 0.0
+      x.foreach(v => noise += math.abs(v))
+      noise /= math.max(1, x.length)
+      val nFloored =
+        x.count(v => math.abs(v) - 2.0 * noise < 0.01 * math.abs(v))
+      def at(i: Int) = y(math.max(1, i) - 1)
+      (x.length.toLong, noise, at(x.length / 2 + 1), at(x.length),
+        nFloored.toLong)
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), probe(col("embedding")).as("t"))
+      .select(col("vec_id"), col("t._1").as("n"),
+        round(col("t._2"), 6).as("noise"),
+        round(col("t._3"), 6).as("y_mid"),
+        round(col("t._4"), 6).as("y_last"),
+        col("t._5").as("n_floored"))
+  }
+
+  private val q87Sql = {
+    def y(pos: String): String = {
+      val v = s"x[$pos]"
+      val cleaned = s"greatest(0.01 * abs($v), abs($v) - 2.0 * noise)"
+      s"(CASE WHEN $v >= 0 THEN $cleaned ELSE -($cleaned) END)"
+    }
+    s"""SELECT vec_id, CAST(n AS BIGINT) AS n, round(noise, 6) AS noise,
+       |  round(${y("CAST(n // 2 + 1 AS INT)")}, 6) AS y_mid,
+       |  round(${y("CAST(n AS INT)")}, 6) AS y_last,
+       |  CAST(len(list_filter(x, v ->
+       |    abs(v) - 2.0 * noise < 0.01 * abs(v))) AS BIGINT) AS n_floored
+       |FROM (
+       |  SELECT vec_id, x, n,
+       |    list_reduce(list_transform(x, v -> abs(v)), (a, b) -> a + b)
+       |      / greatest(1, n) AS noise
+       |  FROM (
+       |    SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+       |      len(embedding) AS n
+       |    FROM embeddings))""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q87_denoise_probe", q87, Some(q87Sql)),
     QueryDef("q83_agc_trace", q83, Some(q83Sql)),
     QueryDef("q84_resample_probe", q84, Some(q84Sql)),
     QueryDef("q85_highpass_probe", q85, Some(q85Sql)),
