@@ -265,9 +265,9 @@ object MediaQueries {
     Tables.embeddings(s, d)
       .select(col("vec_id"), probe(col("embedding")).as("t"))
       .select(col("vec_id"), col("t._1").as("n_out"),
-        round(col("t._2"), 6).as("y_q1"),
-        round(col("t._3"), 6).as("y_mid"),
-        round(col("t._4"), 6).as("y_q3"))
+        (round(col("t._2"), 6) + lit(0.0)).as("y_q1"),
+        (round(col("t._3"), 6) + lit(0.0)).as("y_mid"),
+        (round(col("t._4"), 6) + lit(0.0)).as("y_q3"))
   }
 
   private val q84Sql = {
@@ -280,9 +280,9 @@ object MediaQueries {
          |   * ($pos - least(n - 1, $i0)))""".stripMargin
     }
     s"""SELECT vec_id, CAST(n_out AS BIGINT) AS n_out,
-       |  round(${y("n_out // 4")}, 6) AS y_q1,
-       |  round(${y("n_out // 2")}, 6) AS y_mid,
-       |  round(${y("(3 * n_out) // 4")}, 6) AS y_q3
+       |  (round(${y("n_out // 4")}, 6) + 0.0) AS y_q1,
+       |  (round(${y("n_out // 2")}, 6) + 0.0) AS y_mid,
+       |  (round(${y("(3 * n_out) // 4")}, 6) + 0.0) AS y_q3
        |FROM (
        |  SELECT vec_id, x, n, n_out,
        |    CAST(n - 1 AS DOUBLE) / greatest(1, n_out - 1) AS step
@@ -313,8 +313,8 @@ object MediaQueries {
     Tables.embeddings(s, d)
       .select(col("vec_id"), probe(col("embedding")).as("t"))
       .select(col("vec_id"), col("t._1").as("n"),
-        round(col("t._2"), 6).as("y_mid"),
-        round(col("t._3"), 6).as("y_last"))
+        (round(col("t._2"), 6) + lit(0.0)).as("y_mid"),
+        (round(col("t._3"), 6) + lit(0.0)).as("y_last"))
   }
 
   private val q85Sql = {
@@ -344,8 +344,8 @@ object MediaQueries {
        |        - $a1 * s.y1 - $a2 * s.y2) AS yv
        |    FROM step s JOIN ex j ON j.vec_id = s.vec_id AND j.idx = s.idx + 1))
        |SELECT s.vec_id, CAST(d.n AS BIGINT) AS n,
-       |  round(max(CASE WHEN s.idx = d.n // 2 THEN s.y END), 6) AS y_mid,
-       |  round(max(CASE WHEN s.idx = d.n THEN s.y END), 6) AS y_last
+       |  (round(max(CASE WHEN s.idx = d.n // 2 THEN s.y END), 6) + 0.0) AS y_mid,
+       |  (round(max(CASE WHEN s.idx = d.n THEN s.y END), 6) + 0.0) AS y_last
        |FROM step s JOIN dims d USING (vec_id)
        |WHERE s.idx > 0
        |GROUP BY s.vec_id, d.n""".stripMargin
@@ -370,7 +370,7 @@ object MediaQueries {
       .select(col("vec_id"), probe(col("embedding")).as("t"))
       .select(col("vec_id"), col("t._1").as("n_mono"),
         col("t._2").as("n_frames"), col("t._3").as("n_speech"),
-        round(col("t._4"), 6).as("mono_mid"))
+        (round(col("t._4"), 6) + lit(0.0)).as("mono_mid"))
   }
 
   private val q86Sql =
@@ -379,7 +379,7 @@ object MediaQueries {
       |  CAST(len(list_filter(range(1, nf + 1), f ->
       |    sqrt(list_reduce(list_transform(m[(f-1)*8+1 : f*8], v -> v * v),
       |      (a, b) -> a + b) / 8.0) >= 0.15)) AS BIGINT) AS n_speech,
-      |  round(m[CAST(nm // 2 + 1 AS INT)], 6) AS mono_mid
+      |  (round(m[CAST(nm // 2 + 1 AS INT)], 6) + 0.0) AS mono_mid
       |FROM (
       |  SELECT vec_id,
       |    [ (CAST(embedding[2*i-1] AS DOUBLE) + CAST(embedding[2*i] AS DOUBLE))
@@ -411,8 +411,8 @@ object MediaQueries {
       .select(col("vec_id"), probe(col("embedding")).as("t"))
       .select(col("vec_id"), col("t._1").as("n"),
         round(col("t._2"), 6).as("noise"),
-        round(col("t._3"), 6).as("y_mid"),
-        round(col("t._4"), 6).as("y_last"),
+        (round(col("t._3"), 6) + lit(0.0)).as("y_mid"),
+        (round(col("t._4"), 6) + lit(0.0)).as("y_last"),
         col("t._5").as("n_floored"))
   }
 
@@ -423,8 +423,8 @@ object MediaQueries {
       s"(CASE WHEN $v >= 0 THEN $cleaned ELSE -($cleaned) END)"
     }
     s"""SELECT vec_id, CAST(n AS BIGINT) AS n, round(noise, 6) AS noise,
-       |  round(${y("CAST(n // 2 + 1 AS INT)")}, 6) AS y_mid,
-       |  round(${y("CAST(n AS INT)")}, 6) AS y_last,
+       |  (round(${y("CAST(n // 2 + 1 AS INT)")}, 6) + 0.0) AS y_mid,
+       |  (round(${y("CAST(n AS INT)")}, 6) + 0.0) AS y_last,
        |  CAST(len(list_filter(x, v ->
        |    abs(v) - 2.0 * noise < 0.01 * abs(v))) AS BIGINT) AS n_floored
        |FROM (
