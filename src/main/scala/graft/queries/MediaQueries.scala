@@ -437,7 +437,69 @@ object MediaQueries {
        |    FROM embeddings))""".stripMargin
   }
 
+  /** q88: image-kernel probe (F16 binarize + F21 crop-to-content,
+    * `image_processor.py:230-236,371-398`): a deterministic 32×16
+    * grayscale plane synthesized from each doc's text (sparse dark
+    * pixels on white), run through the REAL ImageOps kernels; the
+    * oracle rebuilds the same plane as a list and recomputes the
+    * black-pixel count and the padded, frame-clamped content bbox.
+    * Integer pixel math only. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val n = math.max(1, text.length)
+      val px = Array.tabulate(512) { i =>
+        val c = text.charAt((i * 7) % n).toInt
+        (if ((c * (i + 1)) % 17 == 0) 40 else 255).toByte
+      }
+      val img = graft.functions.ImageOps.Gray(32, 16, px)
+      val nBlack = graft.functions.ImageOps.binarizeFixed(img)
+        .px.count(_ == 0).toLong
+      graft.functions.ImageOps.contentBBox(img, 240, 2) match {
+        case Some((x, y, w, h)) =>
+          (nBlack, x.toLong, y.toLong, w.toLong, h.toLong)
+        case None => (nBlack, -1L, -1L, -1L, -1L)
+      }
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(col("doc_id"), col("t._1").as("n_black"),
+        col("t._2").as("bb_x"), col("t._3").as("bb_y"),
+        col("t._4").as("bb_w"), col("t._5").as("bb_h"))
+  }
+
+  private val q88Sql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(p, v -> v <= 127)) AS BIGINT) AS n_black,
+      |  CAST(CASE WHEN nd = 0 THEN -1 ELSE greatest(0, mnx - 2) END
+      |    AS BIGINT) AS bb_x,
+      |  CAST(CASE WHEN nd = 0 THEN -1 ELSE greatest(0, mny - 2) END
+      |    AS BIGINT) AS bb_y,
+      |  CAST(CASE WHEN nd = 0 THEN -1
+      |    ELSE least(31, mxx + 2) - greatest(0, mnx - 2) + 1 END
+      |    AS BIGINT) AS bb_w,
+      |  CAST(CASE WHEN nd = 0 THEN -1
+      |    ELSE least(15, mxy + 2) - greatest(0, mny - 2) + 1 END
+      |    AS BIGINT) AS bb_h
+      |FROM (
+      |  SELECT doc_id, p, len(di) AS nd,
+      |    list_min(list_transform(di, i -> i % 32)) AS mnx,
+      |    list_max(list_transform(di, i -> i % 32)) AS mxx,
+      |    list_min(list_transform(di, i -> i // 32)) AS mny,
+      |    list_max(list_transform(di, i -> i // 32)) AS mxy
+      |  FROM (
+      |    SELECT doc_id, p,
+      |      list_filter(range(0, 512), i -> p[i + 1] < 240) AS di
+      |    FROM (
+      |      SELECT doc_id,
+      |        [CASE WHEN (ascii(substr(text, ((i * 7) % nch) + 1, 1))
+      |                    * (i + 1)) % 17 = 0
+      |              THEN 40 ELSE 255 END for i in range(0, 512)] AS p
+      |      FROM (SELECT doc_id, text, length(text) AS nch
+      |            FROM documents WHERE length(text) >= 1))))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q88_image_kernel_probe", q88, Some(q88Sql)),
     QueryDef("q87_denoise_probe", q87, Some(q87Sql)),
     QueryDef("q83_agc_trace", q83, Some(q83Sql)),
     QueryDef("q84_resample_probe", q84, Some(q84Sql)),
