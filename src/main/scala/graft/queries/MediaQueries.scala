@@ -498,7 +498,57 @@ object MediaQueries {
       |      FROM (SELECT doc_id, text, length(text) AS nch
       |            FROM documents WHERE length(text) >= 1))))""".stripMargin
 
+  /** q89: rotation probe (F13 quadrant rotations,
+    * `image_processor.py:88-104` EXIF auto-rotate core): the q88 plane
+    * through the REAL rotate90cw/rotate180 kernels, summarized as
+    * position-weighted integer checksums (exact in both engines); the
+    * oracle recomputes each checksum directly from the index mapping
+    * (out[x·h + (h−1−y)] = in[y·w + x] for 90° cw; out[i] = in[N−1−i]
+    * for 180°) without materializing the rotated plane. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val n = math.max(1, text.length)
+      val px = Array.tabulate(512) { i =>
+        val c = text.charAt((i * 7) % n).toInt
+        (if ((c * (i + 1)) % 17 == 0) 40 else 255).toByte
+      }
+      val img = graft.functions.ImageOps.Gray(32, 16, px)
+      val r90 = graft.functions.ImageOps.rotate90cw(img)
+      val r180 = graft.functions.ImageOps.rotate180(img)
+      def checksum(g: graft.functions.ImageOps.Gray): Long = {
+        var s = 0L
+        var i = 0
+        while (i < g.px.length) { s += (i + 1).toLong * (g.px(i) & 0xff); i += 1 }
+        s
+      }
+      (checksum(r90), checksum(r180), (r90.w * 100000 + r90.h).toLong)
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(col("doc_id"), col("t._1").as("sum90"),
+        col("t._2").as("sum180"), col("t._3").as("dims90"))
+  }
+
+  private val q89Sql =
+    """SELECT doc_id,
+      |  CAST(sum((CAST((i % 32) * 16 + 15 - (i // 32) AS BIGINT) + 1)
+      |    * p[i + 1]) AS BIGINT) AS sum90,
+      |  CAST(sum(CAST(512 - i AS BIGINT) * p[i + 1]) AS BIGINT) AS sum180,
+      |  CAST(16 * 100000 + 32 AS BIGINT) AS dims90
+      |FROM (
+      |  SELECT doc_id, p, unnest(range(0, 512)) AS i
+      |  FROM (
+      |    SELECT doc_id,
+      |      [CASE WHEN (ascii(substr(text, ((i * 7) % nch) + 1, 1))
+      |                  * (i + 1)) % 17 = 0
+      |            THEN 40 ELSE 255 END for i in range(0, 512)] AS p
+      |    FROM (SELECT doc_id, text, length(text) AS nch
+      |          FROM documents WHERE length(text) >= 1)))
+      |GROUP BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q89_rotate_probe", q89, Some(q89Sql)),
     QueryDef("q88_image_kernel_probe", q88, Some(q88Sql)),
     QueryDef("q87_denoise_probe", q87, Some(q87Sql)),
     QueryDef("q83_agc_trace", q83, Some(q83Sql)),

@@ -343,7 +343,76 @@ object RelationalQueries {
       |  6) AS promo_share_pct
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  /** q90: TPC-H Q10 shape — top-20 customers by revenue from RETURNED
+    * items: fact-side filter pushes to the scan, nation broadcasts, and
+    * the top-20 is a deterministic (revenue DESC, custkey) order over
+    * the small aggregated result. */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("n_name"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  private val q90Sql =
+    s"""SELECT c_custkey, n_name, revenue FROM (
+       |  SELECT c_custkey, n_name,
+       |    ${Q.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_returnflag = 'R'
+       |  GROUP BY 1, 2)
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** q91: TPC-H Q7 shape — shipping volume between distinct
+    * supplier/customer nation pairs by ship year. Two broadcast copies
+    * of nation; the only fact-path shuffles are the equi-joins on the
+    * order/customer keys and the final group-by. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q91Sql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  year(l_shipdate) AS l_year,
+       |  ${Q.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q90_returned_items", q90, Some(q90Sql)),
+    QueryDef("q91_volume_shipping", q91, Some(q91Sql)),
     QueryDef("q68_selective_filter_agg", q68, Some(q68Sql)),
     QueryDef("q69_conditional_counts", q69, Some(q69Sql)),
     QueryDef("q70_promo_share", q70, Some(q70Sql)),
