@@ -410,7 +410,29 @@ object RelationalQueries {
        |WHERE n1.n_name <> n2.n_name
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** q92: TPC-H Q13 shape — customer order-count distribution: LEFT
+    * join so zero-order customers survive, count per customer, then the
+    * histogram of counts. Two shuffles (custkey, then the tiny count
+    * key). */
+  private def q92(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  private val q92Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1)
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q92_custdist", q92, Some(q92Sql)),
     QueryDef("q90_returned_items", q90, Some(q90Sql)),
     QueryDef("q91_volume_shipping", q91, Some(q91Sql)),
     QueryDef("q68_selective_filter_agg", q68, Some(q68Sql)),

@@ -353,7 +353,57 @@ object SessionQueries {
        |FROM ($sessionizedSql)
        |GROUP BY user_id, session_seq""".stripMargin
 
+  /** q93: sessionized conversion funnel — click → signup-after-click →
+    * purchase-after-signup within one session, with strict event-time
+    * ordering between stages (min qualifying time per stage, each stage
+    * anchored on the previous stage's time). The cascade is two
+    * re-joins of the session events to the running stage table — every
+    * shuffle stays on the (user, session) key. */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val s0 = sessionized(s, d)
+      .select(col("user_id"), col("session_seq"), col("event_type"),
+        col("t_us"))
+    val keys = Seq("user_id", "session_seq")
+    val base = s0.groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === "click", col("t_us"))).as("tc"))
+    val j1 = s0.join(base, keys)
+      .groupBy((keys :+ "tc").map(col): _*)
+      .agg(min(when(col("event_type") === "signup" &&
+        col("t_us") > col("tc"), col("t_us"))).as("ts"))
+    val j2 = s0.join(j1, keys)
+      .groupBy((keys :+ "tc" :+ "ts").map(col): _*)
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("t_us") > col("ts"), col("t_us"))).as("tp"))
+    j2.agg(count(lit(1)).as("n_sessions"),
+      count(col("tc")).as("n_click"),
+      count(col("ts")).as("n_signup_after"),
+      count(col("tp")).as("n_purchase_funnel"))
+  }
+
+  private val q93Sql =
+    s"""WITH s0 AS ($sessionizedSql),
+       |base AS (
+       |  SELECT user_id, session_seq,
+       |    min(CASE WHEN event_type = 'click' THEN t_us END) AS tc
+       |  FROM s0 GROUP BY 1, 2),
+       |j1 AS (
+       |  SELECT user_id, session_seq, tc,
+       |    min(CASE WHEN event_type = 'signup' AND t_us > tc
+       |        THEN t_us END) AS ts
+       |  FROM s0 JOIN base USING (user_id, session_seq)
+       |  GROUP BY 1, 2, 3),
+       |j2 AS (
+       |  SELECT user_id, session_seq, tc, ts,
+       |    min(CASE WHEN event_type = 'purchase' AND t_us > ts
+       |        THEN t_us END) AS tp
+       |  FROM s0 JOIN j1 USING (user_id, session_seq)
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT count(*) AS n_sessions, count(tc) AS n_click,
+       |  count(ts) AS n_signup_after, count(tp) AS n_purchase_funnel
+       |FROM j2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q93_session_funnel", q93, Some(q93Sql)),
     QueryDef("q49_session_window_builtin", q49, Some(q49Sql)),
     QueryDef("q14_sessionize", q14, Some(q14Sql)),
     QueryDef("q15_transcript_assembly", q15, Some(q15Sql)),
