@@ -285,8 +285,44 @@ object TrainingQueries {
       |  FROM terms)
       |WHERE bucket = 9""".stripMargin
 
+  /** q94: mixture-quota planning — given target mixture weights per
+    * source, find the BINDING source (the one that runs out first at
+    * its weight) and the per-source document quotas that realize the
+    * largest mixture-faithful dataset: scale = min(n_s / w_s), quota_s
+    * = floor(scale · w_s). The planning pass a dataset-mixing pipeline
+    * runs before sampling; one aggregation + one tiny global window. */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // deterministic synthetic weights 1..3 from the source's number
+      .withColumn("w",
+        (regexp_replace(col("source"), "[^0-9]", "").cast("long") % 3 + 1)
+          .cast("double"))
+    counts
+      .withColumn("scale",
+        min(col("n").cast("double") / col("w")).over(Window.partitionBy()))
+      .select(col("source"), col("n"), col("w"),
+        floor(col("scale") * col("w")).cast("long").as("quota"),
+        round(floor(col("scale") * col("w")) / col("n").cast("double"), 6)
+          .as("utilization"))
+  }
+
+  private val q94Sql =
+    """SELECT source, n, w,
+      |  CAST(floor(scale * w) AS BIGINT) AS quota,
+      |  round(floor(scale * w) / CAST(n AS DOUBLE), 6) AS utilization
+      |FROM (
+      |  SELECT source, n, w,
+      |    min(CAST(n AS DOUBLE) / w) OVER () AS scale
+      |  FROM (
+      |    SELECT source, count(*) AS n,
+      |      CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT)
+      |           % 3 + 1 AS DOUBLE) AS w
+      |    FROM documents GROUP BY 1))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_asof_join", q42, Some(q42Sql)),
+    QueryDef("q94_mixture_quota", q94, Some(q94Sql)),
     QueryDef("q81_drift_psi", q81, Some(q81Sql)),
     QueryDef("q66_full_outer_counts", q66, Some(q66Sql)),
     QueryDef("q73_interval_flag_join", q73, Some(q73Sql)),
