@@ -547,7 +547,39 @@ object MediaQueries {
       |          FROM documents WHERE length(text) >= 1)))
       |GROUP BY doc_id""".stripMargin
 
+  /** q95: feature-extraction probe (F10, `audio_processor.py:384-420`):
+    * the RMS and zero-crossing-rate components of the real
+    * extractFeatures kernel over the embedding signal — both IEEE-exact
+    * (square/sum/sqrt and sign comparisons). The Goertzel centroid
+    * stays typed-only: its 16-probe recurrence would need a 16×N
+    * recursive unroll in the oracle for no additional determinism
+    * evidence beyond q85's biquad recursion. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((emb: Seq[Float]) => {
+      val f = graft.functions.AudioDsp.extractFeatures(
+        emb.map(_.toDouble).toArray)
+      (f.rms, f.zcr)
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), probe(col("embedding")).as("t"))
+      .select(col("vec_id"), round(col("t._1"), 6).as("rms"),
+        round(col("t._2"), 6).as("zcr"))
+  }
+
+  private val q95Sql =
+    """SELECT vec_id,
+      |  round(sqrt(list_reduce(list_transform(x, v -> v * v),
+      |    (a, b) -> a + b) / n), 6) AS rms,
+      |  round(CAST(len(list_filter(range(2, CAST(n AS INT) + 1),
+      |      i -> (x[i] >= 0) <> (x[i - 1] >= 0))) AS DOUBLE) / n, 6) AS zcr
+      |FROM (
+      |  SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+      |    len(embedding) AS n
+      |  FROM embeddings)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q95_features_probe", q95, Some(q95Sql)),
     QueryDef("q89_rotate_probe", q89, Some(q89Sql)),
     QueryDef("q88_image_kernel_probe", q88, Some(q88Sql)),
     QueryDef("q87_denoise_probe", q87, Some(q87Sql)),
