@@ -431,7 +431,32 @@ object RelationalQueries {
       |  GROUP BY 1)
       |GROUP BY 1""".stripMargin
 
+  /** q96: TPC-H Q4 shape — orders with AT LEAST ONE lineitem shipped
+    * more than 30 days after the order date, counted by priority
+    * (EXISTS → left-semi join with a correlated date-arithmetic
+    * predicate; the testdata has no commit/receipt dates, so "late" is
+    * ship-lag — same operator shape). */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).as("o")
+      .join(Tables.lineitem(s, d).as("l"),
+        col("l.l_orderkey") === col("o.o_orderkey") &&
+          col("l.l_shipdate") >
+            col("o.o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+
+  private val q96Sql =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q96_late_orders", q96, Some(q96Sql)),
     QueryDef("q92_custdist", q92, Some(q92Sql)),
     QueryDef("q90_returned_items", q90, Some(q90Sql)),
     QueryDef("q91_volume_shipping", q91, Some(q91Sql)),

@@ -402,7 +402,34 @@ object SessionQueries {
        |  count(ts) AS n_signup_after, count(tp) AS n_purchase_funnel
        |FROM j2""".stripMargin
 
+  /** q97: time-RANGE window frame — rolling 1-hour sum per event type
+    * (the moving-window monitor every rate/limit pipeline runs; A13
+    * metrics-history analog with a value sum). RANGE frames include
+    * ALL timestamp peers, so the frame contents are deterministic under
+    * ties; summing integer cents keeps the arithmetic exact and
+    * order-free. */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t_us"))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        Q.us.as("t_us"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("rolling_1h_cents", sum(col("cents")).over(w))
+      .select(col("event_id"), col("event_type"), col("rolling_1h_cents"))
+  }
+
+  private val q97Sql =
+    s"""SELECT event_id, event_type,
+       |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY t_us
+       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS rolling_1h_cents
+       |FROM (SELECT event_id, event_type, ${Q.usSql} AS t_us,
+       |        CAST(round(value * 100) AS BIGINT) AS cents
+       |      FROM events)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q97_range_window", q97, Some(q97Sql)),
     QueryDef("q93_session_funnel", q93, Some(q93Sql)),
     QueryDef("q49_session_window_builtin", q49, Some(q49Sql)),
     QueryDef("q14_sessionize", q14, Some(q14Sql)),
