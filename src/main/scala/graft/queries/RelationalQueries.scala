@@ -455,7 +455,63 @@ object RelationalQueries {
       |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
       |GROUP BY 1""".stripMargin
 
+  /** q98: TPC-H Q8 shape — each supplier nation's share of ASIA-customer
+    * revenue per order year: fact joins + broadcast dims, then a
+    * share-of-total window over the (year, nation) aggregate. The share
+    * divides two integer-cents sums, so the doubles are
+    * engine-identical. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val custSide = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val base = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custSide, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("supp_nation"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 10000).cast("long")).as("rev_u"))
+    base
+      .withColumn("year_u",
+        sum(col("rev_u")).over(Window.partitionBy(col("o_year"))))
+      .select(col("o_year"), col("supp_nation"),
+        (col("rev_u").cast("double") / 10000.0).as("revenue"),
+        round(col("rev_u").cast("double") / col("year_u").cast("double"), 6)
+          .as("share"))
+  }
+
+  private val q98Sql =
+    """SELECT o_year, supp_nation,
+      |  CAST(rev_u AS DOUBLE) / 10000.0 AS revenue,
+      |  round(CAST(rev_u AS DOUBLE) / CAST(year_u AS DOUBLE), 6) AS share
+      |FROM (
+      |  SELECT o_year, supp_nation, rev_u,
+      |    CAST(sum(rev_u) OVER (PARTITION BY o_year) AS BIGINT) AS year_u
+      |  FROM (
+      |    SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+      |      CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+      |        AS BIGINT)) AS BIGINT) AS rev_u
+      |    FROM lineitem
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |    WHERE o_custkey IN (
+      |      SELECT c_custkey FROM customer
+      |      JOIN nation ON c_nationkey = n_nationkey
+      |      JOIN region ON n_regionkey = r_regionkey
+      |      WHERE r_name = 'ASIA')
+      |    GROUP BY 1, 2))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q98_market_share", q98, Some(q98Sql)),
     QueryDef("q96_late_orders", q96, Some(q96Sql)),
     QueryDef("q92_custdist", q92, Some(q92Sql)),
     QueryDef("q90_returned_items", q90, Some(q90Sql)),
