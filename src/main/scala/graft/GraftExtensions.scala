@@ -41,12 +41,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "rolling_fingerprint(text[, k]) - struct(poly_hash, min_gram_hash, max_gram_hash, n_distinct_grams): Rabin-Karp fold + rolling k-gram sketch in one codegen'd scan.",
         ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        exprs match {
-          case Seq(c) => RollingFingerprint(c)
-          case Seq(c, kLit) => RollingFingerprint(c,
-            kLit.eval().asInstanceOf[Number].intValue())
-          case _ => throw new IllegalArgumentException(
-            "rolling_fingerprint(text[, k])")
-        }))
+        RollingFingerprint.build(exprs)))
   }
 }

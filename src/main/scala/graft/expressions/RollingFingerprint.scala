@@ -127,17 +127,43 @@ object RollingFingerprint {
     new GenericInternalRow(Array[Any](poly, minG, maxG, nDistinct))
   }
 
+  private def fail(msg: String): org.apache.spark.sql.AnalysisException =
+    new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> msg))
+
+  /** Extract the constant k argument, with a clear error instead of an
+    * NPE/cast failure when a caller passes a non-constant or
+    * non-integral expression. */
+  def kFrom(kExpr: Expression): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    if (!kExpr.foldable)
+      throw fail(
+        s"rolling_fingerprint: k must be a constant (foldable) expression, got ${kExpr.sql}")
+    kExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw fail(
+        s"rolling_fingerprint: k must be an integral constant, got ${dt.catalogString}")
+    }
+    val v = kExpr.eval()
+    if (v == null) throw fail("rolling_fingerprint: k must not be NULL")
+    val k = v.asInstanceOf[Number].longValue()
+    if (k < 1 || k > Int.MaxValue)
+      throw fail(s"rolling_fingerprint: k must be in [1, ${Int.MaxValue}], got $k")
+    k.toInt
+  }
+
+  /** The shared builder for SQL registration (register / extensions). */
+  def build(exprs: Seq[Expression]): RollingFingerprint = exprs match {
+    case Seq(c) => RollingFingerprint(c)
+    case Seq(c, kLit) => RollingFingerprint(c, kFrom(kLit))
+    case _ => throw new IllegalArgumentException(
+      "rolling_fingerprint(text[, k])")
+  }
+
   /** Register `rolling_fingerprint(text[, k])` for `expr(...)` use in
     * the current session (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_fingerprint",
-      exprs => exprs match {
-        case Seq(c) => RollingFingerprint(c)
-        case Seq(c, kLit) => RollingFingerprint(c,
-          kLit.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "rolling_fingerprint(text[, k])")
-      },
-      "built-in")
+      "rolling_fingerprint", build, "built-in")
 }

@@ -437,6 +437,19 @@ object MediaQueries {
        |    FROM embeddings))""".stripMargin
   }
 
+  /** q88/q89 shared plane builder — indexes the text by CODE POINTS
+    * (as DuckDB's length/substr/ascii do), not UTF-16 code units, so
+    * both engines derive the identical pixel plane even when the
+    * document contains non-BMP characters (emoji). */
+  private def textPlane(text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val n = math.max(1, cps.length)
+    Array.tabulate(512) { i =>
+      val c = if (cps.isEmpty) 0 else cps((i * 7) % n)
+      (if ((c * (i + 1)) % 17 == 0) 40 else 255).toByte
+    }
+  }
+
   /** q88: image-kernel probe (F16 binarize + F21 crop-to-content,
     * `image_processor.py:230-236,371-398`): a deterministic 32×16
     * grayscale plane synthesized from each doc's text (sparse dark
@@ -446,12 +459,7 @@ object MediaQueries {
     * Integer pixel math only. */
   private def q88(s: SparkSession, d: String): DataFrame = {
     val probe = udf((text: String) => {
-      val n = math.max(1, text.length)
-      val px = Array.tabulate(512) { i =>
-        val c = text.charAt((i * 7) % n).toInt
-        (if ((c * (i + 1)) % 17 == 0) 40 else 255).toByte
-      }
-      val img = graft.functions.ImageOps.Gray(32, 16, px)
+      val img = graft.functions.ImageOps.Gray(32, 16, textPlane(text))
       val nBlack = graft.functions.ImageOps.binarizeFixed(img)
         .px.count(_ == 0).toLong
       graft.functions.ImageOps.contentBBox(img, 240, 2) match {
@@ -507,12 +515,7 @@ object MediaQueries {
     * for 180°) without materializing the rotated plane. */
   private def q89(s: SparkSession, d: String): DataFrame = {
     val probe = udf((text: String) => {
-      val n = math.max(1, text.length)
-      val px = Array.tabulate(512) { i =>
-        val c = text.charAt((i * 7) % n).toInt
-        (if ((c * (i + 1)) % 17 == 0) 40 else 255).toByte
-      }
-      val img = graft.functions.ImageOps.Gray(32, 16, px)
+      val img = graft.functions.ImageOps.Gray(32, 16, textPlane(text))
       val r90 = graft.functions.ImageOps.rotate90cw(img)
       val r180 = graft.functions.ImageOps.rotate180(img)
       def checksum(g: graft.functions.ImageOps.Gray): Long = {

@@ -73,15 +73,20 @@ object QueueQueries {
        |FROM events""".stripMargin
 
   /** q13: queue-depth rollup per priority + share of total — reference A5
-    * (`redis_queue.py:346-362`, Σ XLEN across the 4 streams). */
+    * (`redis_queue.py:346-362`, Σ XLEN across the 4 streams). The total
+    * is a broadcast scalar join, not a global window: an unpartitioned
+    * window would funnel every row through one task, while the
+    * broadcast keeps the share computation fully parallel at any
+    * scale. */
   private def q13(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.events(s, d)
+    val depths = Tables.events(s, d)
       .withColumn("priority", priorityOf(col("event_type")))
       .groupBy(col("priority")).agg(count(lit(1)).as("depth"))
+    val total = depths.agg(sum(col("depth")).as("total"))
+    depths.crossJoin(broadcast(total))
       .withColumn("share",
-        round(col("depth").cast("double") /
-          sum(col("depth")).over(Window.partitionBy()), 6))
+        round(col("depth").cast("double") / col("total"), 6))
+      .drop("total")
   }
 
   private val q13Sql =

@@ -290,7 +290,8 @@ object TrainingQueries {
     * its weight) and the per-source document quotas that realize the
     * largest mixture-faithful dataset: scale = min(n_s / w_s), quota_s
     * = floor(scale · w_s). The planning pass a dataset-mixing pipeline
-    * runs before sampling; one aggregation + one tiny global window. */
+    * runs before sampling; one aggregation + one broadcast scalar join
+    * (no unpartitioned window — the share math stays parallel). */
   private def q94(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.documents(s, d)
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -298,9 +299,9 @@ object TrainingQueries {
       .withColumn("w",
         (regexp_replace(col("source"), "[^0-9]", "").cast("long") % 3 + 1)
           .cast("double"))
-    counts
-      .withColumn("scale",
-        min(col("n").cast("double") / col("w")).over(Window.partitionBy()))
+    val scale = counts.agg(
+      min(col("n").cast("double") / col("w")).as("scale"))
+    counts.crossJoin(broadcast(scale))
       .select(col("source"), col("n"), col("w"),
         floor(col("scale") * col("w")).cast("long").as("quota"),
         round(floor(col("scale") * col("w")) / col("n").cast("double"), 6)

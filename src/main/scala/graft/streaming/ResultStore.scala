@@ -74,10 +74,13 @@ object ResultStore {
     * swapped in with two renames (old table parked, stage promoted), so
     * no moment exists where the live path holds a partially written
     * table; a crash between the renames loses only the sweep, not the
-    * data (the parked copy remains). Both staging and parked dirs are
-    * removed on the next successful sweep even if a previous crash left
-    * them behind. On object stores without atomic rename the same
-    * sequence is still write-then-promote — never overwrite-in-place. */
+    * data (the parked copy remains). On entry the sweep first REPAIRS a
+    * crashed swap — if the live path is missing but a parked (or, as a
+    * last resort, staged) copy exists, that copy is renamed back to the
+    * live path before any leftover deletion; leftovers are only deleted
+    * once the live path exists. On object stores without atomic rename
+    * the same sequence is still write-then-promote — never
+    * overwrite-in-place. */
   def ttlSweep(spark: SparkSession, path: String, nowUs: Long,
       ttlUs: Long = 3600L * 1000000L): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -85,6 +88,15 @@ object ResultStore {
     val fs = target.getFileSystem(hconf)
     val stage = new org.apache.hadoop.fs.Path(path + "_compact_stage")
     val parked = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    if (!fs.exists(target)) {
+      // A previous sweep crashed between park and promote: the only
+      // copy lives in parked (pre-sweep data) or stage (compacted).
+      // Restore it as the live table instead of deleting it.
+      if (fs.exists(parked)) fs.rename(parked, target)
+      else if (fs.exists(stage)) fs.rename(stage, target)
+      else throw new java.io.IOException(
+        s"ttlSweep: $target missing and no parked/staged copy to recover")
+    }
     fs.delete(stage, true) // leftovers from a crashed sweep
     fs.delete(parked, true)
     latest(spark, path)

@@ -11,12 +11,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * each request is answered with the latest metric at or before its
   * event time.
   *
-  * Within a micro-batch, ticks process in (time, kind) order with
-  * metrics before requests at the same timestamp — matching q42's
-  * inclusive `req.t >= metric.t` convention. Across micro-batches the
-  * state carries forward; a metric arriving LATER than an
-  * already-answered request is not retroactive (same semantics as the
-  * reference's store: you read what has been stored so far).
+  * Within a micro-batch, ticks process in (time, kind, value) order
+  * with metrics before requests at the same timestamp — matching
+  * q42's inclusive `req.t >= metric.t` convention. Duplicate metrics
+  * at the same (key, timestamp) resolve to max(value), exactly q42's
+  * pre-dedup rule, so stream and batch agree regardless of arrival
+  * order. Across micro-batches the state carries forward; a metric
+  * arriving LATER than an already-answered request is not retroactive
+  * (same semantics as the reference's store: you read what has been
+  * stored so far).
   */
 object StreamingEnrich {
 
@@ -37,9 +40,12 @@ object StreamingEnrich {
         case (key, it, gs: GroupState[EnrichState]) =>
           var st = gs.getOption.getOrElse(EnrichState(Long.MinValue, 0.0, false))
           val out = Seq.newBuilder[Enriched]
-          it.toSeq.sortBy(t => (t.tUs, t.isReq)).foreach { t =>
+          it.toSeq.sortBy(t => (t.tUs, t.isReq, t.value)).foreach { t =>
             if (!t.isReq) {
-              if (t.tUs >= st.lastTUs)
+              // strictly-newer wins; at an equal timestamp keep
+              // max(value) — q42's same-(key,t) dedup rule
+              if (t.tUs > st.lastTUs || !st.has ||
+                  (t.tUs == st.lastTUs && t.value > st.lastVal))
                 st = EnrichState(t.tUs, t.value, has = true)
             } else {
               val ok = st.has && st.lastTUs <= t.tUs

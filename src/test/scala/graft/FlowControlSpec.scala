@@ -48,4 +48,33 @@ class FlowControlSpec extends SparkSpec {
     assert(after.count() == 2) // j1 latest + j2
     assert(after.filter(col("payload") === "v1").count() == 0)
   }
+
+  test("K5 sweep recovers a crashed swap instead of deleting the only copy") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("rsc").toString
+    val dir = base + "/results"
+    val t0 = 1000000000L
+    ResultStore.append(Seq(("j1", t0, "v1"), ("j2", t0 + 1L, "v2"))
+      .toDF("job_id", "stored_at_us", "payload"), dir)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Crash state A: park happened, promote didn't — live path gone,
+    // parked holds the only (pre-sweep) copy, stage holds the compacted
+    // one. The next sweep must restore, not delete.
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_compact_old"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    ResultStore.ttlSweep(spark, dir, nowUs = t0 + 1000L)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 2, "both rows must survive the crashed swap")
+
+    // Crash state B: only a stage dir exists (park+delete done, promote
+    // lost) — recover from stage.
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_compact_stage"))
+    ResultStore.ttlSweep(spark, dir, nowUs = t0 + 1000L)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
 }

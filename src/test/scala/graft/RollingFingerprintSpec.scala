@@ -58,6 +58,24 @@ class RollingFingerprintSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"no codegen span:\n$p")
   }
 
+  test("non-constant / non-integral k raises a clear analysis error") {
+    RollingFingerprint.register(spark)
+    import spark.implicits._
+    val df = Seq(("abcdefghij", 4)).toDF("text", "n")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("rolling_fingerprint(text, n)")).collect()
+    }
+    assert(e1.getMessage.contains("must be a constant"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("rolling_fingerprint(text, 'x')")).collect()
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("rolling_fingerprint(text, 0)")).collect()
+    }
+    assert(e3.getMessage.contains("must be in [1"), e3.getMessage)
+  }
+
   test("q72 query agrees with per-doc brute force on real docs") {
     val out = SparkEntry.queries("q72_rolling_fingerprint")(spark, sf0001)
       .orderBy("doc_id").limit(20).collect()

@@ -42,4 +42,28 @@ class StreamingEnrichSpec extends SparkSpec {
       assert(out(103).hasValue && out(103).asofValue == 9.0)
     } finally query.stop()
   }
+
+  test("duplicate-timestamp metrics resolve to max(value), any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Tick]
+    val query = StreamingEnrich.attach(input.toDS())
+      .writeStream.format("memory").queryName("enriched_ties")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // key 1: larger value arrives FIRST; key 2: larger value LAST.
+      // Both must answer with the max — q42's same-(key,t) dedup rule.
+      input.addData(
+        Tick(1, 10, isReq = false, 9.0, -1), Tick(1, 10, isReq = false, 3.0, -1),
+        Tick(1, 10, isReq = true, 0.0, 100),
+        Tick(2, 10, isReq = false, 3.0, -1), Tick(2, 10, isReq = false, 9.0, -1),
+        Tick(2, 10, isReq = true, 0.0, 200))
+      query.processAllAvailable()
+      val out = spark.table("enriched_ties").as[Enriched].collect()
+        .map(e => e.reqId -> e).toMap
+      assert(out(100).asofValue == 9.0, s"max must win: ${out(100)}")
+      assert(out(200).asofValue == 9.0, s"max must win: ${out(200)}")
+    } finally query.stop()
+  }
 }
