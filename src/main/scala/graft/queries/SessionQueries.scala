@@ -356,28 +356,34 @@ object SessionQueries {
   /** q93: sessionized conversion funnel — click → signup-after-click →
     * purchase-after-signup within one session, with strict event-time
     * ordering between stages (min qualifying time per stage, each stage
-    * anchored on the previous stage's time). The cascade is two
-    * re-joins of the session events to the running stage table — every
-    * shuffle stays on the (user, session) key. */
+    * anchored on the previous stage's time). The cascade is three
+    * STACKED window minimums over the same (user, session) partitioning
+    * — each stage's anchor is the previous window's output, so the
+    * whole funnel is ONE shuffle (the earlier join-per-stage form
+    * shuffled the event table three times and re-joined it twice; this
+    * plan is Exchange → Window×3 → partial agg, and survives any
+    * session-count scale because no stage ever re-reads the events). */
   private def q93(s: SparkSession, d: String): DataFrame = {
-    val s0 = sessionized(s, d)
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+    val staged = sessionized(s, d)
       .select(col("user_id"), col("session_seq"), col("event_type"),
         col("t_us"))
-    val keys = Seq("user_id", "session_seq")
-    val base = s0.groupBy(keys.map(col): _*)
-      .agg(min(when(col("event_type") === "click", col("t_us"))).as("tc"))
-    val j1 = s0.join(base, keys)
-      .groupBy((keys :+ "tc").map(col): _*)
-      .agg(min(when(col("event_type") === "signup" &&
-        col("t_us") > col("tc"), col("t_us"))).as("ts"))
-    val j2 = s0.join(j1, keys)
-      .groupBy((keys :+ "tc" :+ "ts").map(col): _*)
-      .agg(min(when(col("event_type") === "purchase" &&
-        col("t_us") > col("ts"), col("t_us"))).as("tp"))
-    j2.agg(count(lit(1)).as("n_sessions"),
-      count(col("tc")).as("n_click"),
-      count(col("ts")).as("n_signup_after"),
-      count(col("tp")).as("n_purchase_funnel"))
+      .withColumn("tc",
+        min(when(col("event_type") === "click", col("t_us"))).over(w))
+      .withColumn("ts",
+        min(when(col("event_type") === "signup" &&
+          col("t_us") > col("tc"), col("t_us"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" &&
+          col("t_us") > col("ts"), col("t_us"))).over(w))
+    staged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(max(col("tc")).as("tc"), max(col("ts")).as("ts"),
+        max(col("tp")).as("tp"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(col("tc")).as("n_click"),
+        count(col("ts")).as("n_signup_after"),
+        count(col("tp")).as("n_purchase_funnel"))
   }
 
   private val q93Sql =
