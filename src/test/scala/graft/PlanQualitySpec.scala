@@ -100,11 +100,22 @@ class PlanQualitySpec extends SparkSpec {
     // q78 runs an iterative fixpoint at construction time — planJudged
     // via its components; skip the expensive build here.
     for ((name, fn) <- SparkEntry.queries if name != "q78_dup_clusters") {
-      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val qe = fn(spark, sf0001).queryExecution
+      val p = qe.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
-      if (!nestedLoopAllowed(name))
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a nested-loop join:\n$p")
+      if (!nestedLoopAllowed(name) && p.contains("BroadcastNestedLoopJoin")) {
+        // a nested-loop join is tolerable only when one side is provably
+        // a single row (crossJoin(broadcast(agg-without-groupBy)) — the
+        // scalar-broadcast pattern used to avoid unpartitioned windows);
+        // a 1-row broadcast side cannot blow up at any scale.
+        import org.apache.spark.sql.catalyst.plans.logical.Join
+        val nonEqui = qe.optimizedPlan.collect {
+          case j: Join if j.condition.isEmpty => j
+        }
+        assert(nonEqui.nonEmpty &&
+          nonEqui.forall(j => j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L)),
+          s"$name plans a non-scalar nested-loop join:\n$p")
+      }
     }
   }
 
