@@ -464,10 +464,17 @@ object TextQueries {
        |  GROUP BY doc_id)""".stripMargin
   }
 
-  /** q31: word-trigram Jaccard near-dup within source buckets — the
-    * n-gram variant of q29's verification. Buckets bound the pairwise
-    * work (per-source blocking; at 100 TB the blocking key would be an
-    * LSH band as in q29). */
+  /** q31: word-trigram Jaccard near-dup via LSH banding WITHIN source —
+    * the n-gram variant of q29. The former per-source blocking self-join
+    * was quadratic within a source (one giant crawl = scale-killer);
+    * candidates now come from a banded equi-join on (source, band-index,
+    * band-key) over a trigram-MinHash signature — the same 2-bands-of-4
+    * fold as q29 — so pairwise work is bounded by band-bucket size
+    * regardless of source skew. The signature is computed per-row with
+    * `array_min(transform(...))` straight off the already-hashed trigram
+    * set (no second explode/groupBy shuffle). First-matching-band dedup,
+    * integer size prune, codegen'd intersect, Jaccard ≥ 0.2 verification
+    * all as in q29. */
   private def q31(s: SparkSession, d: String): DataFrame = {
     graft.expressions.SortedLongIntersectCount.register(s)
     val tri = Tables.documents(s, d)
@@ -478,39 +485,78 @@ object TextQueries {
           "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"),
           t => hash32(t)))).as("tri"))
       .withColumn("nt", size(col("tri")).cast("long"))
-    tri.as("x").join(tri.as("y"),
-        col("x.source") === col("y.source") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.nt"), col("y.nt")) * 10 >=
-            greatest(col("x.nt"), col("y.nt")) * 2)
-      .withColumn("inter",
-        expr("sorted_long_intersect_count(x.tri, y.tri)"))
+    val sig = tri.select(
+      (Seq(col("doc_id"), col("source"), col("tri"), col("nt")) ++
+        perms.zipWithIndex.map { case ((a, b), i) =>
+          array_min(transform(col("tri"), h => (h * a + b) % P)).as(s"m$i")
+        }): _*)
+    def fold(seed: Long, ms: Seq[String]): Column =
+      ms.foldLeft(lit(seed))((acc, m) => (acc * 127 + col(m)) % P)
+    val bandRows = sig
+      .select(col("doc_id"), col("source"), col("tri"), col("nt"),
+        fold(1L, Seq("m0", "m1", "m2", "m3")).as("band1"),
+        fold(2L, Seq("m4", "m5", "m6", "m7")).as("band2"))
+      .select(col("doc_id"), col("source"), col("tri"), col("nt"),
+        col("band1"),
+        explode(array(
+          struct(lit(1).as("bidx"), col("band1").as("band")),
+          struct(lit(2).as("bidx"), col("band2").as("band")))).as("e"))
+      .select(col("doc_id"), col("source"), col("tri"), col("nt"),
+        col("band1"), col("e.bidx").as("bidx"), col("e.band").as("band"))
+    val x = bandRows.select(col("source"), col("bidx"), col("band"),
+      col("doc_id").as("doc_a"), col("band1").as("b1a"),
+      col("tri").as("ta"), col("nt").as("na"))
+    val y = bandRows.select(col("source"), col("bidx"), col("band"),
+      col("doc_id").as("doc_b"), col("band1").as("b1b"),
+      col("tri").as("tb"), col("nt").as("nb"))
+    x.join(y, Seq("source", "bidx", "band"))
+      .filter(col("doc_a") < col("doc_b") &&
+        (col("bidx") === 1 || col("b1a") =!= col("b1b")) &&
+        least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 2)
+      .withColumn("inter", expr("sorted_long_intersect_count(ta, tb)"))
       .withColumn("jaccard", round(
-        col("inter").cast("double") /
-          (col("x.nt") + col("y.nt") - col("inter")), 6))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")),
+        6))
       .filter(col("jaccard") >= 0.2)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  private val q31Sql =
-    s"""WITH tri AS (
+  private val q31Sql = {
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(tri, h -> (h * $a + $b) % $P)) AS m$i"
+    }.mkString(",\n    ")
+    s"""WITH tri0 AS (
        |  SELECT doc_id, source,
        |    list_distinct(list_transform(
        |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
-       |      t -> CAST(('0x' || substr(md5(t),1,8)) AS BIGINT))) AS tri,
-       |    CAST(len(list_distinct(list_transform(
-       |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
-       |      t -> CAST(('0x' || substr(md5(t),1,8)) AS BIGINT)))) AS BIGINT) AS nt
+       |      t -> CAST(('0x' || substr(md5(t),1,8)) AS BIGINT))) AS tri
        |  FROM (SELECT doc_id, source, $wordsSqlExpr AS w FROM documents)
-       |  WHERE len(w) >= 3)
+       |  WHERE len(w) >= 3),
+       |tri AS (SELECT doc_id, source, tri, CAST(len(tri) AS BIGINT) AS nt FROM tri0),
+       |sig AS (
+       |  SELECT doc_id, source, tri, nt,
+       |    $mins
+       |  FROM tri),
+       |bands AS (
+       |  SELECT doc_id, source, tri, nt,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band1,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band2
+       |  FROM sig),
+       |br AS (
+       |  SELECT doc_id, source, tri, nt, band1, 1 AS bidx, band1 AS band FROM bands
+       |  UNION ALL
+       |  SELECT doc_id, source, tri, nt, band1, 2 AS bidx, band2 AS band FROM bands)
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  round(CAST(len(list_intersect(x.tri, y.tri)) AS DOUBLE)
        |    / (x.nt + y.nt - len(list_intersect(x.tri, y.tri))), 6) AS jaccard
-       |FROM tri x JOIN tri y ON x.source = y.source AND x.doc_id < y.doc_id
+       |FROM br x JOIN br y
+       |  ON x.source = y.source AND x.bidx = y.bidx AND x.band = y.band
+       |  AND x.doc_id < y.doc_id
+       |  AND (x.bidx = 1 OR x.band1 <> y.band1)
        |  AND least(x.nt, y.nt) * 10 >= greatest(x.nt, y.nt) * 2
        |WHERE round(CAST(len(list_intersect(x.tri, y.tri)) AS DOUBLE)
        |    / (x.nt + y.nt - len(list_intersect(x.tri, y.tri))), 6) >= 0.2""".stripMargin
+  }
 
   /** q35: multimodal binary-column plumbing — payload treated as opaque
     * bytes with typed metadata (size, magic, content hash). The decode /
