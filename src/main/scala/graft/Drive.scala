@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
-// Scratch profiling main — deleted before commit.
+
+/** Profiling harness: time any declared query at an arbitrary scale
+  * factor, two passes each (cold + warm), with optional plan dump.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.Drive q29_lsh_near_dup q31_trigram_jaccard"
+  *   DRIVE_EXPLAIN=1 ... — additionally print each executed plan.
+  *
+  * Kept as a first-class dev tool (unlike Bench, it targets a chosen
+  * subset and prints per-pass times, which is what plan iteration
+  * needs). */
 object Drive {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6,9 +6,17 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated name filter for fast local checks
+    // optional 3rd arg: comma-separated name filter for fast local checks.
+    // Unknown names fail fast — a typo that silently matched nothing
+    // would make a local check look green having verified nothing.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.mkString(", ")} — " +
+          s"valid names are in SparkEntry.queries")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

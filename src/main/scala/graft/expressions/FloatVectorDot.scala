@@ -66,8 +66,6 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
 object FloatVectorDot {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vector_dot",
-      exprs => FloatVectorDot(exprs(0), exprs(1)),
-      "built-in")
+    Registration.once(spark, "float_vector_dot",
+      exprs => FloatVectorDot(exprs(0), exprs(1)))
 }

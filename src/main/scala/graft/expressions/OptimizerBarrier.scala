@@ -47,9 +47,7 @@ case class OptimizerBarrier(child: Expression) extends UnaryExpression {
 object OptimizerBarrier {
   /** Register `opt_barrier(x)` for `expr(...)` use (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "opt_barrier",
+    Registration.once(spark, "opt_barrier",
       { case Seq(c) => OptimizerBarrier(c)
-        case _ => throw new IllegalArgumentException("opt_barrier(expr)") },
-      "built-in")
+        case _ => throw new IllegalArgumentException("opt_barrier(expr)") })
 }

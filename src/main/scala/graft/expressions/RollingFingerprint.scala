@@ -162,8 +162,7 @@ object RollingFingerprint {
   }
 
   /** Register `rolling_fingerprint(text[, k])` for `expr(...)` use in
-    * the current session (idempotent). */
+    * the current session (idempotent, no re-registration warning). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_fingerprint", build, "built-in")
+    Registration.once(spark, "rolling_fingerprint", build)
 }

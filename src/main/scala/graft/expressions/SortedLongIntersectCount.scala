@@ -82,10 +82,8 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 
 object SortedLongIntersectCount {
   /** Register `sorted_long_intersect_count(a, b)` for `expr(...)` use in
-    * the current session (idempotent). */
+    * the current session (idempotent, no re-registration warning). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_long_intersect_count",
-      exprs => SortedLongIntersectCount(exprs(0), exprs(1)),
-      "built-in")
+    Registration.once(spark, "sorted_long_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)))
 }

@@ -56,15 +56,16 @@ object OcrTreeQueries {
       |      FROM documents)""".stripMargin
 
   /** q47: per-block A2 aggregation over the tree — ordered full text,
-    * word count, char count. */
+    * word count, char count. Native ordered `listagg ... WITHIN GROUP`
+    * (Spark 4) instead of collect_list+array_sort: one declarative agg,
+    * no intermediate struct arrays; (line_idx, word_pos) is unique per
+    * block so the order is total and the result deterministic. */
   private def q47(s: SparkSession, d: String): DataFrame =
     q46(s, d)
       .groupBy(col("doc_id"), col("block_idx"))
       .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("line_idx"), col("word_pos"),
-            col("word")))),
-          x => x.getField("word")), " ").as("block_text"),
+        expr("listagg(word, ' ') WITHIN GROUP (ORDER BY line_idx, word_pos)")
+          .as("block_text"),
         count(lit(1)).as("n_words"),
         sum(length(col("word"))).as("n_chars"))
 

@@ -136,17 +136,24 @@ object QueueQueries {
 
   /** q50: consumer-lag rollup — reference A6 (XPENDING per priority
     * stream, `redis_queue.py:364-380`): count and oldest age of
-    * un-acked deliveries (ack simulated by a deterministic id rule). */
+    * un-acked deliveries (ack simulated by a deterministic id rule).
+    * The stream-max timestamp is a broadcast scalar join (q13 pattern),
+    * not a driver-side `.head()` — one job instead of two, and no
+    * collect-then-re-embed round trip. */
   private def q50(s: SparkSession, d: String): DataFrame = {
     val jobs = Tables.events(s, d)
       .withColumn("priority", priorityOf(col("event_type")))
       .withColumn("t_us", Q.us)
       .withColumn("acked", col("event_id") % 7 =!= 0)
-    val maxTs = jobs.agg(max(col("t_us"))).head().getLong(0)
+    val maxTs = jobs.agg(max(col("t_us")).as("max_t_us"))
     jobs.filter(!col("acked"))
       .groupBy(col("priority"))
       .agg(count(lit(1)).as("pending"),
-        (lit(maxTs) - min(col("t_us"))).as("oldest_pending_age_us"))
+        min(col("t_us")).as("min_pending_us"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("priority"), col("pending"),
+        (col("max_t_us") - col("min_pending_us"))
+          .as("oldest_pending_age_us"))
   }
 
   private val q50Sql =

@@ -99,22 +99,45 @@ class PlanQualitySpec extends SparkSpec {
       Set("q32_knn_bruteforce", "q33_ann_ivf_label", "q80_ann_recall")
     // q78 runs an iterative fixpoint at construction time — planJudged
     // via its components; skip the expensive build here.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // flatten the physical tree, descending through the AQE wrapper
+    // (AdaptiveSparkPlanExec holds its plan as a field, not a child, so
+    // a plain collect() would see none of the join nodes)
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
     for ((name, fn) <- SparkEntry.queries if name != "q78_dup_clusters") {
       val qe = fn(spark, sf0001).queryExecution
       val p = qe.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
-      if (!nestedLoopAllowed(name) && p.contains("BroadcastNestedLoopJoin")) {
+      if (!nestedLoopAllowed(name)) {
         // a nested-loop join is tolerable only when one side is provably
         // a single row (crossJoin(broadcast(agg-without-groupBy)) — the
         // scalar-broadcast pattern used to avoid unpartitioned windows);
-        // a 1-row broadcast side cannot blow up at any scale.
-        import org.apache.spark.sql.catalyst.plans.logical.Join
-        val nonEqui = qe.optimizedPlan.collect {
-          case j: Join if j.condition.isEmpty => j
+        // a 1-row broadcast side cannot blow up at any scale. Checked on
+        // the PHYSICAL plan: every BroadcastNestedLoopJoinExec must be
+        // condition-less (a conditioned BNLJ is a non-equi join that
+        // slipped through) and count-matched 1:1 against the scalar
+        // (maxRows=1) condition-less joins of the optimized logical
+        // plan, so a dangerous BNLJ can't hide behind a benign one.
+        val bnlj = flatten(qe.executedPlan).collect {
+          case b: BroadcastNestedLoopJoinExec => b
         }
-        assert(nonEqui.nonEmpty &&
-          nonEqui.forall(j => j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L)),
-          s"$name plans a non-scalar nested-loop join:\n$p")
+        bnlj.foreach { b =>
+          assert(b.condition.isEmpty,
+            s"$name plans a conditioned (non-equi) nested-loop join:\n$p")
+        }
+        val scalarJoins = qe.optimizedPlan.collect {
+          case j: Join if j.condition.isEmpty &&
+            (j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L)) => j
+        }
+        assert(bnlj.size == scalarJoins.size,
+          s"$name plans ${bnlj.size} nested-loop joins but only " +
+            s"${scalarJoins.size} provably-scalar cross joins:\n$p")
       }
     }
   }
