@@ -217,10 +217,17 @@ object TextQueries {
     * both slower. */
   private def q29(s: SparkSession, d: String): DataFrame = {
     graft.expressions.SortedLongIntersectCount.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
     val sig = q28(s, d)
+    // opt_barrier pins the hashed word set in this projection — without
+    // it CollapseProject/pushdown inline the md5 token hashing into
+    // every consumer (size(), join-side null filters), recomputing it
+    // per reference (same pathology measured 30× on q31).
     val words = Tables.documents(s, d)
       .select(col("doc_id"),
-        array_sort(array_distinct(transform(expr(wordsExpr), w => hash32(w))))
+        expr("opt_barrier(array_sort(array_distinct(transform(" +
+          wordsExpr +
+          ", w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)))))")
           .as("wset"))
       .withColumn("nw", size(col("wset")).cast("long"))
     // Band keys as exact modular folds (LONG join keys beat 32-char md5
@@ -249,7 +256,9 @@ object TextQueries {
       .filter(col("doc_a") < col("doc_b") &&
         (col("bidx") === 1 || col("b1a") =!= col("b1b")) &&
         least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 7)
-      .withColumn("inter", expr("sorted_long_intersect_count(wa, wb)"))
+      // opt_barrier: keeps the jaccard filter ABOVE the join (pushed into
+      // the join condition it would evaluate the intersect 3x per pair)
+      .withColumn("inter", expr("opt_barrier(sorted_long_intersect_count(wa, wb))"))
       .withColumn("jaccard", round(
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")),
         6))
@@ -465,55 +474,64 @@ object TextQueries {
   }
 
   /** q31: word-trigram Jaccard near-dup via LSH banding WITHIN source —
-    * the n-gram variant of q29. The former per-source blocking self-join
-    * was quadratic within a source (one giant crawl = scale-killer);
-    * candidates now come from a banded equi-join on (source, band-index,
-    * band-key) over a trigram-MinHash signature — the same 2-bands-of-4
-    * fold as q29 — so pairwise work is bounded by band-bucket size
-    * regardless of source skew. The signature is computed per-row with
-    * `array_min(transform(...))` straight off the already-hashed trigram
-    * set (no second explode/groupBy shuffle). First-matching-band dedup,
-    * integer size prune, codegen'd intersect, Jaccard ≥ 0.2 verification
-    * all as in q29. */
+    * the n-gram variant of q29, with the band layout TUNED TO THE
+    * DECLARED THRESHOLD. For a candidate threshold of J ≥ 0.2, q29's
+    * 2-bands-of-4 layout has collision probability 1-(1-s⁴)² ≈ 0.3% at
+    * s = 0.2 — near-zero recall at the boundary. Here each of the 8
+    * MinHash permutations is its own 1-row band, so a pair collides in
+    * ≥1 band with probability 1-(1-s)⁸:
+    *   s=0.2 → 0.83,  s=0.3 → 0.94,  s=0.5 → 0.996,  s≥0.7 → ~1.
+    * (q29 keeps 2×4 because its working threshold is ~0.84.) Expected
+    * recall at the J=0.2 boundary is therefore ~83%, rising steeply.
+    *
+    * Scale shape: candidates come from a banded equi-join on (source,
+    * band-index, minhash) — never a per-source blocking self-join — so
+    * pairwise work is bounded by band-bucket size. 1-row bands bucket
+    * by a single minhash value, whose bucket population is bounded by
+    * the document frequency of the winning trigram; the integer
+    * size-ratio prune and the codegen'd intersect keep per-pair cost
+    * flat. Pair dedup is first-matching-band (keep the pair only at the
+    * smallest band index where the minhashes agree — an O(1) array
+    * probe, no `distinct` shuffle). */
   private def q31(s: SparkSession, d: String): DataFrame = {
     graft.expressions.SortedLongIntersectCount.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    // opt_barrier pins the trigram set and the signature array in THIS
+    // projection: without it, the Generate's pushed-down null/size checks
+    // and the join's null filters alias-substitute the whole
+    // trigram+minhash pipeline into filters below (recomputing the md5
+    // trigram hashing several times per row — measured 30× slower).
     val tri = Tables.documents(s, d)
       .withColumn("w", expr(wordsExpr))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(transform(expr(
-          "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"),
-          t => hash32(t)))).as("tri"))
+        expr("opt_barrier(" +
+          "array_sort(array_distinct(transform(" +
+          "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])), " +
+          "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)))))")
+          .as("tri"))
       .withColumn("nt", size(col("tri")).cast("long"))
-    val sig = tri.select(
-      (Seq(col("doc_id"), col("source"), col("tri"), col("nt")) ++
-        perms.zipWithIndex.map { case ((a, b), i) =>
-          array_min(transform(col("tri"), h => (h * a + b) % P)).as(s"m$i")
-        }): _*)
-    def fold(seed: Long, ms: Seq[String]): Column =
-      ms.foldLeft(lit(seed))((acc, m) => (acc * 127 + col(m)) % P)
+    val sig = tri.select(col("doc_id"), col("source"), col("tri"), col("nt"),
+      expr(s"opt_barrier(${perms.map { case (a, b) =>
+        s"array_min(transform(tri, h -> (h * ${a}L + ${b}L) % $P))"
+      }.mkString("array(", ", ", ")")})").as("ms"))
     val bandRows = sig
-      .select(col("doc_id"), col("source"), col("tri"), col("nt"),
-        fold(1L, Seq("m0", "m1", "m2", "m3")).as("band1"),
-        fold(2L, Seq("m4", "m5", "m6", "m7")).as("band2"))
-      .select(col("doc_id"), col("source"), col("tri"), col("nt"),
-        col("band1"),
-        explode(array(
-          struct(lit(1).as("bidx"), col("band1").as("band")),
-          struct(lit(2).as("bidx"), col("band2").as("band")))).as("e"))
-      .select(col("doc_id"), col("source"), col("tri"), col("nt"),
-        col("band1"), col("e.bidx").as("bidx"), col("e.band").as("band"))
+      .select(col("doc_id"), col("source"), col("tri"), col("nt"), col("ms"),
+        posexplode(col("ms")).as(Seq("bidx", "band")))
     val x = bandRows.select(col("source"), col("bidx"), col("band"),
-      col("doc_id").as("doc_a"), col("band1").as("b1a"),
+      col("doc_id").as("doc_a"), col("ms").as("msa"),
       col("tri").as("ta"), col("nt").as("na"))
     val y = bandRows.select(col("source"), col("bidx"), col("band"),
-      col("doc_id").as("doc_b"), col("band1").as("b1b"),
+      col("doc_id").as("doc_b"), col("ms").as("msb"),
       col("tri").as("tb"), col("nt").as("nb"))
     x.join(y, Seq("source", "bidx", "band"))
       .filter(col("doc_a") < col("doc_b") &&
-        (col("bidx") === 1 || col("b1a") =!= col("b1b")) &&
+        // first-matching-band: no earlier permutation already collided
+        !expr("exists(slice(zip_with(msa, msb, (x, y) -> x = y), 1, bidx), v -> v)") &&
         least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 2)
-      .withColumn("inter", expr("sorted_long_intersect_count(ta, tb)"))
+      // opt_barrier: keeps the jaccard filter ABOVE the join (pushed into
+      // the join condition it would evaluate the intersect 3x per pair)
+      .withColumn("inter", expr("opt_barrier(sorted_long_intersect_count(ta, tb))"))
       .withColumn("jaccard", round(
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")),
         6))
@@ -522,9 +540,9 @@ object TextQueries {
   }
 
   private val q31Sql = {
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      s"list_min(list_transform(tri, h -> (h * $a + $b) % $P)) AS m$i"
-    }.mkString(",\n    ")
+    val mins = perms.map { case (a, b) =>
+      s"list_min(list_transform(tri, h -> (h * $a + $b) % $P))"
+    }.mkString("[", ",\n      ", "]")
     s"""WITH tri0 AS (
        |  SELECT doc_id, source,
        |    list_distinct(list_transform(
@@ -535,24 +553,19 @@ object TextQueries {
        |tri AS (SELECT doc_id, source, tri, CAST(len(tri) AS BIGINT) AS nt FROM tri0),
        |sig AS (
        |  SELECT doc_id, source, tri, nt,
-       |    $mins
+       |    $mins AS ms
        |  FROM tri),
-       |bands AS (
-       |  SELECT doc_id, source, tri, nt,
-       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band1,
-       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band2
-       |  FROM sig),
        |br AS (
-       |  SELECT doc_id, source, tri, nt, band1, 1 AS bidx, band1 AS band FROM bands
-       |  UNION ALL
-       |  SELECT doc_id, source, tri, nt, band1, 2 AS bidx, band2 AS band FROM bands)
+       |  SELECT doc_id, source, tri, nt, ms,
+       |    g.i - 1 AS bidx, ms[g.i] AS band
+       |  FROM sig CROSS JOIN generate_series(1, ${perms.size}) AS g(i))
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  round(CAST(len(list_intersect(x.tri, y.tri)) AS DOUBLE)
        |    / (x.nt + y.nt - len(list_intersect(x.tri, y.tri))), 6) AS jaccard
        |FROM br x JOIN br y
        |  ON x.source = y.source AND x.bidx = y.bidx AND x.band = y.band
        |  AND x.doc_id < y.doc_id
-       |  AND (x.bidx = 1 OR x.band1 <> y.band1)
+       |  AND len(list_filter(range(1, x.bidx + 1), j -> x.ms[j] = y.ms[j])) = 0
        |  AND least(x.nt, y.nt) * 10 >= greatest(x.nt, y.nt) * 2
        |WHERE round(CAST(len(list_intersect(x.tri, y.tri)) AS DOUBLE)
        |    / (x.nt + y.nt - len(list_intersect(x.tri, y.tri))), 6) >= 0.2""".stripMargin
