@@ -48,20 +48,23 @@ object AudioDsp {
     out
   }
 
-  /** F5: high-pass filter — deterministic fixed-coefficient biquad
-    * (Butterworth-style 2nd order at fc/fs; the reference's 4th-order
-    * scipy filtfilt is surrogate'd by one causal pass, mirroring its
-    * "attenuate DC/rumble" contract; `audio_processor.py:159-180`). */
-  def highPass(x: Array[Double], fcHz: Double = 80.0,
-      fsHz: Double = 16000.0): Array[Double] = {
+  /** Biquad high-pass coefficients (RBJ cookbook bilinear form) for a
+    * given corner and resonance — shared by the single-pass F5 surrogate
+    * and the order-4 filtfilt cascade (each Butterworth SOS is this
+    * biquad at the section's pole Q). */
+  def hpCoeffs(fcHz: Double, fsHz: Double, q: Double)
+      : (Double, Double, Double, Double, Double) = {
     val k = math.tan(math.Pi * fcHz / fsHz)
-    val q = math.sqrt(2.0) / 2.0
     val norm = 1.0 / (1.0 + k / q + k * k)
-    val b0 = norm
-    val b1 = -2.0 * norm
-    val b2 = norm
-    val a1 = 2.0 * (k * k - 1.0) * norm
-    val a2 = (1.0 - k / q + k * k) * norm
+    (norm, -2.0 * norm, norm,
+      2.0 * (k * k - 1.0) * norm,
+      (1.0 - k / q + k * k) * norm)
+  }
+
+  /** One causal biquad pass with zero initial state. */
+  def biquad(x: Array[Double],
+      c: (Double, Double, Double, Double, Double)): Array[Double] = {
+    val (b0, b1, b2, a1, a2) = c
     val out = new Array[Double](x.length)
     var x1 = 0.0; var x2 = 0.0; var y1 = 0.0; var y2 = 0.0
     var i = 0
@@ -72,6 +75,34 @@ object AudioDsp {
       i += 1
     }
     out
+  }
+
+  /** F5: high-pass filter — deterministic fixed-coefficient biquad
+    * (Butterworth-style 2nd order at fc/fs, single causal pass;
+    * `audio_processor.py:159-180`). */
+  def highPass(x: Array[Double], fcHz: Double = 80.0,
+      fsHz: Double = 16000.0): Array[Double] =
+    biquad(x, hpCoeffs(fcHz, fsHz, math.sqrt(2.0) / 2.0))
+
+  /** Butterworth order-4 section Qs: poles at ±π/8, ±3π/8 off the
+    * negative real axis → Q = 1/(2 cos θ) per conjugate pair. */
+  val butter4Q1: Double = 1.0 / (2.0 * math.cos(math.Pi / 8.0))
+  val butter4Q2: Double = 1.0 / (2.0 * math.cos(3.0 * math.Pi / 8.0))
+
+  /** F5 full fidelity: order-4 Butterworth high-pass with ZERO-PHASE
+    * forward-backward application — the deterministic analog of the
+    * reference's `scipy.signal.filtfilt(butter(4, fc), audio)`
+    * (`audio_processor.py:159-180`). The order-4 filter is the cascade
+    * of two second-order sections (Q = {0.5412, 1.3066}); the backward
+    * pass cancels the cascade's phase shift exactly like filtfilt
+    * (state is zero-initialized instead of scipy's reflective padding —
+    * the boundary transient differs, the zero-phase contract holds). */
+  def highPassFiltFilt(x: Array[Double], fcHz: Double = 80.0,
+      fsHz: Double = 16000.0): Array[Double] = {
+    val c1 = hpCoeffs(fcHz, fsHz, butter4Q1)
+    val c2 = hpCoeffs(fcHz, fsHz, butter4Q2)
+    def cascade(v: Array[Double]): Array[Double] = biquad(biquad(v, c1), c2)
+    cascade(cascade(x).reverse).reverse
   }
 
   /** F8/F9: silence detection + split — frame RMS below threshold for at
@@ -158,6 +189,127 @@ object AudioDsp {
     Features(rmsV, zcrV, if (den > 0) num / den else 0.0)
   }
 
+  /** F10 full fidelity: MFCC + spectral bandwidth/rolloff — the
+    * deterministic analog of the reference's librosa feature stack
+    * (`audio_processor.py:384-420`: mfcc(n_mfcc=13), spectral_centroid,
+    * spectral_bandwidth, spectral_rolloff). Sized to the 64-sample probe
+    * signals: 64-point DFT power bins via Goertzel (pure +,* recurrence
+    * with precomputed cos coefficients — bit-identical across engines),
+    * a 12-filter mel filterbank (HTK mel scale, triangular weights
+    * precomputed once), log, and an orthonormal DCT-II taking the first
+    * 5 cepstral coefficients. Bandwidth = power-weighted second moment
+    * around the centroid; rolloff = lowest bin frequency where the
+    * cumulative power reaches 85% of the total (librosa's default).
+    *
+    * All transcendental constants (Goertzel coefficients, mel weights,
+    * DCT basis) live in [[Spectral]] so the DuckDB oracle can embed the
+    * identical doubles as round-trip literals; per-sample and per-bin
+    * arithmetic is +,*,/ with fixed left-to-right fold order. */
+  object Spectral {
+    val FsHz = 1000.0
+    val N = 64 // DFT length == probe signal length
+    val K = N / 2 + 1 // rfft bins 0..32
+    val NMel = 12
+    val NMfcc = 5
+    val RolloffPct = 0.85
+
+    /** Goertzel coefficients 2·cos(2πk/N), k = 0..K-1. */
+    val goertzelCoeff: Array[Double] =
+      Array.tabulate(K)(k => 2.0 * math.cos(2.0 * math.Pi * k / N))
+
+    /** Bin center frequencies k·fs/N. */
+    val binHz: Array[Double] = Array.tabulate(K)(k => k * FsHz / N)
+
+    private def hzToMel(f: Double): Double =
+      2595.0 * math.log10(1.0 + f / 700.0)
+    private def melToHz(m: Double): Double =
+      700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+
+    /** Triangular mel filter weights w(m)(k), m = 0..NMel-1, k = 0..K-1
+      * (HTK-style: NMel+2 mel-spaced edge points from 0 Hz to fs/2). */
+    val melWeights: Array[Array[Double]] = {
+      val edges = Array.tabulate(NMel + 2)(i =>
+        melToHz(hzToMel(FsHz / 2) * i / (NMel + 1)))
+      Array.tabulate(NMel) { m =>
+        val (lo, mid, hi) = (edges(m), edges(m + 1), edges(m + 2))
+        Array.tabulate(K) { k =>
+          val f = binHz(k)
+          if (f <= lo || f >= hi) 0.0
+          else if (f <= mid) (f - lo) / (mid - lo)
+          else (hi - f) / (hi - mid)
+        }
+      }
+    }
+
+    /** Orthonormal DCT-II basis d(j)(m), j = 0..NMfcc-1, m = 0..NMel-1. */
+    val dctBasis: Array[Array[Double]] = Array.tabulate(NMfcc) { j =>
+      val scale =
+        if (j == 0) math.sqrt(1.0 / NMel) else math.sqrt(2.0 / NMel)
+      Array.tabulate(NMel)(m =>
+        scale * math.cos(math.Pi * j * (2 * m + 1) / (2.0 * NMel)))
+    }
+  }
+
+  final case class SpectralFeatures(mfcc: Array[Double],
+      centroidHz: Double, bandwidthHz: Double, rolloffHz: Double)
+
+  def spectralFeatures(x: Array[Double]): SpectralFeatures = {
+    import Spectral._
+    // DFT power bins via Goertzel (+,* only; coefficients precomputed)
+    val p = new Array[Double](K)
+    var k = 0
+    while (k < K) {
+      val c = goertzelCoeff(k)
+      var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < x.length) {
+        val s0 = x(i) + c * s1 - s2
+        s2 = s1; s1 = s0
+        i += 1
+      }
+      p(k) = s1 * s1 + s2 * s2 - c * s1 * s2
+      k += 1
+    }
+    // mel energies → log → DCT-II (ascending-index folds, matching SQL)
+    val logMel = Array.tabulate(NMel) { m =>
+      var s = 0.0
+      var kk = 0
+      while (kk < K) { s += melWeights(m)(kk) * p(kk); kk += 1 }
+      math.log(s + 1e-10)
+    }
+    val mfcc = Array.tabulate(NMfcc) { j =>
+      var s = 0.0
+      var m = 0
+      while (m < NMel) { s += dctBasis(j)(m) * logMel(m); m += 1 }
+      s
+    }
+    var tot = 0.0; var num = 0.0
+    k = 0
+    while (k < K) { tot += p(k); num += binHz(k) * p(k); k += 1 }
+    val centroid = if (tot > 0) num / tot else 0.0
+    var varSum = 0.0
+    k = 0
+    while (k < K) {
+      val d = binHz(k) - centroid
+      varSum += d * d * p(k)
+      k += 1
+    }
+    // Goertzel cancellation can leave tiny negative powers at empty
+    // bins; clamp the variance at 0 (mirrored in the SQL oracle)
+    val bandwidth =
+      if (tot > 0) math.sqrt(math.max(0.0, varSum / tot)) else 0.0
+    var cum = 0.0
+    var roll = binHz(K - 1)
+    var found = false
+    k = 0
+    while (k < K && !found) {
+      cum += p(k)
+      if (cum >= RolloffPct * tot) { roll = binHz(k); found = true }
+      k += 1
+    }
+    SpectralFeatures(mfcc, centroid, bandwidth, roll)
+  }
+
   /** F4 (surrogate): noise suppression by envelope subtraction — noise
     * floor estimated from the first `noiseSec` (like the reference's
     * first-0.5 s STFT estimate), over-subtraction α = 2.0, spectral
@@ -199,6 +351,43 @@ object AudioDsp {
       while (i < b) { s += x(i) * x(i); i += 1 }
       // zero-padding the last frame = dividing by the FULL frame length
       math.sqrt(s / frameLen) >= threshold
+    }
+  }
+
+  /** P8/F7 full fidelity: WebRTC-VAD-shaped frame classifier — a
+    * two-feature (energy + zero-crossing-rate) decision per 30 ms frame
+    * with an aggressiveness knob 0-3, the deterministic stand-in for the
+    * reference's `webrtcvad.Vad(aggressiveness)` black box
+    * (`audio_processor.py:217-278`; same frame contract: fixed frame
+    * length, last frame zero-padded). A frame is speech when it is
+    * energetic AND voiced-shaped (low ZCR — periodic speech crosses
+    * zero far less than fricatives/noise), or loud enough to pass
+    * regardless of shape. Higher aggressiveness raises the energy bar
+    * and lowers the ZCR ceiling, exactly like WebRTC's modes reject
+    * more marginal frames. */
+  def vadFrames(x: Array[Double], fsHz: Double = 16000.0,
+      frameMs: Int = 30, aggressiveness: Int = 2): Array[Boolean] = {
+    require(aggressiveness >= 0 && aggressiveness <= 3)
+    val eThresh = 0.01 * (1 + aggressiveness) // RMS gate
+    val zThresh = 0.5 - 0.1 * aggressiveness // ZCR ceiling for voiced
+    val frameLen = math.max(1, (fsHz * frameMs / 1000.0).toInt)
+    val nFrames = (x.length + frameLen - 1) / frameLen
+    Array.tabulate(nFrames) { f =>
+      val a = f * frameLen
+      val b = math.min(x.length, a + frameLen)
+      var s = 0.0
+      var crossings = 0
+      var i = a
+      while (i < b) {
+        s += x(i) * x(i)
+        if (i > a && ((x(i) >= 0) != (x(i - 1) >= 0))) crossings += 1
+        i += 1
+      }
+      // zero-padded last frame: energy over the FULL frame length; the
+      // pad contributes no crossings (constant 0 region)
+      val rms = math.sqrt(s / frameLen)
+      val zcr = crossings.toDouble / frameLen
+      (rms >= eThresh && zcr <= zThresh) || rms >= 3.0 * eThresh
     }
   }
 

@@ -581,7 +581,225 @@ object MediaQueries {
       |    len(embedding) AS n
       |  FROM embeddings)""".stripMargin
 
+  /** q99: MFCC + spectral bandwidth/rolloff probe (F10 full fidelity,
+    * `audio_processor.py:384-420`): the embedding as a 64-sample 1 kHz
+    * signal through the REAL AudioDsp.spectralFeatures kernel — 64-point
+    * DFT power via Goertzel, 12-filter mel bank, log, orthonormal
+    * DCT-II (first 5 cepstra), power-weighted bandwidth, 85% rolloff.
+    * The oracle replays the Goertzel recurrence per DFT bin in a
+    * recursive CTE (pure +,* with the kernel's cos coefficients embedded
+    * as round-trip literals — bit-identical feedback), then applies the
+    * mel/DCT stages as literal-weight sum chains in the same ascending
+    * fold order. ln() is the one non-exact step (≤1 ulp either engine);
+    * round-6 absorbs it. */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((emb: Seq[Float]) => {
+      val f = graft.functions.AudioDsp.spectralFeatures(
+        emb.map(_.toDouble).toArray)
+      (f.mfcc(0), f.mfcc(1), f.mfcc(2), f.mfcc(3), f.mfcc(4),
+        f.bandwidthHz, f.rolloffHz)
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), probe(col("embedding")).as("t"))
+      .select(col("vec_id"),
+        (round(col("t._1"), 6) + lit(0.0)).as("mfcc0"),
+        (round(col("t._2"), 6) + lit(0.0)).as("mfcc1"),
+        (round(col("t._3"), 6) + lit(0.0)).as("mfcc2"),
+        (round(col("t._4"), 6) + lit(0.0)).as("mfcc3"),
+        (round(col("t._5"), 6) + lit(0.0)).as("mfcc4"),
+        (round(col("t._6"), 6) + lit(0.0)).as("bandwidth_hz"),
+        (round(col("t._7"), 6) + lit(0.0)).as("rolloff_hz"))
+  }
+
+  private val q99Sql = {
+    val sp = graft.functions.AudioDsp.Spectral
+    val coeffs = sp.goertzelCoeff.mkString("[", ", ", "]")
+    val binHz = sp.binHz.mkString("[", ", ", "]")
+    // mel energies as literal-weight sum chains over the (sparse)
+    // nonzero bins — adding a 0.0-weight term is an exact no-op, so
+    // skipping zeros matches the kernel's dense ascending fold bit-f-bit
+    val mels = (0 until sp.NMel).map { m =>
+      val terms = sp.melWeights(m).zipWithIndex.collect {
+        case (w, k) if w != 0.0 => s"$w * p[${k + 1}]"
+      }
+      s"ln((${terms.mkString(" + ")}) + 1.0e-10) AS lm$m"
+    }
+    val mfccs = (0 until sp.NMfcc).map { j =>
+      val terms = (0 until sp.NMel).map(m => s"${sp.dctBasis(j)(m)} * lm$m")
+      s"(round(${terms.mkString(" + ")}, 6) + 0.0) AS mfcc$j"
+    }
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |cf AS (SELECT unnest($coeffs) AS c,
+       |              generate_subscripts($coeffs, 1) - 1 AS bin),
+       |step AS (
+       |  SELECT e.vec_id, b.bin, b.c, 0 AS idx,
+       |    CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2
+       |  FROM embeddings e CROSS JOIN cf b
+       |  UNION ALL
+       |  SELECT s.vec_id, s.bin, s.c, j.idx,
+       |    j.x + s.c * s.s1 - s.s2 AS s1, s.s1 AS s2
+       |  FROM step s JOIN ex j ON j.vec_id = s.vec_id AND j.idx = s.idx + 1),
+       |pw AS (
+       |  SELECT vec_id,
+       |    list(s1 * s1 + s2 * s2 - c * s1 * s2 ORDER BY bin) AS p
+       |  FROM step WHERE idx = ${sp.N}
+       |  GROUP BY vec_id),
+       |fb AS (SELECT list_transform($binHz,
+       |  v -> CAST(v AS DOUBLE)) AS f),
+       |moments AS (
+       |  SELECT vec_id, p, f, tot,
+       |    CASE WHEN tot > 0 THEN num / tot ELSE 0.0 END AS centroid
+       |  FROM (
+       |    SELECT vec_id, p, f,
+       |      list_reduce(p, (a, b) -> a + b) AS tot,
+       |      list_reduce(list_transform(range(1, ${sp.K} + 1),
+       |        k -> f[k] * p[k]), (a, b) -> a + b) AS num
+       |    FROM pw CROSS JOIN fb)),
+       |feats AS (
+       |  SELECT vec_id,
+       |    ${mels.mkString(",\n    ")},
+       |    CASE WHEN tot > 0 THEN sqrt(greatest(0.0, list_reduce(
+       |      list_transform(range(1, ${sp.K} + 1),
+       |        k -> (f[k] - centroid) * (f[k] - centroid) * p[k]),
+       |      (a, b) -> a + b) / tot)) ELSE 0.0 END AS bw,
+       |    f[CAST(list_min(list_filter(range(0, ${sp.K}), k ->
+       |      list_reduce(p[1 : k + 1], (a, b) -> a + b)
+       |        >= ${sp.RolloffPct} * tot)) AS INT) + 1] AS roll
+       |  FROM moments)
+       |SELECT vec_id,
+       |  ${mfccs.mkString(",\n  ")},
+       |  (round(bw, 6) + 0.0) AS bandwidth_hz,
+       |  (round(roll, 6) + 0.0) AS rolloff_hz
+       |FROM feats""".stripMargin
+  }
+
+  /** q100: order-4 zero-phase high-pass probe (F5 full fidelity,
+    * `audio_processor.py:159-180` `filtfilt(butter(4, 80/8000))`): the
+    * embedding signal through the REAL highPassFiltFilt kernel — two
+    * cascaded Butterworth SOS biquads forward, then the same cascade
+    * backward (zero phase). The oracle replays both passes as recursive
+    * CTEs carrying the 8-variable cascade state, with the kernel's SOS
+    * coefficients embedded as round-trip literals: every step is +,*
+    * only, so all 256 feedback applications stay bit-identical. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((emb: Seq[Float]) => {
+      val y = graft.functions.AudioDsp.highPassFiltFilt(
+        emb.map(_.toDouble).toArray)
+      val n = y.length
+      (n.toLong, y(n / 2 - 1), y(n - 1))
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), probe(col("embedding")).as("t"))
+      .select(col("vec_id"), col("t._1").as("n"),
+        (round(col("t._2"), 6) + lit(0.0)).as("y_mid"),
+        (round(col("t._3"), 6) + lit(0.0)).as("y_last"))
+  }
+
+  private val q100Sql = {
+    val dsp = graft.functions.AudioDsp
+    val (b0a, b1a, b2a, a1a, a2a) = dsp.hpCoeffs(80.0, 16000.0, dsp.butter4Q1)
+    val (b0b, b1b, b2b, a1b, a2b) = dsp.hpCoeffs(80.0, 16000.0, dsp.butter4Q2)
+    // one cascade step: section 1 consumes xin, section 2 consumes
+    // section 1's output in the same step (identical arithmetic to
+    // running the full array through section 1 then section 2)
+    def pass(src: String, rev: Boolean): String = {
+      val join =
+        if (rev) s"j.vec_id = s.vec_id AND j.idx = n + 1 - (s.k + 1)"
+        else "j.vec_id = s.vec_id AND j.idx = s.k + 1"
+      s"""  SELECT e.vec_id, 0 AS k,
+         |    CAST(0.0 AS DOUBLE) AS x1a, CAST(0.0 AS DOUBLE) AS x2a,
+         |    CAST(0.0 AS DOUBLE) AS y1a, CAST(0.0 AS DOUBLE) AS y2a,
+         |    CAST(0.0 AS DOUBLE) AS x1b, CAST(0.0 AS DOUBLE) AS x2b,
+         |    CAST(0.0 AS DOUBLE) AS y1b, CAST(0.0 AS DOUBLE) AS y2b,
+         |    CAST(NULL AS DOUBLE) AS y
+         |  FROM embeddings e
+         |  UNION ALL
+         |  SELECT vec_id, k, xin AS x1a, x1a AS x2a, ya AS y1a, y1a AS y2a,
+         |    ya AS x1b, x1b AS x2b, yb AS y1b, y1b AS y2b, yb AS y
+         |  FROM (
+         |    SELECT t.*, ($b0b * ya + $b1b * x1b + $b2b * x2b
+         |                 - $a1b * y1b - $a2b * y2b) AS yb
+         |    FROM (
+         |      SELECT s.vec_id, s.k + 1 AS k, j.x AS xin,
+         |        s.x1a, s.x2a, s.y1a, s.y2a, s.x1b, s.x2b, s.y1b, s.y2b,
+         |        ($b0a * j.x + $b1a * s.x1a + $b2a * s.x2a
+         |          - $a1a * s.y1a - $a2a * s.y2a) AS ya
+         |      FROM $src s JOIN ${if (rev) "fwdn" else "ex"} j
+         |        ON $join) t)""".stripMargin
+    }
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |dims AS (SELECT vec_id, len(embedding) AS n FROM embeddings),
+       |fwd AS (
+       |${pass("fwd", rev = false)}),
+       |fwdn AS (
+       |  SELECT f.vec_id, f.k AS idx, f.y AS x, d.n
+       |  FROM fwd f JOIN dims d USING (vec_id) WHERE f.k > 0),
+       |bwd AS (
+       |${pass("bwd", rev = true)})
+       |SELECT b.vec_id, CAST(d.n AS BIGINT) AS n,
+       |  (round(max(CASE WHEN b.k = d.n + 1 - (d.n // 2) THEN b.y END), 6)
+       |    + 0.0) AS y_mid,
+       |  (round(max(CASE WHEN b.k = 1 THEN b.y END), 6) + 0.0) AS y_last
+       |FROM bwd b JOIN dims d USING (vec_id)
+       |WHERE b.k > 0
+       |GROUP BY b.vec_id, d.n""".stripMargin
+  }
+
+  /** q101: WebRTC-VAD-shaped frame classification probe (P8/F7 full
+    * fidelity, `audio_processor.py:217-278`): the embedding as a 1 kHz
+    * signal in 8-sample frames through the REAL vadFrames kernel —
+    * two-feature decision (RMS gate AND ZCR ceiling, or loud-override)
+    * at aggressiveness 2, last frame zero-padded. The oracle recomputes
+    * both features and the decision rule per frame in closed form; the
+    * thresholds are embedded from the same Scala expressions so the
+    * inexact 0.01·(1+a) arithmetic matches bit-for-bit. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((emb: Seq[Float]) => {
+      val flags = graft.functions.AudioDsp.vadFrames(
+        emb.map(_.toDouble).toArray, fsHz = 1000.0, frameMs = 8,
+        aggressiveness = 2)
+      val first = flags.indexWhere(identity)
+      (flags.length.toLong, flags.count(identity).toLong, first.toLong)
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), probe(col("embedding")).as("t"))
+      .select(col("vec_id"), col("t._1").as("n_frames"),
+        col("t._2").as("n_speech"), col("t._3").as("first_speech"))
+  }
+
+  private val q101Sql = {
+    val aggressiveness = 2
+    val eThresh = 0.01 * (1 + aggressiveness)
+    val zThresh = 0.5 - 0.1 * aggressiveness
+    val speech =
+      s"""(sqrt(list_reduce(list_transform(m[(f-1)*8+1 : f*8], v -> v * v),
+         |      (a, b) -> a + b) / 8.0) >= $eThresh
+         |    AND CAST(len(list_filter(range((f-1)*8+2, least(nm, f*8) + 1),
+         |      i -> (m[i] >= 0) <> (m[i-1] >= 0))) AS DOUBLE) / 8.0
+         |      <= $zThresh)
+         |   OR sqrt(list_reduce(list_transform(m[(f-1)*8+1 : f*8], v -> v * v),
+         |      (a, b) -> a + b) / 8.0) >= 3.0 * $eThresh""".stripMargin
+    s"""SELECT vec_id, CAST(nf AS BIGINT) AS n_frames,
+       |  CAST(len(list_filter(range(1, nf + 1), f ->
+       |    $speech)) AS BIGINT) AS n_speech,
+       |  CAST(coalesce(list_min(list_filter(range(1, nf + 1), f ->
+       |    $speech)), 0) - 1 AS BIGINT) AS first_speech
+       |FROM (
+       |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS m,
+       |    len(embedding) AS nm, (len(embedding) + 7) // 8 AS nf
+       |  FROM embeddings)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q99_mfcc_probe", q99, Some(q99Sql)),
+    QueryDef("q100_filtfilt_probe", q100, Some(q100Sql)),
+    QueryDef("q101_webrtc_vad_probe", q101, Some(q101Sql)),
     QueryDef("q95_features_probe", q95, Some(q95Sql)),
     QueryDef("q89_rotate_probe", q89, Some(q89Sql)),
     QueryDef("q88_image_kernel_probe", q88, Some(q88Sql)),

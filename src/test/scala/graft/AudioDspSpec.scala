@@ -106,4 +106,66 @@ class AudioDspSpec extends SparkSpec {
     assert(ft.zcr > 0.1)
     assert(ft.centroidHz > 500.0)
   }
+
+  test("F5 filtfilt: zero-phase (peak not delayed) and DC fully removed") {
+    import AudioDsp.Spectral.{FsHz => _}
+    val fs = 16000.0
+    // DC + a 1 kHz burst centered at sample 512
+    val n = 1024
+    val x = Array.tabulate(n) { i =>
+      0.7 + (if (math.abs(i - 512) < 64)
+        0.3 * math.sin(2 * math.Pi * 1000 * i / fs) else 0.0)
+    }
+    val y = AudioDsp.highPassFiltFilt(x, 80.0, fs)
+    // DC gone: mean of the steady region ~0 (single-pass biquad leaves
+    // a decaying transient; filtfilt kills it from both ends)
+    val steady = y.slice(200, 440)
+    assert(math.abs(steady.sum / steady.length) < 1e-3)
+    // zero-phase: the burst's energy centroid stays centered (a causal
+    // order-4 filter would delay it by several samples)
+    def centroid(v: Array[Double], a: Int, b: Int): Double = {
+      var num = 0.0; var den = 0.0
+      for (i <- a until b) { num += i * v(i) * v(i); den += v(i) * v(i) }
+      num / den
+    }
+    val cIn = centroid(x.map(_ - 0.7), 448, 576)
+    val cOut = centroid(y, 448, 576)
+    assert(math.abs(cIn - cOut) < 1.0, s"phase shift: $cIn vs $cOut")
+  }
+
+  test("F10 spectral: MFCC/bandwidth/rolloff track signal structure") {
+    import AudioDsp.Spectral
+    // pure tone near bin 8 (125 Hz at fs=1000, N=64): rolloff low,
+    // bandwidth narrow; white-ish alternation: rolloff high
+    val tone = Array.tabulate(Spectral.N)(i =>
+      math.sin(2 * math.Pi * 8 * i / Spectral.N))
+    val alt = Array.tabulate(Spectral.N)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val fTone = AudioDsp.spectralFeatures(tone)
+    val fAlt = AudioDsp.spectralFeatures(alt)
+    assert(math.abs(fTone.centroidHz - 125.0) < 5.0)
+    assert(fTone.bandwidthHz < 30.0)
+    assert(fTone.rolloffHz <= 187.5 && fAlt.rolloffHz === 500.0)
+    assert(fAlt.centroidHz > 450.0)
+    assert(fTone.mfcc.length == Spectral.NMfcc)
+    // loudness moves mfcc0 (log-energy axis) up
+    val loud = tone.map(_ * 10.0)
+    assert(AudioDsp.spectralFeatures(loud).mfcc(0) > fTone.mfcc(0))
+  }
+
+  test("P8 WebRTC-shaped VAD: voiced passes, noise rejected, agg ordering") {
+    val fs = 16000.0
+    // voiced: strong low-ZCR 200 Hz tone; noise: weak high-ZCR alternation
+    val voiced = Array.tabulate(480)(i => 0.5 * math.sin(2 * math.Pi * 200 * i / fs))
+    val fricative = Array.tabulate(480)(i => 0.05 * (if (i % 2 == 0) 1.0 else -1.0))
+    val loudNoise = Array.tabulate(480)(i => 0.9 * (if (i % 2 == 0) 1.0 else -1.0))
+    assert(AudioDsp.vadFrames(voiced, fs).forall(identity))
+    assert(!AudioDsp.vadFrames(fricative, fs).exists(identity))
+    // loud-override: high ZCR but way above the energy bar still passes
+    assert(AudioDsp.vadFrames(loudNoise, fs).forall(identity))
+    // monotone in aggressiveness: stricter modes accept a subset
+    val marginal = Array.tabulate(480)(i => 0.035 * math.sin(2 * math.Pi * 200 * i / fs))
+    val accepts = (0 to 3).map(a =>
+      AudioDsp.vadFrames(marginal, fs, aggressiveness = a).count(identity))
+    assert(accepts == accepts.sorted.reverse, s"not monotone: $accepts")
+  }
 }
