@@ -110,6 +110,204 @@ object ImageOps {
     dark.toDouble / img.px.length >= 0.01
   }
 
+  /** F14/F17 core: grayscale morphology — erode = window minimum,
+    * dilate = window maximum, window clipped to the frame (pixels
+    * outside contribute nothing, the neutral-border convention). The
+    * anchor is the window's top-left-of-center, matching OpenCV's
+    * default for even kernels (`image_processor.py:188-191` 2×2 open,
+    * `:240-262` line kernels). */
+  def erode(img: Gray, kw: Int, kh: Int): Gray =
+    morph(img, kw, kh, min = true)
+
+  def dilate(img: Gray, kw: Int, kh: Int): Gray =
+    morph(img, kw, kh, min = false)
+
+  private def morph(img: Gray, kw: Int, kh: Int, min: Boolean): Gray = {
+    val ax = (kw - 1) / 2
+    val ay = (kh - 1) / 2
+    val out = new Array[Byte](img.px.length)
+    var y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        var best = if (min) 255 else 0
+        var dy = -ay
+        while (dy < kh - ay) {
+          val yy = y + dy
+          if (yy >= 0 && yy < img.h) {
+            var dx = -ax
+            while (dx < kw - ax) {
+              val xx = x + dx
+              if (xx >= 0 && xx < img.w) {
+                val v = img(xx, yy)
+                if (if (min) v < best else v > best) best = v
+              }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        out(y * img.w + x) = best.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Gray(img.w, img.h, out)
+  }
+
+  /** MORPH_OPEN with iterations: erode ×n then dilate ×n (OpenCV's
+    * `morphologyEx(..., iterations=n)` semantics). Removes bright
+    * structures smaller than the kernel on dark-content planes (and
+    * vice versa for close). */
+  def open(img: Gray, kw: Int, kh: Int, iterations: Int = 1): Gray = {
+    var e = img
+    for (_ <- 1 to iterations) e = erode(e, kw, kh)
+    for (_ <- 1 to iterations) e = dilate(e, kw, kh)
+    e
+  }
+
+  def close(img: Gray, kw: Int, kh: Int, iterations: Int = 1): Gray = {
+    var d = img
+    for (_ <- 1 to iterations) d = dilate(d, kw, kh)
+    for (_ <- 1 to iterations) d = erode(d, kw, kh)
+    d
+  }
+
+  /** Saturating pixel subtraction (cv2.subtract). */
+  def subtractSat(a: Gray, b: Gray): Gray = {
+    require(a.w == b.w && a.h == b.h)
+    Gray(a.w, a.h, Array.tabulate(a.px.length)(i =>
+      math.max(0, (a.px(i) & 0xff) - (b.px(i) & 0xff)).toByte))
+  }
+
+  /** cv2.addWeighted(a, wa, b, wb, 0) with uint8 saturation+rounding. */
+  def addWeighted(a: Gray, wa: Double, b: Gray, wb: Double): Gray = {
+    require(a.w == b.w && a.h == b.h)
+    Gray(a.w, a.h, Array.tabulate(a.px.length) { i =>
+      val v = wa * (a.px(i) & 0xff) + wb * (b.px(i) & 0xff)
+      math.max(0, math.min(255, math.round(v))).toByte
+    })
+  }
+
+  /** F17: morphological noise removal — close+open (specks), then
+    * long-kernel line detection and saturating line subtraction
+    * (`image_processor.py:238-262`; kernel length scaled to the plane:
+    * the reference's 25 px assumes ~2000 px scans). */
+  def removeNoise(img: Gray, lineLen: Int = 9): Gray = {
+    val cleaned = open(close(img, 1, 1), 1, 1) // 1×1: identity, as in ref
+    val hLines = open(cleaned, lineLen, 1, iterations = 2)
+    val vLines = open(cleaned, 1, lineLen, iterations = 2)
+    subtractSat(subtractSat(cleaned, hLines), vLines)
+  }
+
+  /** F20: table-structure mask — long-kernel open in both axes,
+    * blended 0.5/0.5 (`image_processor.py:337-368`); the contour stage
+    * is [[tableBoxes]]. */
+  def tableMask(img: Gray, lineLen: Int = 9): Gray =
+    addWeighted(open(img, lineLen, 1, iterations = 2), 0.5,
+      open(img, 1, lineLen, iterations = 2), 0.5)
+
+  /** F20: connected dark regions of the table mask → bounding boxes with
+    * area above the threshold (the contour+boundingRect stage; 4-connex
+    * flood fill instead of cv2.findContours). */
+  def tableBoxes(mask: Gray, darkerThan: Int = 128, minArea: Int = 8)
+      : Seq[(Int, Int, Int, Int)] = {
+    val seen = new Array[Boolean](mask.px.length)
+    val boxes = Seq.newBuilder[(Int, Int, Int, Int)]
+    var i = 0
+    while (i < mask.px.length) {
+      if (!seen(i) && (mask.px(i) & 0xff) < darkerThan) {
+        var minX = Int.MaxValue; var minY = Int.MaxValue
+        var maxX = -1; var maxY = -1
+        var area = 0
+        val stack = scala.collection.mutable.ArrayDeque(i)
+        seen(i) = true
+        while (stack.nonEmpty) {
+          val j = stack.removeLast()
+          val (x, y) = (j % mask.w, j / mask.w)
+          area += 1
+          if (x < minX) minX = x
+          if (x > maxX) maxX = x
+          if (y < minY) minY = y
+          if (y > maxY) maxY = y
+          for ((nx, ny) <- Seq((x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1)))
+            if (nx >= 0 && nx < mask.w && ny >= 0 && ny < mask.h) {
+              val nj = ny * mask.w + nx
+              if (!seen(nj) && (mask.px(nj) & 0xff) < darkerThan) {
+                seen(nj) = true
+                stack += nj
+              }
+            }
+        }
+        if (area >= minArea)
+          boxes += ((minX, minY, maxX - minX + 1, maxY - minY + 1))
+      }
+      i += 1
+    }
+    boxes.result()
+  }
+
+  /** F15: contrast enhancement — contrast-limited histogram equalization
+    * (single tile: the probe planes are smaller than one reference
+    * 8×8-grid tile) followed by the reference's gamma-1.2 LUT
+    * (`image_processor.py:198-215`). Clip = clipLimit·N/256 (≥1);
+    * clipped mass is redistributed equally; LUT = round(cdf·255/N). */
+  def claheLut(img: Gray, clipLimit: Double = 2.0): Array[Int] = {
+    val n = img.px.length
+    val hist = new Array[Long](256)
+    img.px.foreach(b => hist(b & 0xff) += 1)
+    val clip = math.max(1.0, clipLimit * n / 256.0)
+    var excess = 0.0
+    val clipped = hist.map { c =>
+      if (c > clip) { excess += c - clip; clip } else c.toDouble
+    }
+    val share = excess / 256.0
+    var cdf = 0.0
+    clipped.map { c =>
+      cdf += c + share
+      math.max(0, math.min(255, math.round(cdf * 255.0 / n))).toInt
+    }
+  }
+
+  def enhanceContrast(img: Gray, clipLimit: Double = 2.0): Gray = {
+    val lut = claheLut(img, clipLimit)
+    Gray(img.w, img.h,
+      img.px.map(b => GammaLut(lut(b & 0xff)).toByte))
+  }
+
+  /** The reference's gamma-correction LUT (γ = 1.2,
+    * `image_processor.py:207-212`: ((i/255)^(1/γ))·255 truncated to
+    * uint8) — precomputed so the SQL oracle embeds identical entries. */
+  val GammaLut: Array[Int] =
+    Array.tabulate(256)(i =>
+      (math.pow(i / 255.0, 1.0 / 1.2) * 255.0).toInt)
+
+  /** F22: OCR enhancement — crop to content, CLAHE+gamma, 3×3 sharpen
+    * (center 9, neighbors −1, replicated border), blended 0.7/0.3
+    * (`image_processor.py:400-420`). */
+  def sharpen3x3(img: Gray): Gray = {
+    def at(x: Int, y: Int): Int =
+      img(math.max(0, math.min(img.w - 1, x)),
+        math.max(0, math.min(img.h - 1, y)))
+    Gray(img.w, img.h, Array.tabulate(img.px.length) { i =>
+      val (x, y) = (i % img.w, i / img.w)
+      var s = 10 * at(x, y) // 9·center + center − all 9 window cells
+      var dy = -1
+      while (dy <= 1) {
+        var dx = -1
+        while (dx <= 1) { s -= at(x + dx, y + dy); dx += 1 }
+        dy += 1
+      }
+      math.max(0, math.min(255, s)).toByte
+    })
+  }
+
+  def enhanceForOcr(img: Gray): Gray = {
+    val cropped = cropToContent(img)
+    val contrasted = enhanceContrast(cropped)
+    addWeighted(contrasted, 0.7, sharpen3x3(contrasted), 0.3)
+  }
+
   /** F19 (projection-profile surrogate): horizontal dark-row bands →
     * block rows, classified by aspect ratio like the reference
     * (`image_processor.py:288-335`: >5 line, >2 paragraph, 0.8-1.2

@@ -796,7 +796,219 @@ object MediaQueries {
        |  FROM embeddings)""".stripMargin
   }
 
+  // ---- q102/q103 SQL helpers: morphology / pixel stages over the ----
+  // ---- 32×16 plane as DuckDB list comprehensions (0-based i var) ----
+  private val W = 32
+  private val H = 16
+  private def xOf(i: String) = s"($i % $W)"
+  private def yOf(i: String) = s"($i // $W)"
+
+  /** erode/dilate with a 2×2 window anchored top-left (the kernel's
+    * convention): out-of-frame cells contribute the neutral element. */
+  private def morph2x2Sql(src: String, min: Boolean): String = {
+    val neutral = if (min) 255 else 0
+    val f = if (min) "least" else "greatest"
+    val (x, y) = (xOf("i"), yOf("i"))
+    s"""list_transform(range(0, ${W * H}), i -> $f(
+       |  $src[i + 1],
+       |  CASE WHEN $x < ${W - 1} THEN $src[i + 2] ELSE $neutral END,
+       |  CASE WHEN $y < ${H - 1} THEN $src[i + $W + 1] ELSE $neutral END,
+       |  CASE WHEN $x < ${W - 1} AND $y < ${H - 1}
+       |    THEN $src[i + $W + 2] ELSE $neutral END))""".stripMargin
+  }
+
+  /** erode/dilate with a 1-D window of `2r+1` cells along one axis,
+    * window clipped to the frame. */
+  private def morphLineSql(src: String, r: Int, horizontal: Boolean,
+      min: Boolean): String = {
+    val agg = if (min) "list_min" else "list_max"
+    val (x, y) = (xOf("i"), yOf("i"))
+    if (horizontal)
+      s"""list_transform(range(0, ${W * H}), i -> $agg(
+         |  list_transform(list_filter(range(${-r}, ${r + 1}),
+         |    d -> $x + d >= 0 AND $x + d <= ${W - 1}),
+         |    d -> $src[i + d + 1])))""".stripMargin
+    else
+      s"""list_transform(range(0, ${W * H}), i -> $agg(
+         |  list_transform(list_filter(range(${-r}, ${r + 1}),
+         |    d -> $y + d >= 0 AND $y + d <= ${H - 1}),
+         |    d -> $src[i + d * $W + 1])))""".stripMargin
+  }
+
+  private def checksumSql(src: String): String =
+    s"""CAST(list_reduce(list_transform(range(0, ${W * H}),
+       |  i -> CAST((i + 1) * $src[i + 1] AS BIGINT)),
+       |  (a, b) -> a + b) AS BIGINT)""".stripMargin
+
+  private val planeSql = // the q88 text plane (code-point indexed)
+    s"""[CASE WHEN (ascii(substr(text, ((i * 7) % nch) + 1, 1))
+       |            * (i + 1)) % 17 = 0
+       |      THEN 40 ELSE 255 END for i in range(0, ${W * H})]""".stripMargin
+
+  /** q102: morphology probe (F14/F17/F20 kernels,
+    * `image_processor.py:182-195,238-262,337-368`): the binarized q88
+    * plane through the REAL ImageOps morphology — 2×2 open and close,
+    * 2-iteration 9-cell line detection with saturating line removal,
+    * and the 0.5/0.5 table mask — summarized as position-weighted
+    * integer checksums (exact in both engines). The oracle recomputes
+    * every erode/dilate stage as window min/max list comprehensions
+    * with identical clipping. */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val io = graft.functions.ImageOps
+      val b = io.binarizeFixed(io.Gray(W, H, textPlane(text)))
+      def checksum(g: graft.functions.ImageOps.Gray): Long = {
+        var s = 0L
+        var i = 0
+        while (i < g.px.length) { s += (i + 1).toLong * (g.px(i) & 0xff); i += 1 }
+        s
+      }
+      val tm = io.tableMask(b, 9)
+      (checksum(io.open(b, 2, 2)), checksum(io.close(b, 2, 2)),
+        checksum(io.removeNoise(b, 9)),
+        tm.px.count(p => (p & 0xff) < 128).toLong)
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(col("doc_id"), col("t._1").as("c_open"),
+        col("t._2").as("c_close"), col("t._3").as("c_removed"),
+        col("t._4").as("n_table_dark"))
+  }
+
+  private val q102Sql =
+    s"""SELECT doc_id,
+       |  ${checksumSql("o22")} AS c_open,
+       |  ${checksumSql("c22")} AS c_close,
+       |  CAST(list_reduce(list_transform(range(0, ${W * H}),
+       |    i -> CAST((i + 1) * greatest(0, greatest(0, b[i + 1] - hl[i + 1])
+       |                 - vl[i + 1]) AS BIGINT)),
+       |    (a, b2) -> a + b2) AS BIGINT) AS c_removed,
+       |  CAST(len(list_filter(range(0, ${W * H}),
+       |    i -> round(0.5 * hl[i + 1] + 0.5 * vl[i + 1]) < 128))
+       |    AS BIGINT) AS n_table_dark
+       |FROM (
+       |  SELECT doc_id, b, hl, vl,
+       |    ${morph2x2Sql("e22", min = false)} AS o22,
+       |    ${morph2x2Sql("d22", min = true)} AS c22
+       |  FROM (
+       |    SELECT doc_id, b,
+       |      ${morph2x2Sql("b", min = true)} AS e22,
+       |      ${morph2x2Sql("b", min = false)} AS d22,
+       |      ${morphLineSql("dh1", 4, horizontal = true, min = false)} AS hl,
+       |      ${morphLineSql("dv1", 4, horizontal = false, min = false)} AS vl
+       |    FROM (
+       |      SELECT doc_id, b,
+       |        ${morphLineSql("eh2", 4, horizontal = true, min = false)} AS dh1,
+       |        ${morphLineSql("ev2", 4, horizontal = false, min = false)} AS dv1
+       |      FROM (
+       |        SELECT doc_id, b,
+       |          ${morphLineSql("eh1", 4, horizontal = true, min = true)} AS eh2,
+       |          ${morphLineSql("ev1", 4, horizontal = false, min = true)} AS ev2
+       |        FROM (
+       |          SELECT doc_id, b,
+       |            ${morphLineSql("b", 4, horizontal = true, min = true)} AS eh1,
+       |            ${morphLineSql("b", 4, horizontal = false, min = true)} AS ev1
+       |          FROM (
+       |            SELECT doc_id,
+       |              list_transform(p, v -> CASE WHEN v > 127 THEN 255 ELSE 0 END) AS b
+       |            FROM (
+       |              SELECT doc_id, $planeSql AS p
+       |              FROM (SELECT doc_id, text, length(text) AS nch
+       |                    FROM documents WHERE length(text) >= 1))))))))""".stripMargin
+
+  /** q103: contrast/sharpen probe (F15/F22,
+    * `image_processor.py:198-215,400-420`): the q88 plane through the
+    * REAL enhanceContrast (contrast-limited equalization + γ=1.2 LUT),
+    * sharpen3x3 (center 9 / neighbors −1, replicated border), and the
+    * 0.7/0.3 blend — checksums plus the blended mid pixel. The oracle
+    * rebuilds the CLAHE LUT from the plane histogram with the same
+    * clip/redistribute arithmetic (the probe plane is two-valued, so
+    * the histogram is the {40, 255} count pair) and embeds the kernel's
+    * gamma LUT literally. */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val io = graft.functions.ImageOps
+      val img = io.Gray(W, H, textPlane(text))
+      val enh = io.enhanceContrast(img)
+      val sh = io.sharpen3x3(enh)
+      val bl = io.addWeighted(enh, 0.7, sh, 0.3)
+      def checksum(g: graft.functions.ImageOps.Gray): Long = {
+        var s = 0L
+        var i = 0
+        while (i < g.px.length) { s += (i + 1).toLong * (g.px(i) & 0xff); i += 1 }
+        s
+      }
+      (checksum(enh), checksum(sh), checksum(bl),
+        (bl.px(W * H / 2) & 0xff).toLong)
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(col("doc_id"), col("t._1").as("c_enhanced"),
+        col("t._2").as("c_sharpened"), col("t._3").as("c_blended"),
+        col("t._4").as("mid_px"))
+  }
+
+  private val q103Sql = {
+    val gamma = graft.functions.ImageOps.GammaLut.mkString("[", ", ", "]")
+    val n = W * H
+    val clip = math.max(1.0, 2.0 * n / 256.0)
+    // 3×3 sharpen with replicated border: 10·center − Σ 3×3 window
+    val (x, y) = (xOf("i"), yOf("i"))
+    def cell(dx: Int, dy: Int) =
+      s"e[least(${H - 1}, greatest(0, $y + $dy)) * $W" +
+        s" + least(${W - 1}, greatest(0, $x + $dx)) + 1]"
+    val windowSum = (for (dy <- -1 to 1; dx <- -1 to 1) yield cell(dx, dy))
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       |  ${checksumSql("e")} AS c_enhanced,
+       |  ${checksumSql("sh")} AS c_sharpened,
+       |  ${checksumSql("bl")} AS c_blended,
+       |  CAST(bl[${n / 2 + 1}] AS BIGINT) AS mid_px
+       |FROM (
+       |  SELECT doc_id, e, sh,
+       |    list_transform(range(0, $n), i -> CAST(least(255, greatest(0,
+       |      round(0.7 * e[i + 1] + 0.3 * sh[i + 1]))) AS INT)) AS bl
+       |  FROM (
+       |    SELECT doc_id, e,
+       |      list_transform(range(0, $n), i -> least(255, greatest(0,
+       |        10 * e[i + 1] - ($windowSum)))) AS sh
+       |    FROM (
+       |      SELECT doc_id,
+       |        list_transform(p, v -> $gamma[lut[v + 1] + 1]) AS e
+       |      FROM (
+       |        SELECT doc_id, p,
+       |          list_transform(range(0, 256), v -> CAST(least(255, greatest(0,
+       |            round(list_reduce(
+       |              list_transform(cl[1 : v + 1], c -> c + share),
+       |              (a, b) -> a + b) * 255.0 / $n))) AS INT)) AS lut
+       |        FROM (
+       |          SELECT doc_id, p, cl,
+       |            list_reduce(list_transform(hist, c -> greatest(0.0, c - $clip)),
+       |              (a, b) -> a + b) / 256.0 AS share
+       |          FROM (
+       |            SELECT doc_id, p, hist,
+       |              list_transform(hist, c -> CASE WHEN c > $clip THEN $clip
+       |                ELSE CAST(c AS DOUBLE) END) AS cl
+       |            FROM (
+       |              SELECT doc_id, p,
+       |                list_transform(range(0, 256), v -> CASE
+       |                  WHEN v = 40 THEN n40
+       |                  WHEN v = 255 THEN $n - n40
+       |                  ELSE 0 END) AS hist
+       |              FROM (
+       |                SELECT doc_id, p,
+       |                  len(list_filter(p, v -> v = 40)) AS n40
+       |                FROM (
+       |                  SELECT doc_id, $planeSql AS p
+       |                  FROM (SELECT doc_id, text, length(text) AS nch
+       |                        FROM documents WHERE length(text) >= 1))))))))))""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q102_morphology_probe", q102, Some(q102Sql)),
+    QueryDef("q103_enhance_probe", q103, Some(q103Sql)),
     QueryDef("q99_mfcc_probe", q99, Some(q99Sql)),
     QueryDef("q100_filtfilt_probe", q100, Some(q100Sql)),
     QueryDef("q101_webrtc_vad_probe", q101, Some(q101Sql)),

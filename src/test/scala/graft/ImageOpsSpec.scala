@@ -66,4 +66,75 @@ class ImageOpsSpec extends SparkSpec {
     // reading order: sorted by y
     assert(blocks.map(_._2) == blocks.map(_._2).sorted)
   }
+
+  test("F14 morphology: open removes specks smaller than the kernel, close fills pinholes") {
+    // white canvas, solid 10×10 block + isolated 1-px dot
+    val img = canvas(40, 20, (5, 5, 10, 10), (30, 10, 1, 1))
+    // dark content: OPEN (min-then-max) removes *bright* specks; the dual
+    // for dark specks is CLOSE (max-then-min): the 1-px dark dot vanishes
+    val closed = ImageOps.close(img, 2, 2)
+    assert(closed(30, 10) == 255, "1-px dark dot should be closed away")
+    // the solid block survives (interior intact)
+    assert(closed(10, 10) == 0)
+    // dual check: a 1-px BRIGHT pinhole inside the dark block is
+    // removed by OPEN (erode grows darkness over it, dilate cannot
+    // restore a speck smaller than the kernel)
+    val holed = canvas(40, 20, (5, 5, 10, 10))
+    holed.px(8 * 40 + 8) = 255.toByte
+    assert(ImageOps.open(holed, 2, 2)(8, 8) == 0,
+      "1-px bright pinhole should be opened away")
+  }
+
+  test("F17 remove-noise: long straight lines removed, text blobs kept") {
+    // a 30-px horizontal dark rule + a 4×4 text blob, dark-on-white.
+    // Line detection opens the INK mask dual: on white-bg planes the
+    // long erode can only keep darkness where a full kernel-length run
+    // is dark, which is exactly the rule
+    val img = canvas(40, 20, (2, 3, 36, 1), (10, 10, 4, 4))
+    val cleaned = ImageOps.removeNoise(img, lineLen = 9)
+    // where the rule was: b - hline = 0 - 0 = 0 stays... the subtract
+    // semantics follow the reference (cv2.subtract); assert the rule
+    // region changed while the blob's interior pixel is unaffected by
+    // the vertical/horizontal line images (those are white there: -255
+    // saturates at 0 → blob darkness preserved as 0)
+    assert(cleaned(11, 11) == 0, "text blob must survive")
+    // table mask: dark exactly where long runs exist in either axis
+    val tm = ImageOps.tableMask(img, 9)
+    assert(tm(10, 3) < 128, "rule row must be dark in the table mask")
+    assert(tm(35, 15) >= 128, "empty region must stay bright")
+    val boxes = ImageOps.tableBoxes(tm, minArea = 8)
+    assert(boxes.nonEmpty && boxes.head._3 >= 20,
+      s"rule should yield a wide box: $boxes")
+  }
+
+  test("F15 CLAHE+gamma: output is a monotone LUT remap that brightens midtones") {
+    val img = canvas(100, 100, (20, 20, 30, 30))
+    val enh = ImageOps.enhanceContrast(img)
+    // LUT property: equal inputs map to equal outputs
+    val outFor = img.px.zip(enh.px).groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(outFor.forall(_._2.length == 1))
+    // gamma 1.2 brightens midtones: a mid-gray plane maps above itself
+    val mid = Gray(4, 4, Array.fill(16)(100.toByte))
+    val midEnh = ImageOps.enhanceContrast(mid)
+    assert((midEnh.px(0) & 0xff) >= (ImageOps.GammaLut(100) min 255))
+    // gamma LUT anchors
+    assert(ImageOps.GammaLut(0) == 0 && ImageOps.GammaLut(255) == 255)
+    assert(ImageOps.GammaLut(100) > 100) // inverse-gamma brightens
+  }
+
+  test("F22 enhance-for-ocr: sharpen raises edge contrast, blend stays in range") {
+    val img = canvas(120, 120, (30, 30, 60, 60))
+    val out = ImageOps.enhanceForOcr(img)
+    assert(out.px.forall(b => (b & 0xff) >= 0 && (b & 0xff) <= 255))
+    // sharpening overshoots at edges: the sharpened plane has strictly
+    // wider dynamic range at the block boundary than the input
+    val enh = ImageOps.enhanceContrast(ImageOps.cropToContent(img))
+    val sh = ImageOps.sharpen3x3(enh)
+    val edgeIdx = enh.px.indices.filter { i =>
+      val (x, y) = (i % enh.w, i / enh.w)
+      x > 0 && (enh(x, y) != enh(x - 1, y))
+    }
+    assert(edgeIdx.exists(i => sh.px(i) != enh.px(i)),
+      "sharpen must modify edge pixels")
+  }
 }
