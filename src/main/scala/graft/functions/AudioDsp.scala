@@ -410,6 +410,34 @@ object AudioDsp {
     out
   }
 
+  /** F3: RMS normalization to a target dBFS with clipping protection
+    * (`audio_processor.py:93-114`). */
+  def normalize(x: Array[Double], targetDbfs: Double = -20.0): Array[Double] = {
+    if (x.isEmpty) return x.clone()
+    var e = 0.0
+    x.foreach(v => e += v * v)
+    val rms = math.sqrt(e / x.length)
+    if (rms == 0.0) return x.clone()
+    val gain = math.pow(10.0, (targetDbfs - 20.0 * math.log10(rms)) / 20.0)
+    x.map(v => math.max(-1.0, math.min(1.0, v * gain)))
+  }
+
+  /** F11: the reference's full preprocess chain
+    * (`audio_processor.py:20-67`): resample → to_mono → normalize →
+    * denoise → high-pass (order-4 zero-phase) → AGC — every stage the
+    * REAL kernel from this object, composed in the reference's order.
+    * `channels` describes the input interleaving; output is mono at
+    * `dstRate`. */
+  def preprocess(x: Array[Double], srcRate: Int, channels: Int = 1,
+      dstRate: Int = 16000): Array[Double] = {
+    val mono = toMono(x, channels)
+    val resampled = resampleLinear(mono, srcRate, dstRate)
+    val normalized = normalize(resampled)
+    val denoised = denoiseSubtract(normalized, fsHz = dstRate.toDouble)
+    val filtered = highPassFiltFilt(denoised, 80.0, dstRate.toDouble)
+    applyAgc(filtered)
+  }
+
   /** F6 trace form: same recurrence, but returns (final gain, number of
     * samples the limiter clipped) — the summary the oracle-checked q83
     * compares (the math is +, *, /, abs, min/max only: IEEE-exact and

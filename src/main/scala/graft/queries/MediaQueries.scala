@@ -180,8 +180,13 @@ object MediaQueries {
 
   /** q45: the streaming sessionizer applied in batch (typed
     * flatMapGroupsWithState path; event-time semantics identical to the
-    * streaming run → rows-only check, semantics oracle-tested via
-    * SessionLogicSpec + the q14/q15 SQL analogs). */
+    * streaming run, proved by StreamingBatchParitySpec). FULLY
+    * hash-checked: the oracle replays the exact session state machine —
+    * W1 buffering, W2 320 ms size trigger, W3 VAD endpoint, W4 150 ms
+    * overlap retention with byte-proportional segment splitting, W8
+    * debounce — as one recursive CTE per session, including the
+    * surrogate inferencer's FNV-1a text hash and confidence (props are
+    * pure ASCII, so character arithmetic = byte arithmetic). */
   private def q45(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val byUser = Window.partitionBy(col("user_id"))
@@ -196,6 +201,107 @@ object MediaQueries {
         lit(false).as("isFinal"))
       .as[graft.model.AudioChunk](Encoders.product[graft.model.AudioChunk])
     graft.streaming.SessionProcessor.attach(chunks, timeoutMs = 0L).toDF()
+  }
+
+  /** One transition of [[graft.streaming.SessionLogic.step]] per
+    * recursion level; state = (segment list with per-segment text,
+    * buffer origin, silence run, speech flag, debounce clock). All
+    * emission arithmetic is integer (byte-proportional splits use the
+    * same truncating division); the FNV fold seeds via list_prepend. */
+  private val q45Sql = {
+    val fnv = "(xor(a, b) * 16777619) % 4294967296"
+    s"""WITH RECURSIVE chunks AS (
+       |  SELECT sid, off, content, length(content) AS clen,
+       |    row_number() OVER (PARTITION BY sid ORDER BY off) AS rn
+       |  FROM (
+       |    SELECT CAST(user_id AS VARCHAR) AS sid,
+       |      (t_us - min(t_us) OVER (PARTITION BY user_id)) // 1000 AS off,
+       |      coalesce(props, '') AS content
+       |    FROM (SELECT user_id, props, ${Q.usSql} AS t_us FROM events))),
+       |sessions AS (SELECT DISTINCT sid FROM chunks),
+       |step AS (
+       |  SELECT sid, 0 AS k,
+       |    CAST([] AS STRUCT(s BIGINT, d BIGINT, txt VARCHAR)[]) AS segs,
+       |    CAST(0 AS BIGINT) AS bufstart, CAST(0 AS BIGINT) AS silence,
+       |    false AS speech, CAST(-1 AS BIGINT) AS lastp,
+       |    CAST(NULL AS VARCHAR) AS ev_text, CAST(NULL AS DOUBLE) AS ev_conf,
+       |    CAST(NULL AS BIGINT) AS ev_off
+       |  FROM sessions
+       |  UNION ALL
+       |  SELECT sid, k, segs2 AS segs, bufstart1 AS bufstart,
+       |    silence1 AS silence,
+       |    CASE WHEN w3 THEN false ELSE speech1 END AS speech,
+       |    CASE WHEN doemit THEN upto ELSE lastp END AS lastp,
+       |    CASE WHEN doemit THEN 'seg_' || h || '_' || blen END AS ev_text,
+       |    CASE WHEN doemit THEN CAST(h % 1000 AS DOUBLE) / 1000.0 END AS ev_conf,
+       |    CASE WHEN doemit THEN bufstart0 END AS ev_off
+       |  FROM (
+       |    SELECT l3.*,
+       |      list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+       |        list_transform(range(1, length(emit_txt) + 1),
+       |          i -> CAST(ascii(substr(emit_txt, CAST(i AS INT), 1)) AS BIGINT))),
+       |        (a, b) -> $fnv) AS h,
+       |      length(emit_txt) AS blen,
+       |      CASE WHEN doemit THEN list_filter(list_transform(segs1, g ->
+       |          CASE WHEN g.s + g.d <= keepfrom THEN NULL
+       |               WHEN g.s >= keepfrom THEN g
+       |               ELSE {s: keepfrom, d: g.s + g.d - keepfrom,
+       |                 txt: substr(g.txt,
+       |                   CAST(length(g.txt) * (keepfrom - g.s) // g.d AS INT) + 1)}
+       |          END), g -> g IS NOT NULL)
+       |        ELSE segs1 END AS segs2,
+       |      CASE WHEN doemit THEN keepfrom ELSE bufstart0 END AS bufstart1
+       |    FROM (
+       |      SELECT l2.*,
+       |        CASE WHEN doemit THEN list_reduce(list_prepend('',
+       |          list_transform(segs1, g ->
+       |            CASE WHEN g.s + g.d <= upto THEN g.txt
+       |                 WHEN g.s >= upto THEN ''
+       |                 ELSE substr(g.txt, 1,
+       |                   CAST(length(g.txt) * (upto - g.s) // g.d AS INT))
+       |            END)), (a, b) -> a || b) ELSE '' END AS emit_txt,
+       |        CASE WHEN doemit
+       |          THEN greatest(bufstart0, upto - 150) END AS keepfrom
+       |      FROM (
+       |        SELECT l1.*,
+       |          CASE WHEN w2 THEN endms WHEN w3 THEN endms - silence1 END AS upto,
+       |          ((w2 OR w3)
+       |            AND (CASE WHEN w2 THEN endms ELSE endms - silence1 END)
+       |                - bufstart0 > 0
+       |            AND NOT (lastp <> -1
+       |              AND (CASE WHEN w2 THEN endms ELSE endms - silence1 END)
+       |                  - lastp < 150)) AS doemit
+       |        FROM (
+       |          SELECT l0.*,
+       |            buffems >= 320 AS w2,
+       |            buffems < 320 AND speech1 AND silence1 >= 300 AS w3
+       |          FROM (
+       |            SELECT s.sid, c.rn AS k, s.lastp,
+       |              CASE WHEN len(s.segs) = 0 THEN c.off
+       |                   ELSE s.bufstart END AS bufstart0,
+       |              list_append(s.segs,
+       |                {s: c.off, d: CAST(50 AS BIGINT), txt: c.content}) AS segs1,
+       |              CASE WHEN rmsv < 10.0 THEN s.silence + 50
+       |                   ELSE CAST(0 AS BIGINT) END AS silence1,
+       |              CASE WHEN rmsv < 10.0 THEN s.speech ELSE true END AS speech1,
+       |              c.off + 50 AS endms,
+       |              list_reduce(list_transform(list_append(s.segs,
+       |                {s: c.off, d: CAST(50 AS BIGINT), txt: c.content}),
+       |                g -> g.d), (a, b) -> a + b) AS buffems
+       |            FROM step s
+       |            JOIN (
+       |              SELECT c0.*,
+       |                CASE WHEN clen = 0 THEN 0.0 ELSE sqrt(
+       |                  list_reduce(list_transform(range(1, clen + 1),
+       |                    i -> CAST(ascii(substr(content, CAST(i AS INT), 1))
+       |                      AS DOUBLE) * ascii(substr(content, CAST(i AS INT), 1))),
+       |                    (a, b) -> a + b) / clen) END AS rmsv
+       |              FROM chunks c0) c
+       |              ON c.sid = s.sid AND c.rn = s.k + 1) l0) l1) l2) l3))
+       |SELECT sid AS "sessionId", 'PARTIAL' AS "eventType",
+       |  ev_text AS "text", ev_conf AS "confidence",
+       |  ev_off AS "resultOffsetMs", true AS "isPartial"
+       |FROM step WHERE ev_text IS NOT NULL""".stripMargin
   }
 
   /** q83: AGC recurrence trace (F6, `audio_processor.py:182-215`) made
@@ -1028,5 +1134,5 @@ object MediaQueries {
     QueryDef("q41_last_n_context", q41, Some(q41Sql)),
     QueryDef("q43_approx_distinct", q43, None),
     QueryDef("q44_multimodal_features", q44, None),
-    QueryDef("q45_streaming_sessionize", q45, None))
+    QueryDef("q45_streaming_sessionize", q45, Some(q45Sql)))
 }

@@ -152,6 +152,29 @@ class AudioDspSpec extends SparkSpec {
     assert(AudioDsp.spectralFeatures(loud).mfcc(0) > fTone.mfcc(0))
   }
 
+  test("F11 preprocess chain: stereo 44.1k -> mono 16k, leveled, DC-free") {
+    val srcRate = 44100
+    // stereo interleaved: quiet 150 Hz tone + 0.2 DC offset
+    val n = srcRate / 2
+    val x = new Array[Double](n * 2)
+    for (i <- 0 until n) {
+      val v = 0.2 + 0.05 * math.sin(2 * math.Pi * 150 * i / srcRate)
+      x(2 * i) = v; x(2 * i + 1) = v
+    }
+    val y = AudioDsp.preprocess(x, srcRate, channels = 2)
+    // resampled to 16k mono
+    assert(math.abs(y.length - n.toLong * 16000 / srcRate) <= 1)
+    // output bounded by the AGC limiter
+    assert(y.forall(v => v >= -1.0 && v <= 1.0))
+    // DC removed by the zero-phase high-pass: steady-region mean ~ 0
+    val steady = y.slice(y.length / 4, 3 * y.length / 4)
+    assert(math.abs(steady.sum / steady.length) < 0.02,
+      s"residual DC: ${steady.sum / steady.length}")
+    // the quiet tone was brought up toward the AGC target
+    val rms = math.sqrt(steady.map(v => v * v).sum / steady.length)
+    assert(rms > 0.05, s"level not raised: $rms")
+  }
+
   test("P8 WebRTC-shaped VAD: voiced passes, noise rejected, agg ordering") {
     val fs = 16000.0
     // voiced: strong low-ZCR 200 Hz tone; noise: weak high-ZCR alternation
