@@ -648,7 +648,91 @@ object TextQueries {
        |      list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes
        |    FROM documents WHERE length(text) >= 8))""".stripMargin
 
+  /** q104: SimHash NEAR-DUP pairs — the Hamming-ball join that turns
+    * q30's signatures into a dedup operator (the missing half of the
+    * SimHash story; q30 only emits signatures). Pairs whose 60-bit
+    * simhashes differ in ≤ 3 bits are near-duplicates.
+    *
+    * Scale shape (Manku, Jain & Sarma, "Detecting Near-Duplicates for
+    * Web Crawling", WWW'07): the fingerprint is split into 4 blocks of
+    * 15 bits; by pigeonhole, Hamming distance ≤ 3 forces at least one
+    * block to match exactly, so candidates come from an EQUI-JOIN on
+    * (block-index, block-value) — never an all-pairs scan. Per-pair
+    * verification is one XOR + popcount. Duplicate candidates are
+    * eliminated without a `distinct` shuffle by the first-matching-block
+    * rule (q29's pattern): a pair found at block k is kept only when
+    * blocks 0..k−1 all differ.
+    *
+    * At N docs a 15-bit block key has ~N/2¹⁵ docs per bucket; at 100 TB
+    * widen the fingerprint and the blocks (Manku's production layout is
+    * 64-bit prints × 20+-bit permuted prefixes) so bucket population
+    * stays bounded — the knob is block width, the plan shape is fixed.
+    * AQE skew-join handles residual hot buckets.
+    *
+    * The 60-bit width is the largest md5-hex prefix (15 chars) both
+    * engines can cast to a signed BIGINT without overflow. Votes ride
+    * one explode + groupBy(doc_id) with map-side partial aggregation:
+    * each doc's words sit in one input row, so the shuffle carries one
+    * 60-column partial row per doc. */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val bits = 0 until 60
+    val hw = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val votes = bits.map(b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1))
+        .as(s"v$b"))
+    val sig = hw.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        bits.map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sh"))
+    val withBlocks = sig.select(col("doc_id") +: col("sh") +:
+      (0 until 4).map(i =>
+        expr(s"(sh div ${1L << (15 * i)}) % 32768").as(s"b$i")): _*)
+    val bandRows = withBlocks.select(
+      col("doc_id"), col("sh"), col("b0"), col("b1"), col("b2"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("bidx", "bval")))
+    val x = bandRows.select(col("bidx"), col("bval"),
+      col("doc_id").as("doc_a"), col("sh").as("sha"),
+      col("b0").as("b0a"), col("b1").as("b1a"), col("b2").as("b2a"))
+    val y = bandRows.select(col("bidx"), col("bval"),
+      col("doc_id").as("doc_b"), col("sh").as("shb"),
+      col("b0").as("b0b"), col("b1").as("b1b"), col("b2").as("b2b"))
+    x.join(y, Seq("bidx", "bval"))
+      .filter(col("doc_a") < col("doc_b") &&
+        (col("bidx") === 0 || col("b0a") =!= col("b0b")) &&
+        (col("bidx") <= 1 || col("b1a") =!= col("b1b")) &&
+        (col("bidx") <= 2 || col("b2a") =!= col("b2b")))
+      .withColumn("hd", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hd") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hd"))
+  }
+
+  /** Oracle: all-pairs over the identical 60-bit signatures (correctness
+    * form only — the banding is a Spark-side performance shape and
+    * changes no results). */
+  private val q104Sql =
+    """WITH hw AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(w),1,15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)),
+      |votes AS (
+      |  SELECT doc_id, i,
+      |    sum(CASE WHEN (h // (2**i)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hw, (SELECT unnest(range(60)) AS i) bits
+      |  GROUP BY doc_id, i),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN (2**i)::BIGINT ELSE 0 END) AS BIGINT) AS sh
+      |  FROM votes GROUP BY doc_id)
+      |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |  CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hd
+      |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q104_simhash_near_dup", q104, Some(q104Sql)),
     QueryDef("q72_rolling_fingerprint", q72, Some(q72Sql)),
     QueryDef("q71_langid_agreement", q71, Some(q71Sql)),
     QueryDef("q23_token_counts", q23, Some(q23Sql)),
