@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.model.AudioChunk
+import graft.observability.{Metrics, SparkMetricsBridge}
 import graft.streaming.{EnvelopeValidation, QueueRouter, ResultStore, SessionProcessor}
 
 /** The reference's flagship streaming path (SURVEY.md §3.1) assembled
@@ -34,6 +35,7 @@ object PipelineMain {
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Summary = {
     import spark.implicits._
+    SparkMetricsBridge.install(spark)
     val fs = new java.io.File(outDir)
     if (fs.exists()) {
       def rm(f: java.io.File): Unit = {
@@ -50,6 +52,7 @@ object PipelineMain {
 
     // ---- queue path: envelope → validate → route → sinks ----
     val q1 = stream.writeStream
+      .queryName("queue_router")
       .option("checkpointLocation", s"$outDir/ckpt_queue")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -69,11 +72,18 @@ object PipelineMain {
           (col("event_id") % 7 =!= 0).as("succeeded"),
           (expr("ts div 1000")).as("stored_at_us"))
         val v = EnvelopeValidation.validate(envelopes)
-        v.rejected.write.mode("append").parquet(s"$outDir/rejected")
+        // per-stage row counters ride the writes themselves (observe();
+        // no extra jobs) — K6, the reference's queue_operations_total
+        SparkMetricsBridge.observeStage(v.rejected, "queue_rejected")
+          .write.mode("append").parquet(s"$outDir/rejected")
         val routed = QueueRouter.route(v.accepted)
-        ResultStore.append(routed.results, s"$outDir/results")
-        routed.retries.write.mode("append").parquet(s"$outDir/retries")
-        routed.deadLetters.write.mode("append")
+        ResultStore.append(
+          SparkMetricsBridge.observeStage(routed.results, "queue_results"),
+          s"$outDir/results")
+        SparkMetricsBridge.observeStage(routed.retries, "queue_retries")
+          .write.mode("append").parquet(s"$outDir/retries")
+        SparkMetricsBridge.observeStage(routed.deadLetters, "queue_dead_letters")
+          .write.mode("append")
           .parquet(s"$outDir/dead_letters")
         ()
       }
@@ -91,8 +101,11 @@ object PipelineMain {
         lit(50L).as("durationMs"),
         lit(false).as("isFinal"))
       .as[AudioChunk](Encoders.product[AudioChunk])
-    val q2 = SessionProcessor.attach(chunks, timeoutMs = 0L)
+    val q2 = SparkMetricsBridge.observeStage(
+        SessionProcessor.attach(chunks, timeoutMs = 0L).toDF(),
+        "transcripts")
       .writeStream
+      .queryName("sessionizer")
       .option("checkpointLocation", s"$outDir/ckpt_sessions")
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
@@ -102,6 +115,11 @@ object PipelineMain {
 
     q1.awaitTermination()
     q2.awaitTermination()
+    // Prometheus-format metrics snapshot (K6/X7): per-stage row counters,
+    // action latency histograms, streaming progress gauges
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/metrics.prom"),
+      Metrics.registry.scrape())
 
     def cnt(p: String): Long =
       try spark.read.parquet(s"$outDir/$p").count()
