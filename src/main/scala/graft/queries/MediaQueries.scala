@@ -173,10 +173,49 @@ object MediaQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
-  /** q44: multimodal decode features (stub codec behind mapPartitions —
-    * not SQL-expressible by design → rows-only check). */
+  /** q44: multimodal decode features through the mapPartitions codec
+    * seam. The decode STAGE stays a stub (this container has no codecs)
+    * but the stub is deterministic byte arithmetic — FNV-1a 32 over the
+    * payload plus dimension/frame/embedding derivations — and the corpus
+    * is pure ASCII (octet_length == length at every SF), so the oracle
+    * replays it exactly in SQL: character arithmetic equals byte
+    * arithmetic (the q45 technique). A real codec swap would return this
+    * query to rows-only; until then the whole plumbing path — payload
+    * projection, partition-scoped decoder, feature schema, CSV embedding
+    * formatting — is hash-checked, not just row-counted. */
   private def q44(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal.featuresQuery(s, d)
+
+  /** printf('%.5f') matches Spark's format_number(_, 5) here: both emit
+    * fixed 5 decimals, and ties never occur (the values are binary
+    * floats n/255−0.5, never exactly k·10⁻⁵+5·10⁻⁶), so the rounding-
+    * mode difference (HALF_EVEN vs printf) is unreachable. */
+  private val q44Sql =
+    """WITH h0 AS (
+      |  SELECT doc_id, length(text) AS bl,
+      |    list_reduce(
+      |      list_prepend(CAST(2166136261 AS BIGINT),
+      |        list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, c) -> (xor(acc, c) * 16777619) % 4294967296) AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, bl, h,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality
+      |  FROM h0)
+      |SELECT doc_id AS id, modality, CAST(bl AS BIGINT) AS "byteLength",
+      |  CAST(1 + h % 4096 AS INT) AS width,
+      |  CAST(1 + (h // 4096) % 4096 AS INT) AS height,
+      |  CAST(CASE modality WHEN 'video' THEN 1 + h % 16
+      |       WHEN 'audio' THEN 1 + h % 512 ELSE 1 END AS INT) AS "nFrames",
+      |  h AS "contentHash",
+      |  list_aggregate(
+      |    list_transform(range(0, 8),
+      |      k -> printf('%.5f',
+      |        CAST(CAST((h // (2**(4*k))::BIGINT) % 256 AS FLOAT)
+      |          / CAST(255 AS FLOAT) - CAST(0.5 AS FLOAT) AS DOUBLE))),
+      |    'string_agg', ',') AS embedding
+      |FROM f""".stripMargin
 
   /** q45: the streaming sessionizer applied in batch (typed
     * flatMapGroupsWithState path; event-time semantics identical to the
@@ -1133,6 +1172,6 @@ object MediaQueries {
     QueryDef("q40_job_envelope", q40, Some(q40Sql)),
     QueryDef("q41_last_n_context", q41, Some(q41Sql)),
     QueryDef("q43_approx_distinct", q43, None),
-    QueryDef("q44_multimodal_features", q44, None),
+    QueryDef("q44_multimodal_features", q44, Some(q44Sql)),
     QueryDef("q45_streaming_sessionize", q45, Some(q45Sql)))
 }

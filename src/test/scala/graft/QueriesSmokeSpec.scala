@@ -17,10 +17,11 @@ class QueriesSmokeSpec extends SparkSpec {
   test("oracleSql covers every query except the declared rows-only ops") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    // rows-only by design: HLL sketch (approximate) and stubbed
-    // multimodal decode (q45's sessionizer gained a recursive-CTE
-    // oracle in round 6)
-    val rowsOnly = Set("q43_approx_distinct", "q44_multimodal_features")
+    // rows-only by design: only the HLL sketch remains (approximate by
+    // nature; its ±10% bound is asserted below). q45
+    // gained a recursive-CTE oracle and q44 a byte-arithmetic replay
+    // oracle in round 6.
+    val rowsOnly = Set("q43_approx_distinct")
     assert(o.subsetOf(q))
     assert((q -- o) == rowsOnly, s"queries without oracle: ${q -- o}")
   }
