@@ -510,7 +510,160 @@ object RelationalQueries {
       |      WHERE r_name = 'ASIA')
       |    GROUP BY 1, 2))""".stripMargin
 
+  /** q105: TPC-H Q17 shape — revenue lost to small-quantity orders of
+    * one brand's parts: lineitems below 20% of their part's average
+    * quantity. The correlated `avg` subquery becomes a WINDOW over the
+    * part key on the brand-pruned fact slice: broadcast the filtered
+    * part list into the scan, then ONE shuffle (l_partkey) computes the
+    * per-part average and filters in the same pass — no groupBy+rejoin
+    * round-trip. Quantities are integral doubles, so the window average
+    * is exact on both engines and the 0.2·avg comparison cannot flip. */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(Q.dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  private val q105Sql =
+    s"""SELECT round(${dsumBody("l_extendedprice")} / 7.0, 2) AS avg_yearly
+       |FROM (
+       |  SELECT l_extendedprice, l_quantity,
+       |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+       |  FROM lineitem
+       |  JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4') p
+       |    ON l_partkey = p_partkey)
+       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** q106: TPC-H Q18 shape — large-volume orders (total quantity over
+    * 250) with their customers, biggest first. The HAVING aggregate is
+    * one hash shuffle on the order key; orders/customer attach by
+    * equi-join; the global top-100 runs as TakeOrderedAndProject
+    * (per-partition heaps, no full sort). (o_totalprice, o_orderkey) is
+    * a total order, so the limit is deterministic. */
+  private def q106(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  private val q106Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  total_qty
+      |FROM (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** q107: TPC-H Q21 shape — suppliers who single-handedly held up
+    * multi-supplier orders: the supplier shipped late (ship-lag > 30
+    * days, the q96 convention) and NO other supplier in the same order
+    * did. The EXISTS becomes a left-semi against multi-supplier orders;
+    * the NOT EXISTS a left-anti self-join on the late set (equi on the
+    * order key + supplier inequality — a shuffled semi/anti pair, never
+    * a nested loop). `late` is distinct (order, supplier) pairs so the
+    * final count is orders-held-up per supplier. */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val multi = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"))
+      .filter(col("ns") > 1).select(col("l_orderkey"))
+    late
+      .join(multi, Seq("l_orderkey"), "left_semi")
+      .join(late.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+
+  }
+
+  private val q107Sql =
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY),
+      |multi AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late l1
+      |JOIN multi USING (l_orderkey)
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM late l2
+      |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** q108: TPC-H Q22 shape — well-funded dormant customers per market
+    * segment: balance above the positive-balance average (exact
+    * integer-cents average → the threshold comparison is engine-
+    * identical) and no orders since 2001-01-01. The scalar average is a
+    * broadcast 1-row cross join (the q13 pattern — the plan guard
+    * proves the build side is maxRows=1); the NOT EXISTS is a left-anti
+    * against the date-pruned order keys. */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val avgBal = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0.0)
+      .agg(Q.davg(col("c_acctbal")).as("avg_bal"))
+    Tables.customer(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, d)
+        .filter(expr("o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(Q.dsum(col("c_acctbal")), 2).as("totacctbal"))
+  }
+
+  private val q108Sql =
+    s"""SELECT c_mktsegment, count(*) AS numcust,
+       |  round(${dsumBody("c_acctbal")}, 2) AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (
+       |  SELECT ${Q.davgSql("c_acctbal")} FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+       |GROUP BY 1""".stripMargin
+
+  private def dsumBody(e: String): String = Q.dsumSql(e)
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q105_small_qty_revenue", q105, Some(q105Sql)),
+    QueryDef("q106_large_volume_orders", q106, Some(q106Sql)),
+    QueryDef("q107_waiting_suppliers", q107, Some(q107Sql)),
+    QueryDef("q108_dormant_customers", q108, Some(q108Sql)),
     QueryDef("q98_market_share", q98, Some(q98Sql)),
     QueryDef("q96_late_orders", q96, Some(q96Sql)),
     QueryDef("q92_custdist", q92, Some(q92Sql)),

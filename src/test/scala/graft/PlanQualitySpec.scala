@@ -115,29 +115,26 @@ class PlanQualitySpec extends SparkSpec {
       val p = qe.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
       if (!nestedLoopAllowed(name)) {
-        // a nested-loop join is tolerable only when one side is provably
-        // a single row (crossJoin(broadcast(agg-without-groupBy)) — the
-        // scalar-broadcast pattern used to avoid unpartitioned windows);
-        // a 1-row broadcast side cannot blow up at any scale. Checked on
-        // the PHYSICAL plan: every BroadcastNestedLoopJoinExec must be
-        // condition-less (a conditioned BNLJ is a non-equi join that
-        // slipped through) and count-matched 1:1 against the scalar
-        // (maxRows=1) condition-less joins of the optimized logical
-        // plan, so a dangerous BNLJ can't hide behind a benign one.
-        val bnlj = flatten(qe.executedPlan).collect {
+        // a nested-loop join is tolerable only when its BUILD side is
+        // provably a single row (crossJoin(broadcast(agg-without-
+        // groupBy)) — the scalar-broadcast pattern used to avoid
+        // unpartitioned windows); a 1-row broadcast side cannot blow up
+        // at any scale, with or without a join condition (the optimizer
+        // may push a filter INTO the cross join — e.g. q108's threshold
+        // compare — which is then just a per-row predicate against one
+        // broadcast row). Proved PER NODE on the physical plan: walk
+        // each BroadcastNestedLoopJoinExec's build subtree through its
+        // exchange/projection wrappers down to a global aggregate with
+        // no grouping keys (≤ 1 output row by construction). A big×big
+        // nested loop has a scan/join build side and fails the walk —
+        // nothing to hide behind.
+        PlanGuards.flatten(qe.executedPlan).collect {
           case b: BroadcastNestedLoopJoinExec => b
+        }.foreach { b =>
+          assert(PlanGuards.scalarSubtree(PlanGuards.buildSide(b)),
+            s"$name plans a nested-loop join whose build side is not " +
+              s"provably one row:\n$p")
         }
-        bnlj.foreach { b =>
-          assert(b.condition.isEmpty,
-            s"$name plans a conditioned (non-equi) nested-loop join:\n$p")
-        }
-        val scalarJoins = qe.optimizedPlan.collect {
-          case j: Join if j.condition.isEmpty &&
-            (j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L)) => j
-        }
-        assert(bnlj.size == scalarJoins.size,
-          s"$name plans ${bnlj.size} nested-loop joins but only " +
-            s"${scalarJoins.size} provably-scalar cross joins:\n$p")
       }
     }
   }
