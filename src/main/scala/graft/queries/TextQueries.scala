@@ -731,7 +731,62 @@ object TextQueries {
       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
 
+  /** q109: passage-level exact dedup — the sub-document dedup step of a
+    * C4/RefinedWeb-style pipeline (q27 dedups whole documents; real
+    * corpora duplicate PASSAGES across documents). Non-overlapping
+    * 10-word chunks; the globally-first occurrence (lowest (doc_id,
+    * chunk_idx)) survives; each document is reassembled from its
+    * surviving chunks in order.
+    *
+    * Scale shape: explode to ~n_words/10 chunk rows, ONE shuffle on the
+    * chunk hash (row_number picks the canonical copy — no self-join, no
+    * distinct), one shuffle back on doc_id for ordered reassembly
+    * (native listagg WITHIN GROUP). Chunk rows carry only (hash,
+    * doc_id, idx, text) — at 100 TB the shuffle payload is the corpus
+    * itself once, which is the floor for any rewrite-the-text operator. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Tables.documents(s, d)
+      .withColumn("w", expr(wordsExpr))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, cast(ceil(size(w) / 10.0) as int) - 1)"))
+          .as("cidx"))
+      .select(col("doc_id"), col("cidx"),
+        expr("array_join(slice(w, cidx * 10 + 1, 10), ' ')").as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+    chunks
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h"))
+          .orderBy(col("doc_id").asc, col("cidx").asc)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum((col("rk") === 1).cast("long")).as("n_kept"),
+        expr("listagg(CASE WHEN rk = 1 THEN chunk END, ' ') " +
+          "WITHIN GROUP (ORDER BY cidx)").as("clean_text"))
+  }
+
+  private val q109Sql =
+    s"""WITH chunks AS (
+       |  SELECT doc_id, cidx,
+       |    array_to_string(w[cidx * 10 + 1 : cidx * 10 + 10], ' ') AS chunk
+       |  FROM (
+       |    SELECT doc_id, w, unnest(range(CAST(ceil(len(w) / 10.0) AS INT))) AS cidx
+       |    FROM (SELECT doc_id, $wordsSqlExpr AS w FROM documents))),
+       |ranked AS (
+       |  SELECT doc_id, cidx, chunk,
+       |    row_number() OVER (PARTITION BY md5(chunk)
+       |      ORDER BY doc_id, cidx) AS rk
+       |  FROM chunks)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CAST(rk = 1 AS BIGINT)) AS BIGINT) AS n_kept,
+       |  string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY cidx)
+       |    AS clean_text
+       |FROM ranked
+       |GROUP BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q109_passage_dedup", q109, Some(q109Sql)),
     QueryDef("q104_simhash_near_dup", q104, Some(q104Sql)),
     QueryDef("q72_rolling_fingerprint", q72, Some(q72Sql)),
     QueryDef("q71_langid_agreement", q71, Some(q71Sql)),
