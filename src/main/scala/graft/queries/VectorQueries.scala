@@ -173,7 +173,103 @@ object VectorQueries {
        |FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.c_id = i.c_id
        |GROUP BY 1""".stripMargin
 
+  /** q110: IVF index BUILD + multi-probe search — the two mechanics q33
+    * takes as given (labels pre-assigned, nprobe=1). Centroids are
+    * computed from the data as exact per-dimension integer-unit sums
+    * (micro-units: round(v·10⁶) summed in LONG — order-independent, so
+    * both engines build bit-identical centroids); each query then
+    * probes its TWO nearest centroids (ranked by dot/‖centroid‖ — the
+    * query's own norm is rank-invariant; the score divides two exact
+    * integers, one fp divide + sqrt, engine-identical) and takes the
+    * exact cosine top-3 within the probed cells. nprobe is the recall
+    * knob a 100 TB deployment turns instead of rescanning the corpus.
+    *
+    * Scale shape: the centroid build is one (label, dim)-keyed shuffle
+    * with map-side partials (output: cells × dims rows — tiny); probe
+    * ranking joins the 8-query dim table against the broadcast centroid
+    * table; the search joins the broadcast (query, probed-cell) pairs
+    * against the corpus ON THE CELL KEY, so a corpus bucketed by cell
+    * answers from two co-located partitions per query. Integer-unit
+    * products stay < 2⁶³ up to ~10⁹-vector cells; beyond that, store
+    * per-dim MEANS (divide by n) or DECIMAL partials — same plan. */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    val emb = Tables.embeddings(s, d)
+    val dims = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
+    val cs = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("u")).as("csum"))
+    val cnorm = cs.groupBy(col("label"))
+      .agg(sum(col("csum") * col("csum")).as("csumsq"))
+    val dots = dims.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("dim"), col("u").as("qu"))
+      .join(broadcast(cs.withColumnRenamed("label", "c_label")), "dim")
+      .groupBy(col("q_id"), col("c_label"))
+      .agg(sum(col("qu") * col("csum")).as("dotnum"))
+    val probes = dots
+      .join(broadcast(cnorm.withColumnRenamed("label", "c_label")), "c_label")
+      .withColumn("score",
+        col("dotnum").cast("double") / sqrt(col("csumsq").cast("double")))
+      .withColumn("pk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("c_label").asc)))
+      .filter(col("pk") <= 2)
+      .select(col("q_id"), col("c_label"))
+    val withNrm = emb.withColumn("nrm", norm(col("embedding")))
+    val queries = withNrm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    withNrm
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      .join(broadcast(probes.join(queries, "q_id")), "c_label")
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(expr("float_vector_dot(q_emb, c_emb)") /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id").asc)))
+      .filter(col("rk") <= 3)
+  }
+
+  private val q110Sql =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, i - 1 AS dim,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+       |cs AS (
+       |  SELECT label, dim, CAST(sum(u) AS BIGINT) AS csum
+       |  FROM dims GROUP BY 1, 2),
+       |cnorm AS (
+       |  SELECT label, CAST(sum(csum * csum) AS BIGINT) AS csumsq
+       |  FROM cs GROUP BY 1),
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, cs.label AS c_label,
+       |    CAST(sum(q.u * cs.csum) AS BIGINT) AS dotnum
+       |  FROM dims q JOIN cs ON q.dim = cs.dim
+       |  WHERE q.vec_id < 8
+       |  GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT q_id, c_label FROM (
+       |    SELECT q_id, c_label, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY CAST(dotnum AS DOUBLE) / sqrt(CAST(csumsq AS DOUBLE))
+       |        DESC, c_label) AS pk
+       |    FROM dots JOIN cnorm ON c_label = cnorm.label)
+       |  WHERE pk <= 2)
+       |SELECT q_id, c_id, cos_sim, rk FROM (
+       |  SELECT p.q_id, c.vec_id AS c_id,
+       |    round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY p.q_id
+       |      ORDER BY round(${cosineSql("q.embedding", "c.embedding")}, 6)
+       |        DESC, c.vec_id) AS rk
+       |  FROM probes p
+       |  JOIN embeddings q ON q.vec_id = p.q_id
+       |  JOIN embeddings c ON c.label = p.c_label AND c.vec_id <> p.q_id)
+       |WHERE rk <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q110_ivf_multiprobe", q110, Some(q110Sql)),
     QueryDef("q62_embedding_near_dup", q62, Some(q62Sql)),
     QueryDef("q80_ann_recall", q80, Some(q80Sql)),
     QueryDef("q32_knn_bruteforce", q32,
