@@ -435,7 +435,101 @@ object SessionQueries {
        |        CAST(round(value * 100) AS BIGINT) AS cents
        |      FROM events)""".stripMargin
 
+  /** q111: SCD2 validity intervals — each user's event-type runs become
+    * slowly-changing-dimension rows [valid_from, valid_to) with the
+    * current interval open (NULL valid_to): the change-data-capture
+    * derivation every warehouse runs over a mutation stream. Value-
+    * change islands (is_new fires on type CHANGE, not time gap) + one
+    * lead() over the interval starts. Two window passes and the final
+    * aggregate all share the user-key partitioning — ONE shuffle total,
+    * then a tiny lead() pass over the interval rows. */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val runs = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Q.us.as("t_us"))
+      .withColumn("changed",
+        (lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"))
+          .cast("long"))
+      .withColumn("run_seq", sum(col("changed")).over(byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_seq"))
+      .agg(min(col("event_type")).as("event_type"), // constant within a run
+        min(col("t_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    runs.withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from_us").asc)))
+      .select(col("user_id"), col("run_seq"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+  }
+
+  private val q111Sql =
+    s"""SELECT user_id, run_seq, event_type, valid_from_us,
+       |  lead(valid_from_us) OVER (PARTITION BY user_id
+       |    ORDER BY valid_from_us) AS valid_to_us,
+       |  n_events
+       |FROM (
+       |  SELECT user_id, run_seq,
+       |    min(event_type) AS event_type,
+       |    min(t_us) AS valid_from_us,
+       |    count(*) AS n_events
+       |  FROM (
+       |    SELECT user_id, event_id, event_type, t_us,
+       |      CAST(sum(changed) OVER (PARTITION BY user_id
+       |        ORDER BY t_us, event_id
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_seq
+       |    FROM (
+       |      SELECT *, CAST(prev_type IS NULL OR prev_type <> event_type
+       |        AS BIGINT) AS changed
+       |      FROM (
+       |        SELECT user_id, event_id, event_type, ${Q.usSql} AS t_us,
+       |          lag(event_type) OVER (PARTITION BY user_id
+       |            ORDER BY ${Q.usSql}, event_id) AS prev_type
+       |        FROM events)))
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q112: weekly cohort retention — users grouped by first-seen week,
+    * counted in each later week they return: the activation/retention
+    * matrix of product analytics. All time math is integer epoch-weeks
+    * (`t_us div week`), so there is no timezone/date-function parity
+    * trap. One shuffle on user_id derives the cohort (min over the
+    * user partition); the distinct (user, week) reduction and the
+    * final (cohort, offset) count are hash-keyed aggregates. */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      // integral `div` twice: double division would risk one-off week
+      // bins at exact boundaries vs the oracle's integer division
+      .select(col("user_id"), expr(s"(ts div 1000) div $weekUs").as("week"))
+      .withColumn("cohort_week", min(col("week")).over(byUser))
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val q112Sql = {
+    val weekUs = 7L * 86400L * 1000000L
+    s"""SELECT cohort_week, week_offset, count(*) AS n_users
+       |FROM (
+       |  SELECT DISTINCT user_id, cohort_week, week - cohort_week AS week_offset
+       |  FROM (
+       |    SELECT user_id, week,
+       |      min(week) OVER (PARTITION BY user_id) AS cohort_week
+       |    FROM (
+       |      SELECT user_id, ${Q.usSql} // $weekUs AS week
+       |      FROM events)))
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q111_scd2_intervals", q111, Some(q111Sql)),
+    QueryDef("q112_cohort_retention", q112, Some(q112Sql)),
     QueryDef("q97_range_window", q97, Some(q97Sql)),
     QueryDef("q93_session_funnel", q93, Some(q93Sql)),
     QueryDef("q49_session_window_builtin", q49, Some(q49Sql)),
