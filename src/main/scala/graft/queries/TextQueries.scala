@@ -326,8 +326,16 @@ object TextQueries {
     val edges = stars.select(col("doc_id").as("src"), col("root").as("dst"))
       .union(stars.select(col("root").as("src"), col("doc_id").as("dst")))
       .localCheckpoint()
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id").as("node"), col("doc_id").as("label"))
+    // The fixpoint runs over the DUP SUBGRAPH only: a doc with no band
+    // partner can never join a cluster, so seeding labels from the edge
+    // endpoints (symmetric union → src covers both directions) instead
+    // of the whole corpus shrinks every round's join/aggregate from
+    // |corpus| to |dup docs| — at 100 TB that is the difference between
+    // iterating over petabytes and iterating over the (small) duplicate
+    // population. Singletons are excluded by the final n_docs > 1
+    // filter either way; results are identical.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
