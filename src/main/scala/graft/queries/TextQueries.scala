@@ -793,7 +793,56 @@ object TextQueries {
        |FROM ranked
        |GROUP BY doc_id""".stripMargin
 
+  /** q113: bigram novelty — per document, the share of its DISTINCT
+    * bigrams that appear in no other document: the corpus-uniqueness
+    * signal a quality/contamination filter scores before keeping a
+    * crawl shard (high novelty = fresh content; near-zero = boilerplate
+    * or a near-dup of something already held). Deliberately integer-
+    * exact (document frequencies and counts, ratio rounded at the end)
+    * — no log/perplexity float-parity traps.
+    *
+    * Scale shape: distinct (doc, bigram-hash) pairs → ONE shuffle on
+    * the bigram hash computes document frequency with map-side
+    * partials → group back by doc. The shuffle key is the 60-bit hash,
+    * never the bigram string. */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .withColumn("w", expr(wordsExpr))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(w) - 2), " +
+          "i -> cast(conv(substring(md5(concat(w[i], ' ', w[i+1])), 1, 15), 16, 10) as bigint)))"))
+        .as("bh"))
+    val df = pairs.groupBy(col("bh"))
+      .agg(count(lit(1)).as("doc_freq"))
+    pairs.join(df, "bh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("doc_freq") === 1).cast("long")).as("n_unique"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_bigrams"), 6)
+          .as("novelty"))
+  }
+
+  private val q113Sql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS bh
+       |  FROM (
+       |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+       |      for i in range(1, len(w))]) AS bg
+       |    FROM (SELECT doc_id, $wordsSqlExpr AS w FROM documents
+       |          WHERE len($wordsSqlExpr) >= 2))),
+       |df AS (SELECT bh, count(*) AS doc_freq FROM pairs GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(CAST(doc_freq = 1 AS BIGINT)) AS BIGINT) AS n_unique,
+       |  round(CAST(sum(CAST(doc_freq = 1 AS BIGINT)) AS DOUBLE)
+       |    / count(*), 6) AS novelty
+       |FROM pairs JOIN df USING (bh)
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q113_bigram_novelty", q113, Some(q113Sql)),
     QueryDef("q109_passage_dedup", q109, Some(q109Sql)),
     QueryDef("q104_simhash_near_dup", q104, Some(q104Sql)),
     QueryDef("q72_rolling_fingerprint", q72, Some(q72Sql)),
