@@ -99,17 +99,7 @@ class PlanQualitySpec extends SparkSpec {
       Set("q32_knn_bruteforce", "q33_ann_ivf_label", "q80_ann_recall")
     // q78 runs an iterative fixpoint at construction time — planJudged
     // via its components; skip the expensive build here.
-    import org.apache.spark.sql.catalyst.plans.logical.Join
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    // flatten the physical tree, descending through the AQE wrapper
-    // (AdaptiveSparkPlanExec holds its plan as a field, not a child, so
-    // a plain collect() would see none of the join nodes)
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
-      case other => other +: other.children.flatMap(flatten)
-    }
     for ((name, fn) <- SparkEntry.queries if name != "q78_dup_clusters") {
       val qe = fn(spark, sf0001).queryExecution
       val p = qe.executedPlan.toString
