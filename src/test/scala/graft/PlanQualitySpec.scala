@@ -138,4 +138,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text#")),
       s"raw text crossed an exchange:\n${exchanges.mkString("\n")}")
   }
+
+  test("q31 candidates come from band keys, not per-source blocking") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // round-5 advice class: a near-dup self-join equi-keyed on `source`
+    // alone is quadratic within a source (one giant crawl kills it).
+    // The banded layout joins on (source, band-index, minhash) — assert
+    // the multi-key join exists and no equi-join blocks on source only.
+    val qe = SparkEntry.queries("q31_trigram_jaccard")(spark, sf0001)
+      .queryExecution
+    val keySets = PlanGuards.flatten(qe.executedPlan).collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(keySets.exists(_.size >= 3),
+      s"banded (source, bidx, band) self-join missing: " +
+        keySets.map(_.mkString(",")).mkString(" | "))
+    assert(!keySets.exists(ks =>
+      ks.size == 1 && ks.head.toString.contains("source")),
+      "a join blocks on the skewable source key alone")
+  }
 }
