@@ -160,14 +160,16 @@ object SqlSurfaceQueries {
 
   /** q61: scalar subquery — parts priced above the global average
     * retail price, per brand (average via exact decimal sum on both
-    * engines so the comparison threshold is bit-identical). */
+    * engines so the comparison threshold is bit-identical). The scalar
+    * is a broadcast 1-row cross join (the q13/q108 pattern, proved
+    * maxRows=1 by the plan guard) — never a driver-side action. */
   private def q61(s: SparkSession, d: String): DataFrame = {
     val avgPrice = Tables.part(s, d)
       .agg((sum(col("p_retailprice").cast("decimal(18,2)")).cast("double") /
-        count(lit(1))).as("a"))
-      .head().getDouble(0)
+        count(lit(1))).as("avg_price"))
     Tables.part(s, d)
-      .filter(col("p_retailprice") > avgPrice)
+      .crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_above_avg"),
         Q.dsum(col("p_retailprice")).as("sum_price"))

@@ -235,7 +235,9 @@ object TrainingQueries {
     val p = docs.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("sn"))
     val stot = docs.groupBy(col("source")).agg(count(lit(1)).as("stot"))
-    val gtot = docs.count() // scalar, driver-side: one tiny job
+    // global count as a broadcast 1-row cross join (q13/q108 pattern) —
+    // never a driver-side action in a constructor (NoEagerActionSpec)
+    val gtot = docs.agg(count(lit(1)).as("gtot"))
     val grid = docs.select(col("source")).distinct()
       .select(col("source"), explode(sequence(lit(0L), lit(9L))).as("bucket"))
     val byBucket = Window.partitionBy(col("source")).orderBy(col("bucket").asc)
@@ -244,12 +246,13 @@ object TrainingQueries {
       .join(p, Seq("source", "bucket"), "left")
       .join(g, Seq("bucket"), "left")
       .join(stot, Seq("source"))
+      .crossJoin(broadcast(gtot))
       .withColumn("sn", coalesce(col("sn"), lit(0L)))
       .withColumn("gn", coalesce(col("gn"), lit(0L)))
       .withColumn("ps",
         (col("sn") + 1).cast("double") / (col("stot") + 10).cast("double"))
       .withColumn("pg",
-        (col("gn") + 1).cast("double") / lit((gtot + 10).toDouble))
+        (col("gn") + 1).cast("double") / (col("gtot") + 10).cast("double"))
       .withColumn("term", (col("ps") - col("pg")) * log(col("ps") / col("pg")))
       .withColumn("psi_cum", sum(col("term")).over(byBucket))
       .filter(col("bucket") === 9)
