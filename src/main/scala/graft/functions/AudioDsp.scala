@@ -458,4 +458,52 @@ object AudioDsp {
     }
     (gain, nClip)
   }
+
+  /** F10 tail: tempo + beat estimate — the deterministic analog of
+    * librosa's `beat_track` (`audio_processor.py:384-420`: onset
+    * envelope → tempo autocorrelation → beat picking), sized to the
+    * probe signals. Onset envelope is half-wave-rectified energy flux
+    * o(i) = max(0, x(i)² − x(i−1)²); tempo is the raw autocorrelation
+    * argmax over lags [6, 16] — at the declared 16 fps envelope rate
+    * that scans 60–160 BPM, the reference's search band — with the
+    * SMALLEST lag winning ties (strict `>` on a left-to-right fold, so
+    * the pick is engine-deterministic); beats = count of envelope
+    * samples strictly above the envelope mean (the peak-pick surrogate).
+    * All math is +,*,/ and comparisons on doubles: IEEE-exact, no libm. */
+  final case class TempoBeats(bpm: Double, lagFrames: Int, beats: Long,
+      strength: Double)
+
+  def tempoBeats(x: Array[Double], minLag: Int = 6, maxLag: Int = 16,
+      envFps: Double = 16.0): TempoBeats = {
+    val n = x.length
+    if (n < maxLag + 2) return TempoBeats(0.0, 0, 0L, 0.0)
+    val o = new Array[Double](n - 1)
+    var i = 1
+    while (i < n) {
+      val d = x(i) * x(i) - x(i - 1) * x(i - 1)
+      o(i - 1) = if (d > 0.0) d else 0.0
+      i += 1
+    }
+    var bestLag = 0
+    var best = -1.0
+    var lag = minLag
+    while (lag <= maxLag) {
+      var r = 0.0
+      var j = 0
+      while (j + lag < o.length) {
+        r += o(j) * o(j + lag)
+        j += 1
+      }
+      if (r > best) { best = r; bestLag = lag }
+      lag += 1
+    }
+    var s = 0.0
+    var j = 0
+    while (j < o.length) { s += o(j); j += 1 }
+    val mean = s / o.length
+    var beats = 0L
+    j = 0
+    while (j < o.length) { if (o(j) > mean) beats += 1L; j += 1 }
+    TempoBeats(60.0 * envFps / bestLag, bestLag, beats, best)
+  }
 }

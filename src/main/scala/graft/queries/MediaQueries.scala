@@ -1151,7 +1151,71 @@ object MediaQueries {
        |                        FROM documents WHERE length(text) >= 1))))))))))""".stripMargin
   }
 
+  /** q114: tempo + beat probe (F10 tail, the last feature of the
+    * reference's librosa stack — `audio_processor.py:411-413`
+    * `beat_track`): the embedding as an onset-rate signal through the
+    * REAL AudioDsp.tempoBeats kernel — half-wave-rectified energy-flux
+    * envelope, raw autocorrelation over lags 6..16 (60–160 BPM at the
+    * declared 16 fps envelope rate, smallest lag wins ties), beats =
+    * envelope samples above the mean. Every step is +,*,/ and
+    * comparisons (no libm), so the oracle recomputes it exactly with
+    * list comprehensions: per-lag autocorrelation as a left-to-right
+    * list_reduce of the product list (simple a+b lambda — safe per the
+    * list_reduce rule), the argmax as ORDER BY r DESC, lag ASC. */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((emb: Seq[Float]) => {
+      val t = graft.functions.AudioDsp.tempoBeats(
+        emb.map(_.toDouble).toArray)
+      (t.bpm, t.lagFrames, t.beats, t.strength)
+    })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), probe(col("embedding")).as("t"))
+      .select(col("vec_id"),
+        (round(col("t._1"), 6) + lit(0.0)).as("bpm"),
+        col("t._2").as("lag_frames"),
+        col("t._3").as("beats"),
+        (round(col("t._4"), 6) + lit(0.0)).as("strength"))
+  }
+
+  private val q114Sql =
+    """WITH base AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+      |    len(embedding) AS n
+      |  FROM embeddings),
+      |env AS (
+      |  SELECT vec_id,
+      |    list_transform(range(2, CAST(n AS INT) + 1), i ->
+      |      CASE WHEN x[i] * x[i] - x[i - 1] * x[i - 1] > 0.0
+      |           THEN x[i] * x[i] - x[i - 1] * x[i - 1]
+      |           ELSE 0.0 END) AS o
+      |  FROM base),
+      |acf AS (
+      |  SELECT vec_id, lag,
+      |    list_reduce(list_transform(range(1, CAST(len(o) AS INT) - lag + 1),
+      |      j -> o[j] * o[j + lag]), (a, b) -> a + b) AS r
+      |  FROM env CROSS JOIN (SELECT CAST(unnest(range(6, 17)) AS INT) AS lag)),
+      |pick AS (
+      |  SELECT vec_id, lag, r,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY r DESC, lag ASC) AS rn
+      |  FROM acf),
+      |beats AS (
+      |  SELECT vec_id,
+      |    CAST(len(list_filter(o, v -> v > mn)) AS BIGINT) AS beats
+      |  FROM (SELECT vec_id, o,
+      |          list_reduce(o, (a, b) -> a + b) / len(o) AS mn
+      |        FROM env))
+      |SELECT p.vec_id,
+      |  (round(960.0 / p.lag, 6) + 0.0) AS bpm,
+      |  p.lag AS lag_frames,
+      |  b.beats,
+      |  (round(p.r, 6) + 0.0) AS strength
+      |FROM pick p JOIN beats b ON b.vec_id = p.vec_id
+      |WHERE p.rn = 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q114_tempo_probe", q114, Some(q114Sql)),
     QueryDef("q102_morphology_probe", q102, Some(q102Sql)),
     QueryDef("q103_enhance_probe", q103, Some(q103Sql)),
     QueryDef("q99_mfcc_probe", q99, Some(q99Sql)),

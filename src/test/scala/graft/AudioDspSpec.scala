@@ -196,4 +196,21 @@ class AudioDspSpec extends SparkSpec {
       AudioDsp.vadFrames(marginal, fs, aggressiveness = a).count(identity))
     assert(accepts == accepts.sorted.reverse, s"not monotone: $accepts")
   }
+
+  test("F10 tempo/beats: periodic onset train recovers its lag") {
+    // impulse train with period 8 → energy flux spikes every 8 samples;
+    // autocorrelation over lags 6..16 must peak at 8 (bpm = 960/8 = 120)
+    val x = Array.tabulate(64)(i => if (i % 8 == 0) 1.0 else 0.0)
+    val t = AudioDsp.tempoBeats(x)
+    assert(t.lagFrames == 8, s"lag: ${t.lagFrames}")
+    assert(math.abs(t.bpm - 120.0) < 1e-9)
+    // 7 rising edges above the mean (the i=0 impulse has no predecessor)
+    assert(t.beats == 7L, s"beats: ${t.beats}")
+    // constant signal: zero envelope everywhere → smallest lag, no beats
+    val flat = Array.fill(64)(0.25)
+    val tf = AudioDsp.tempoBeats(flat)
+    assert(tf.lagFrames == 6 && tf.beats == 0L && tf.strength == 0.0)
+    // too short → zeroed result
+    assert(AudioDsp.tempoBeats(Array.fill(10)(1.0)).lagFrames == 0)
+  }
 }
