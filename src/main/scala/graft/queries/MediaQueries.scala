@@ -1214,7 +1214,53 @@ object MediaQueries {
       |FROM pick p JOIN beats b ON b.vec_id = p.vec_id
       |WHERE p.rn = 1""".stripMargin
 
+  /** q116: EXIF orientation probe (F12 head,
+    * `image_processor.py:84-94`): per-document EXIF blobs synthesized
+    * with [[graft.functions.Exif.writeTiff]] — endianness, JPEG-APP1
+    * `Exif\0\0` framing, and the orientation/width/height SHORT tags
+    * all varied by doc fields — then parsed back through the REAL
+    * byte-walking parser ([[graft.functions.Exif.orientation]]) and
+    * mapped to rotation degrees exactly like the reference (3/6/8 →
+    * 180/−90/90). The oracle replays the synthesis arithmetic
+    * (write→parse is the identity on well-formed fixtures — the typed
+    * ExifSpec proves the parser against malformed/truncated/foreign
+    * bytes, which SQL can't exercise). */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((docId: Long, nChars: Long) => {
+      val bytes = graft.functions.Exif.writeTiff(
+        orientationV = (1 + docId % 8).toInt,
+        width = (nChars % 500 + 1).toInt,
+        height = (nChars % 300 + 1).toInt,
+        littleEndian = docId % 2 == 0,
+        exifPrefix = docId % 4 < 2)
+      val o = graft.functions.Exif.orientation(bytes)
+      (o, graft.functions.Exif.rotationDegrees(o),
+        graft.functions.Exif.shortTag(bytes,
+          graft.functions.Exif.WidthTag).getOrElse(0),
+        graft.functions.Exif.shortTag(bytes,
+          graft.functions.Exif.HeightTag).getOrElse(0))
+    })
+    Tables.documents(s, d)
+      .select(col("doc_id"), probe(col("doc_id"), col("n_chars")).as("t"))
+      .select(col("doc_id"),
+        col("t._1").as("orientation"),
+        col("t._2").as("rotation_deg"),
+        col("t._3").as("img_w"),
+        col("t._4").as("img_h"))
+  }
+
+  private val q116Sql =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+      |  CAST(CASE 1 + doc_id % 8
+      |    WHEN 3 THEN 180 WHEN 6 THEN -90 WHEN 8 THEN 90
+      |    ELSE 0 END AS INT) AS rotation_deg,
+      |  CAST(n_chars % 500 + 1 AS INT) AS img_w,
+      |  CAST(n_chars % 300 + 1 AS INT) AS img_h
+      |FROM documents""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q116_exif_probe", q116, Some(q116Sql)),
     QueryDef("q114_tempo_probe", q114, Some(q114Sql)),
     QueryDef("q102_morphology_probe", q102, Some(q102Sql)),
     QueryDef("q103_enhance_probe", q103, Some(q103Sql)),
