@@ -356,4 +356,74 @@ object ImageOps {
       (minX, y0, w, h, kind)
     }
   }
+
+  /** F12/F13 tail: Hough-style content-angle estimation — the
+    * codec-free core of the reference's `_detect_text_angle`
+    * (`/root/reference/src/preprocessing/image_processor.py:113-141`:
+    * Canny → HoughLines(1 px, 1°) → keep nearly-horizontal angles
+    * θ·180/π − 90 ∈ [−45, 45] → median). Deterministic surrogate sized
+    * to the probe planes: edge pixels are the dark pixels themselves
+    * (the planes are sparse ink on white — no gradient pass needed);
+    * the (ρ, θ) accumulator votes at 1° steps over θ ∈ [45°, 135°]
+    * (exactly the nearly-horizontal band the reference keeps) with
+    * cos/sin quantized to integer 1/1024ths, so every vote, bin and
+    * vote count is INTEGER arithmetic — engine-exact, no libm in the
+    * oracle. ρ bins are 1 px wide, offset +64 px so the dividend stays
+    * positive (truncating and flooring division agree). Each
+    * accumulator cell at or above the vote threshold is one detected
+    * line contributing angle θ − 90; the result is the median (even
+    * count → mean of the middle two, like np.median). */
+  object Hough {
+    val ThetaMinDeg = 45
+    val ThetaMaxDeg = 135
+    val Scale = 1024
+    val OffsetQ = 64 * Scale // keeps x·cos + y·sin positive for w,h ≤ 64
+
+    val cosQ: Array[Int] = Array.tabulate(ThetaMaxDeg - ThetaMinDeg + 1)(i =>
+      math.round(math.cos(math.toRadians(ThetaMinDeg + i)) * Scale).toInt)
+    val sinQ: Array[Int] = Array.tabulate(ThetaMaxDeg - ThetaMinDeg + 1)(i =>
+      math.round(math.sin(math.toRadians(ThetaMinDeg + i)) * Scale).toInt)
+  }
+
+  /** Returns (median angle in degrees ∈ [−45, 45], number of detected
+    * line cells); (0.0, 0) when nothing reaches the vote threshold —
+    * the reference's `return 0.0` for `lines is None`. */
+  def houghAngle(img: Gray, darkerThan: Int = 128, voteThreshold: Int = 3)
+      : (Double, Long) = {
+    import Hough._
+    val nTheta = ThetaMaxDeg - ThetaMinDeg + 1
+    // accumulator: θ index × ρ bin (bin < 128 for w,h ≤ 64 planes)
+    val votes = new java.util.HashMap[Integer, Integer]()
+    var y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        if (img(x, y) < darkerThan) {
+          var t = 0
+          while (t < nTheta) {
+            val bin = (x * cosQ(t) + y * sinQ(t) + OffsetQ) / Scale
+            val key = Integer.valueOf(t * 4096 + bin)
+            val prev = votes.get(key)
+            votes.put(key, if (prev == null) 1 else prev + 1)
+            t += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val angles = scala.collection.mutable.ArrayBuffer.empty[Int]
+    votes.forEach { (key, v) =>
+      if (v >= voteThreshold) angles += (key / 4096) + ThetaMinDeg - 90
+    }
+    if (angles.isEmpty) (0.0, 0L)
+    else {
+      val a = angles.sorted
+      val n = a.length
+      val med =
+        if (n % 2 == 1) a(n / 2).toDouble
+        else (a(n / 2 - 1) + a(n / 2)) / 2.0
+      (med, n.toLong)
+    }
+  }
 }

@@ -1259,7 +1259,69 @@ object MediaQueries {
       |  CAST(n_chars % 300 + 1 AS INT) AS img_h
       |FROM documents""".stripMargin
 
+  /** q117: Hough content-angle probe (F12/F13 tail,
+    * `image_processor.py:113-141`): the q88 text plane through the REAL
+    * ImageOps.houghAngle kernel — dark pixels vote into a 1°×1px (ρ,θ)
+    * accumulator over the nearly-horizontal band θ ∈ [45°,135°] with
+    * cos/sin quantized to integer 1/1024ths, cells ≥ 3 votes are lines,
+    * output is the np.median of their θ−90 angles. Every vote and bin
+    * is INTEGER math, so the oracle replays it with the kernel's own
+    * quantized tables embedded as integer literals — the only doubles
+    * are the final median interpolation (exact halves) on both engines. */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val img = graft.functions.ImageOps.Gray(W, H, textPlane(text))
+      graft.functions.ImageOps.houghAngle(img)
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(col("doc_id"),
+        (col("t._1") + lit(0.0)).as("skew_deg"),
+        col("t._2").as("n_lines"))
+  }
+
+  private val q117Sql = {
+    val h = graft.functions.ImageOps.Hough
+    val cosList = h.cosQ.mkString("[", ", ", "]")
+    val sinList = h.sinQ.mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, length(text) AS nch
+       |  FROM documents WHERE length(text) >= 1),
+       |pl AS (SELECT doc_id, $planeSql AS p FROM base),
+       |edge AS (
+       |  SELECT doc_id, CAST(i % ${W} AS INT) AS x,
+       |         CAST(i // ${W} AS INT) AS y
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(range(0, ${W * H}),
+       |            i -> p[i + 1] < 128)) AS i
+       |        FROM pl)),
+       |cs AS (
+       |  SELECT t, cosl[t + 1] AS c, sinl[t + 1] AS sn
+       |  FROM (SELECT CAST(unnest(range(0, ${h.cosQ.length})) AS INT) AS t,
+       |          $cosList AS cosl, $sinList AS sinl)),
+       |acc AS (
+       |  SELECT doc_id, t,
+       |    (e.x * c.c + e.y * c.sn + ${h.OffsetQ}) // ${h.Scale} AS bin,
+       |    count(*) AS v
+       |  FROM edge e CROSS JOIN cs c
+       |  GROUP BY 1, 2, 3),
+       |lines AS (
+       |  SELECT doc_id, t + ${h.ThetaMinDeg} - 90 AS angle
+       |  FROM acc WHERE v >= 3),
+       |agg AS (
+       |  SELECT doc_id, median(angle) + 0.0 AS med,
+       |    CAST(count(*) AS BIGINT) AS n_lines
+       |  FROM lines GROUP BY 1)
+       |SELECT b.doc_id,
+       |  coalesce(a.med, 0.0) AS skew_deg,
+       |  CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines
+       |FROM (SELECT doc_id FROM base) b
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q117_hough_angle", q117, Some(q117Sql)),
     QueryDef("q116_exif_probe", q116, Some(q116Sql)),
     QueryDef("q114_tempo_probe", q114, Some(q114Sql)),
     QueryDef("q102_morphology_probe", q102, Some(q102Sql)),

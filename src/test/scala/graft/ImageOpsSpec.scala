@@ -137,4 +137,31 @@ class ImageOpsSpec extends SparkSpec {
     assert(edgeIdx.exists(i => sh.px(i) != enh.px(i)),
       "sharpen must modify edge pixels")
   }
+
+  test("F12/F13 houghAngle: horizontal line votes 0°, diagonal votes 45°") {
+    def plane(f: (Int, Int) => Boolean): ImageOps.Gray =
+      ImageOps.Gray(32, 16,
+        Array.tabulate(512)(i =>
+          (if (f(i % 32, i / 32)) 40 else 255).toByte))
+    // at a strict vote threshold only thetas that pack ≥10 collinear
+    // pixels into one ρ bin survive, so the geometry reads clean; the
+    // default threshold 3 admits neighbor-theta cells whose floored ρ
+    // spread skews the median a few degrees (same on both engines —
+    // parity stays exact; only the physics is approximate)
+    // full-width horizontal line at y=5 → θ≈90 → median ≈ 0
+    val (hDeg, hN) = ImageOps.houghAngle(plane((_, y) => y == 5),
+      voteThreshold = 10)
+    assert(math.abs(hDeg) <= 2.0, s"horizontal: $hDeg")
+    assert(hN >= 1)
+    // main diagonal (x == y) → θ=135 collapses all 16 pixels into one
+    // ρ bin → angle +45 leads; 45 sits at the band edge so neighbor
+    // detections only exist below it, pulling the median a little down
+    val (dDeg, dN) = ImageOps.houghAngle(plane((x, y) => x == y),
+      voteThreshold = 10)
+    assert(dDeg >= 41.0 && dDeg <= 45.0, s"diagonal: $dDeg")
+    assert(dN >= 1)
+    // blank plane → no lines → the reference's 0.0 fallback
+    val (zDeg, zN) = ImageOps.houghAngle(plane((_, _) => false))
+    assert(zDeg == 0.0 && zN == 0L)
+  }
 }
