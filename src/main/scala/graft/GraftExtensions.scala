@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{FloatVectorDot, RollingFingerprint, SortedLongIntersectCount}
+import graft.expressions.{FloatVectorDot, RollingFingerprint, SortedLongIntersectCount, TokenWindowHashes}
 
 /** Session extensions for cluster deployment: ship the engine's native
   * expressions to every session via
@@ -42,5 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingFingerprint.build(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("token_window_hashes"),
+      new ExpressionInfo(
+        classOf[TokenWindowHashes].getName,
+        null,
+        "token_window_hashes",
+        "token_window_hashes(tokens[, k]) - array of polynomial hashes of every sliding k-token window (O(n) rolling scan, codegen).",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenWindowHashes.build(exprs)))
   }
 }

@@ -841,7 +841,129 @@ object TextQueries {
        |FROM pairs JOIN df USING (bh)
        |GROUP BY 1""".stripMargin
 
+  /** q115: exact-substring cross-document dedup — the RefinedWeb/
+    * Gopher `ExactSubstr` step, the real C4 rewrite beyond q109's fixed
+    * chunks: any 50-token span that already occurred anywhere in the
+    * corpus (first occurrence by (doc_id, position)) is CUT from every
+    * later document; documents are rewritten from their surviving
+    * tokens.
+    *
+    * Scale shape: the candidate generator is the native codegen'd
+    * [[graft.expressions.TokenWindowHashes]] — every sliding 50-token
+    * window hashed in ONE O(n) rolling scan per document (token hashes
+    * computed once, subtract-shift-add update per window; never the
+    * O(n·k) explode-and-md5). The global first-occurrence rank is ONE
+    * shuffle of (doc_id, widx, h) triples — 20 bytes per token, NOT the
+    * text (q109 ships the corpus text through its hash shuffle; here
+    * the text never leaves its original row). Duplicate windows (dup
+    * mass only) merge into disjoint covered intervals per document via
+    * the equal-length islands rule (new island iff widx − prev > k−1),
+    * collapse to one tiny interval array per affected document, and
+    * join back to the corpus on doc_id (broadcast-able whenever the
+    * duplicated-document set is small; AQE decides). The rewrite is
+    * per-row higher-order functions over the words array — no token
+    * explode, no reassembly shuffle. The only corpus-scale costs are
+    * the long-triple shuffle and (absent broadcast) one doc_id
+    * partitioning of the text: the floor for a global rewrite.
+    *
+    * The oracle replays window hashes by direct folding (q72 pattern:
+    * codepoint fold base 131, token fold base 1000003, both mod 2³¹−1 —
+    * pure integer math, hash-exact) and rewrites via a token-level
+    * anti-join against the exploded disjoint intervals. */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.TokenWindowHashes.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(wordsExpr).as("w"))
+      .withColumn("n", size(col("w")))
+    val wins = docs
+      .select(col("doc_id"), expr("token_window_hashes(w, 50)").as("wh"))
+      .select(col("doc_id"), posexplode(col("wh")).as(Seq("widx", "h")))
+    val dup = wins
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h"))
+          .orderBy(col("doc_id").asc, col("widx").asc)))
+      .filter(col("rk") > 1)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("widx").asc)
+    val islands = dup
+      .withColumn("prev", lag(col("widx"), 1).over(byDoc))
+      .withColumn("brk",
+        (col("prev").isNull || col("widx") - col("prev") > 49).cast("int"))
+      .withColumn("isl", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("widx")).as("s"), (max(col("widx")) + lit(49)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    docs.join(islands, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """CASE WHEN ivs IS NULL THEN w
+          |ELSE transform(filter(sequence(0, n - 1),
+          |  i -> NOT exists(ivs, v -> i >= v.s AND i <= v.e)),
+          |  i -> element_at(w, i + 1)) END""".stripMargin))
+      .select(col("doc_id"),
+        col("n").as("n_tokens"),
+        (col("n") - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  private val q115Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, $wordsSqlExpr AS w,
+       |    CAST(len($wordsSqlExpr) AS INT) AS n
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, n, w,
+       |    list_transform(w, t -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> (a * 131 + c) % 2147483647)) AS th
+       |  FROM docs),
+       |wins AS (
+       |  SELECT doc_id, i - 1 AS widx,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 49]),
+       |      (a, t) -> (a * 1000003 + t) % 2147483647) AS h
+       |  FROM (SELECT doc_id, th, unnest(range(1, n - 50 + 2)) AS i
+       |        FROM th WHERE n >= 50)),
+       |dup AS (
+       |  SELECT doc_id, widx FROM (
+       |    SELECT doc_id, widx,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, widx) AS rk
+       |    FROM wins)
+       |  WHERE rk > 1),
+       |isl AS (
+       |  SELECT doc_id, widx,
+       |    sum(CASE WHEN prev IS NULL OR widx - prev > 49
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY widx
+       |            ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM (SELECT doc_id, widx,
+       |          lag(widx) OVER (PARTITION BY doc_id ORDER BY widx) AS prev
+       |        FROM dup)),
+       |iv AS (
+       |  SELECT doc_id, min(widx) AS s, max(widx) + 49 AS e
+       |  FROM isl GROUP BY doc_id, g),
+       |cov AS (
+       |  SELECT doc_id, unnest(range(s, e + 1)) AS tidx FROM iv),
+       |tok AS (
+       |  SELECT doc_id, tidx, w[CAST(tidx AS INT) + 1] AS tk
+       |  FROM (SELECT doc_id, w,
+       |          CAST(unnest(range(0, n)) AS BIGINT) AS tidx
+       |        FROM docs)),
+       |kept AS (
+       |  SELECT t.doc_id, t.tidx, t.tk
+       |  FROM tok t LEFT JOIN cov c
+       |    ON c.doc_id = t.doc_id AND c.tidx = t.tidx
+       |  WHERE c.tidx IS NULL)
+       |SELECT d.doc_id,
+       |  d.n AS n_tokens,
+       |  CAST(d.n - count(k.tidx) AS INT) AS n_removed,
+       |  coalesce(string_agg(k.tk, ' ' ORDER BY k.tidx), '') AS clean_text
+       |FROM docs d LEFT JOIN kept k ON k.doc_id = d.doc_id
+       |GROUP BY d.doc_id, d.n""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q115_exact_substring_dedup", q115, Some(q115Sql)),
     QueryDef("q113_bigram_novelty", q113, Some(q113Sql)),
     QueryDef("q109_passage_dedup", q109, Some(q109Sql)),
     QueryDef("q104_simhash_near_dup", q104, Some(q104Sql)),
