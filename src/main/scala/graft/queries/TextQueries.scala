@@ -337,16 +337,39 @@ object TextQueries {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence detection rides the SAME job that materializes the
+    // round's labels (one job per round, not a count() job on top): each
+    // node's previous label is carried through the union — seed rows tag
+    // old=label, propagated rows old=null; every propagation target is an
+    // edge endpoint and edges are symmetric, so every node has exactly
+    // one seed row and max(old) recovers its unique previous label. A
+    // marking expression bumps an accumulator when the label strictly
+    // improved; the driver reads it after localCheckpoint has run the
+    // round. Task retries can only re-observe genuine improvements, so
+    // over-counting never turns a converged round (acc=0) into a
+    // non-converged one.
+    val changedAcc = s.sparkContext.longAccumulator("q78_label_improvements")
+    val markImproved = udf { (newLabel: Long, oldLabel: Long) =>
+      if (newLabel < oldLabel) changedAcc.add(1L)
+      newLabel
+    }
+    var converged = false
+    while (!converged) {
       val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.union(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast("long").as("old"))
+      val next = labels
+        .select(col("node"), col("label"), col("label").as("old"))
+        .union(prop)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("min_label"),
+          coalesce(max(col("old")), lit(Long.MaxValue)).as("old"))
+      changedAcc.reset()
       labels = next
+        .select(col("node"),
+          markImproved(col("min_label"), col("old")).as("label"))
+        .localCheckpoint()
+      converged = changedAcc.value == 0L
     }
     labels.groupBy(col("label").as("canonical_doc"))
       .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
@@ -962,7 +985,61 @@ object TextQueries {
        |FROM docs d LEFT JOIN kept k ON k.doc_id = d.doc_id
        |GROUP BY d.doc_id, d.n""".stripMargin
 
+  /** q124: corpus-frequency quality score — the unigram-LM proxy a
+    * training pipeline runs before a real perplexity model exists: each
+    * document scored by how rare its tokens are ACROSS THE CORPUS
+    * (mean inverse corpus frequency) plus its hapax and rare-token
+    * ratios. Low mean-rarity + low hapax ≈ boilerplate; extreme rarity
+    * ≈ garbage/noise — both ends get filtered. Deliberately integer-
+    * exact (floored inverse frequencies, integer mean; no log — the
+    * usual mean-log-prob form trades engine-identical math for a libm
+    * parity trap).
+    *
+    * Scale shape: tokens hash to 60 bits BEFORE shuffling (the q113
+    * rule: the shuffle key is never the string); corpus term frequency
+    * is ONE hash-keyed shuffle with map-side partials; the frequency
+    * table joins back on the same hash and the per-doc score is one
+    * group back to doc_id. Vocabulary follows Heaps' law, so the tf
+    * table is tiny relative to the corpus at any scale; AQE broadcasts
+    * the join-back when it fits. */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        s"transform($wordsExpr, t -> " +
+          "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .as("wh"))
+    val tf = tok.groupBy(col("wh")).agg(count(lit(1)).as("tf"))
+    tok.join(tf, "wh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("1000000000000 div tf")).as("inv_sum"),
+        sum((col("tf") === 1).cast("long")).as("n_hapax"),
+        sum((col("tf") <= 5).cast("long")).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("inv_sum div n_tokens").as("mean_inv_tf"),
+        round(col("n_hapax").cast("double") / col("n_tokens"), 6)
+          .as("hapax_ratio"),
+        round(col("n_rare").cast("double") / col("n_tokens"), 6)
+          .as("rare_ratio"))
+  }
+
+  private val q124Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
+       |  FROM (SELECT doc_id, unnest($wordsSqlExpr) AS t FROM documents)),
+       |tf AS (SELECT wh, count(*) AS tf FROM tok GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(1000000000000 // tf) AS BIGINT) // count(*) AS mean_inv_tf,
+       |  round(CAST(sum(CAST(tf = 1 AS BIGINT)) AS DOUBLE) / count(*), 6)
+       |    AS hapax_ratio,
+       |  round(CAST(sum(CAST(tf <= 5 AS BIGINT)) AS DOUBLE) / count(*), 6)
+       |    AS rare_ratio
+       |FROM tok JOIN tf USING (wh)
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q124_corpus_rarity_score", q124, Some(q124Sql)),
     QueryDef("q115_exact_substring_dedup", q115, Some(q115Sql)),
     QueryDef("q113_bigram_novelty", q113, Some(q113Sql)),
     QueryDef("q109_passage_dedup", q109, Some(q109Sql)),
