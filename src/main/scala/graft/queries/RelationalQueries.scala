@@ -667,7 +667,280 @@ object RelationalQueries {
 
   private def dsumBody(e: String): String = Q.dsumSql(e)
 
+  /** q118: TPC-H Q9 shape — per-nation, per-year profit on one product
+    * family ('rod' parts), with supply cost synthesized as
+    * 0.6·p_retailprice (the testdata has no partsupp table). Plan:
+    * lineitem⋈part joins on the part key with NO broadcast hint — part
+    * is fact-scale at 100 TB, so the planner must stay free to pick a
+    * shuffle join there (at test SF its stats fit and it broadcasts,
+    * which is the right call at that size) — while supplier and nation
+    * are explicit broadcasts; the (nation, year) aggregate then reduces
+    * the joined fact once. Profit accumulates in integer 10⁻⁴-units so
+    * the grouped sums are shuffle-order-independent. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_name").contains("rod"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    Tables.lineitem(s, d)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - lit(0.6) * col("p_retailprice") * col("l_quantity"), 4)
+        .as("sum_profit"))
+  }
+
+  private val q118Sql =
+    s"""SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       |  ${Q.dsumSql("l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity", 4)} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%rod%'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** q119: TPC-H Q2 shape — for each STANDARD mid-size part, the
+    * best-funded ASIA supplier who has actually shipped it (the
+    * correlated "min ps_supplycost" subquery re-expressed as an arg-max,
+    * acctbal standing in for supply cost — no partsupp table). Plan: ONE
+    * distinct over (partkey, suppkey) pairs is the only fact shuffle; the
+    * filtered supplier⋈nation⋈region side broadcasts onto it, and the
+    * arg-max per part is a struct max — a regular aggregate with map-side
+    * partials, NOT a row_number window (which would force a second sort).
+    * The tiebreak (max acctbal, then MIN suppkey) is encoded in the
+    * struct order via the negated key. */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val asiaSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_acctbal"), col("s_name"),
+        col("n_name"))
+    val best = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(max(struct(col("s_acctbal").as("bal"),
+        (-col("s_suppkey")).as("negkey"), col("s_name").as("nm"),
+        col("n_name").as("nn"))).as("best"))
+    best
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD" &&
+          col("p_size").between(10, 20))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"),
+        col("best.nm").as("best_supp"),
+        round(col("best.bal"), 2).as("best_acctbal"),
+        col("best.nn").as("supp_nation"))
+      .orderBy(col("best_acctbal").desc, col("p_partkey").asc)
+      .limit(100)
+  }
+
+  private val q119Sql =
+    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |cand AS (
+      |  SELECT l_partkey, s_acctbal, s_name, n_name,
+      |    row_number() OVER (PARTITION BY l_partkey
+      |      ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      |  FROM pairs
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')
+      |SELECT p_partkey, p_name, s_name AS best_supp,
+      |  round(s_acctbal, 2) AS best_acctbal, n_name AS supp_nation
+      |FROM cand JOIN part ON l_partkey = p_partkey
+      |WHERE rn = 1 AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+      |ORDER BY best_acctbal DESC, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** q120: TPC-H Q15 shape — the top supplier(s) by Q1-1997 revenue. The
+    * "revenue = (SELECT max(revenue))" correlation is the scalar-
+    * broadcast pattern (q13/q108): the 1-row max crosses back via
+    * broadcast (plan-guard-provable), and the equality compares integer
+    * 10⁻⁴-unit revenues — exact, so ties surface identically on both
+    * engines (a double-equality here would be a correctness trap). */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+        to_date(col("l_shipdate")) < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 10000).cast("long")).as("rev_u"))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("rev_u")).as("max_u"))))
+      .filter(col("rev_u") === col("max_u"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_u").cast("double") / 10000.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q120Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+      |      AS BIGINT)) AS BIGINT) AS rev_u
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(rev_u AS DOUBLE) / 10000.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_u = (SELECT max(rev_u) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q121: TPC-H Q16 shape — how many distinct suppliers can ship each
+    * surviving (brand, type, size) part profile, excluding one brand, one
+    * type family, and every supplier from AFRICA (the "customer
+    * complaints" NOT IN, re-expressed as a broadcast anti-join on a
+    * dimension subquery — no partsupp table, so shipped (part, supplier)
+    * pairs stand in for partsupp). The distinct-count shuffles once on
+    * the profile key after the pair distinct; both distincts combine
+    * map-side. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val africaSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(broadcast(africaSupp),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 19, 29, 39, 49)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  private val q121Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 19, 29, 39, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey
+      |    WHERE r_name = 'AFRICA')
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** q122: TPC-H Q19 shape — revenue from three disjunctive
+    * (brand × size × quantity) channels. The OR-of-ANDs can't be a join
+    * key, but its COMMON conjuncts factor out: the lineitem scan keeps
+    * only 1 ≤ quantity ≤ 35 rows and the part side only the three brands
+    * with size ≤ 30 — both reach the parquet scans as pushed filters —
+    * so the join carries a fraction of each table and the full
+    * disjunction evaluates post-join, codegen'd, on the survivors. */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_size").between(1, 30))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def channel(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(1, 35))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(channel("Brand#1", 10, 1, 15) ||
+        channel("Brand#2", 20, 10, 25) ||
+        channel("Brand#3", 30, 20, 35))
+      .agg(Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+  }
+
+  private val q122Sql =
+    s"""SELECT ${Q.dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       |    AND l_quantity BETWEEN 1 AND 15)
+       |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       |    AND l_quantity BETWEEN 10 AND 25)
+       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       |    AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  /** q123: TPC-H Q20 shape — dominant suppliers of blue parts in 1997:
+    * suppliers whose shipped quantity of a part exceeds half that part's
+    * total (the availqty > ½·sum(qty) threshold re-expressed without
+    * partsupp). Plan: the 1997 blue-part lineitem slice aggregates ONCE
+    * to (part, supplier) quantities; the per-part total is a window sum
+    * over the part key on that SAME aggregate (the q107 trick — one
+    * extra part-key exchange, never a self-join that would duplicate
+    * the fact scan), and the integer-quantity comparison
+    * 2·supp > total is exact. Survivor supplier keys then semi-join
+    * the supplier dimension. */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blue = Tables.part(s, d)
+      .filter(col("p_name").startsWith("blue"))
+      .select(col("p_partkey"))
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+        to_date(col("l_shipdate")) < lit("1998-01-01"))
+      .join(broadcast(blue), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+      .withColumn("total_qty",
+        sum(col("supp_qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("supp_qty") * 2 > col("total_qty"))
+      .select(col("l_suppkey"))
+      .distinct()
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q123Sql =
+    """WITH per AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    sum(CAST(l_quantity AS BIGINT)) AS supp_qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'blue%'
+      |    AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT l_partkey, sum(supp_qty) AS total_qty FROM per GROUP BY 1)
+      |SELECT DISTINCT s_name, n_name
+      |FROM per
+      |JOIN tot USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE supp_qty * 2 > total_qty
+      |ORDER BY s_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q118_product_profit", q118, Some(q118Sql)),
+    QueryDef("q119_best_supplier_per_part", q119, Some(q119Sql)),
+    QueryDef("q120_top_supplier", q120, Some(q120Sql)),
+    QueryDef("q121_supplier_profile_counts", q121, Some(q121Sql)),
+    QueryDef("q122_disjunctive_revenue", q122, Some(q122Sql)),
+    QueryDef("q123_dominant_suppliers", q123, Some(q123Sql)),
     QueryDef("q105_small_qty_revenue", q105, Some(q105Sql)),
     QueryDef("q106_large_volume_orders", q106, Some(q106Sql)),
     QueryDef("q107_waiting_suppliers", q107, Some(q107Sql)),

@@ -268,7 +268,116 @@ object VectorQueries {
        |  JOIN embeddings c ON c.label = p.c_label AND c.vec_id <> p.q_id)
        |WHERE rk <= 3""".stripMargin
 
+  /** q125: one k-means Lloyd refinement step over the embedding corpus —
+    * the index-maintenance loop behind q110's IVF build: centroids from
+    * the current assignment, every vector re-assigned to its nearest
+    * centroid, centroids recomputed, and per-cluster movement reported
+    * (n_stayed / n_vecs is the convergence signal a pipeline watches).
+    *
+    * Engine-identical math without float-parity traps: coordinates
+    * become micro-unit integers, so centroid numerators (per-dim sums)
+    * and all dot products are EXACT int64; the nearest-centroid rule
+    * minimizes ‖c‖² − 2x·c (‖x‖² is rank-invariant), computed as two
+    * IEEE divisions of exact integers — both engines derive identical
+    * doubles, and ties break on the lower cluster id via a struct-min
+    * AGGREGATE (a regular partial-aggregable min, not a row_number
+    * window that would force a per-vector sort).
+    *
+    * Scale shape: centroid build = one (label, dim)-keyed shuffle with
+    * map-side partials (k·dims rows out — tiny); the k×dims centroid
+    * table BROADCASTS onto the vector dim table, so assignment is a
+    * map-side join + one (vec, cluster)-keyed partial-aggregated
+    * shuffle; the rebuild joins the assignment back on vec_id and
+    * reduces to (cluster, dim) again. No step is quadratic in corpus
+    * size; k is the only blow-up factor, exactly as in a production
+    * Lloyd sweep. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dims = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
+    val cs = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("u")).as("csum"))
+    val cmeta = cs.groupBy(col("label"))
+      .agg(sum(col("csum") * col("csum")).as("csumsq"))
+      .join(emb.groupBy(col("label")).agg(count(lit(1)).as("n")), "label")
+      .withColumnRenamed("label", "c_label")
+    val dots = dims
+      .join(broadcast(cs.withColumnRenamed("label", "c_label")), "dim")
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(sum(col("u") * col("csum")).as("dotnum"))
+    val assign = dots
+      .join(broadcast(cmeta), "c_label")
+      .withColumn("score",
+        col("csumsq").cast("double") / (col("n") * col("n")).cast("double")
+          - (col("dotnum") * 2).cast("double") / col("n").cast("double"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("old_label"),
+        min(struct(col("score"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("old_label"),
+        col("best.c_label").as("new_label"))
+    val nstat = dims.select(col("vec_id"), col("dim"), col("u"))
+      .join(assign.select(col("vec_id"), col("new_label")), "vec_id")
+      .groupBy(col("new_label"), col("dim"))
+      .agg(sum(col("u")).as("nsum"))
+      .groupBy(col("new_label"))
+      .agg(sum(col("nsum") * col("nsum")).as("nsumsq"))
+    assign.groupBy(col("new_label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("old_label") === col("new_label")).cast("long"))
+          .as("n_stayed"))
+      .join(nstat, "new_label")
+      .select(col("new_label"), col("n_vecs"), col("n_stayed"),
+        round(sqrt(col("nsumsq").cast("double"))
+          / (col("n_vecs").cast("double") * 1e6), 6).as("centroid_norm"))
+  }
+
+  private val q125Sql =
+    """WITH dims AS (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+      |cs AS (
+      |  SELECT label, dim, CAST(sum(u) AS BIGINT) AS csum
+      |  FROM dims GROUP BY 1, 2),
+      |cmeta AS (
+      |  SELECT cs.label AS c_label,
+      |    CAST(sum(csum * csum) AS BIGINT) AS csumsq, any_value(n) AS n
+      |  FROM cs JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+      |    cn ON cs.label = cn.label
+      |  GROUP BY 1),
+      |dots AS (
+      |  SELECT d.vec_id, d.label AS old_label, cs.label AS c_label,
+      |    CAST(sum(d.u * cs.csum) AS BIGINT) AS dotnum
+      |  FROM dims d JOIN cs ON d.dim = cs.dim
+      |  GROUP BY 1, 2, 3),
+      |assign AS (
+      |  SELECT vec_id, old_label, c_label AS new_label FROM (
+      |    SELECT vec_id, old_label, c_label,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY
+      |        CAST(csumsq AS DOUBLE) / CAST(n * n AS DOUBLE)
+      |          - CAST(dotnum * 2 AS DOUBLE) / CAST(n AS DOUBLE) ASC,
+      |        c_label ASC) AS rn
+      |    FROM dots JOIN cmeta USING (c_label))
+      |  WHERE rn = 1),
+      |nstat AS (
+      |  SELECT new_label, CAST(sum(nsum * nsum) AS BIGINT) AS nsumsq
+      |  FROM (
+      |    SELECT a.new_label, d.dim, CAST(sum(d.u) AS BIGINT) AS nsum
+      |    FROM dims d JOIN assign a ON d.vec_id = a.vec_id
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT new_label, count(*) AS n_vecs,
+      |  CAST(sum(CAST(old_label = new_label AS BIGINT)) AS BIGINT)
+      |    AS n_stayed,
+      |  round(sqrt(CAST(any_value(nsumsq) AS DOUBLE))
+      |    / (count(*) * 1000000.0), 6) AS centroid_norm
+      |FROM assign JOIN nstat USING (new_label)
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q125_kmeans_lloyd_step", q125, Some(q125Sql)),
     QueryDef("q110_ivf_multiprobe", q110, Some(q110Sql)),
     QueryDef("q62_embedding_near_dup", q62, Some(q62Sql)),
     QueryDef("q80_ann_recall", q80, Some(q80Sql)),
