@@ -65,7 +65,11 @@ object Bench {
         math.min(base, flagshipExtra) else base)
     }
     val (failed, results) = merged.partition(_._2 < 0)
-    def r3(v: Double): String = "%.3f".format(v)
+    // 10 ms resolution per query: the driver captures only the LAST 2000
+    // chars of output, and at 125+ queries a 3-decimal line would crowd
+    // the window (r3-r6's WindowExec WARN spam actually pushed the JSON
+    // out entirely — BENCH_r0{3..6}.json all record parsed:null).
+    def r3(v: Double): String = "%.2f".format(v)
     // Driver captures only the last 2000 chars of output: keys shrink to
     // their unique qNN prefix so the whole JSON line fits that window
     // (full names are in SURVEY.md §2.12 / Verify output).
@@ -84,7 +88,8 @@ object Bench {
       results.get("q15_transcript_assembly")
         .filter(_ > 0).map(t => n / t).getOrElse(0.0)
     } catch { case _: Throwable => 0.0 }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"flagship_events_per_sec":${r3(flagshipEps)},"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"flagship_events_per_sec":${"%.0f".format(flagshipEps)},"sf":"$sfName"}""")
     spark.stop()
   }
 }

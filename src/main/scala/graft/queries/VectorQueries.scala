@@ -376,7 +376,101 @@ object VectorQueries {
       |FROM assign JOIN nstat USING (new_label)
       |GROUP BY 1""".stripMargin
 
+  /** q126: product-quantization (PQ) encoding — the compression step
+    * that makes billion-vector ANN affordable: the 64-dim embedding
+    * splits into 4 contiguous 16-dim subspaces, each sub-vector snaps to
+    * its nearest per-subspace codeword, and a vector becomes 4 small
+    * codes (+ its per-subspace quantization error, the fidelity signal
+    * that decides codebook size). Codewords are the per-subspace
+    * centroids of the existing label partition (exact integer-unit
+    * sums — the q110/q125 build), so the whole encode is engine-exact:
+    * nearest codeword minimizes ‖c‖²−2x·c from int64 numerators with
+    * two IEEE divisions, the argmin is a struct-min AGGREGATE (partial-
+    * aggregable, no per-vector sort), and the reported error adds the
+    * exact ‖x_sub‖² term back.
+    *
+    * Scale shape: codebooks are (label, subspace)-keyed sums — tiny at
+    * any corpus size — and BROADCAST onto the vector dim table;
+    * per-vector work is k·m dot products and a grouped argmin; nothing
+    * shuffles the embeddings themselves except the initial dim
+    * explode's partial aggregation. Codes then join ANN candidate
+    * streams by (subspace, code) — the asymmetric-distance lookup
+    * tables of a production PQ index. */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dims = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
+      .withColumn("subsp", expr("dim div 16"))
+    val cs = dims.groupBy(col("label"), col("subsp"), col("dim"))
+      .agg(sum(col("u")).as("csum"))
+    val cmeta = cs.groupBy(col("label"), col("subsp"))
+      .agg(sum(col("csum") * col("csum")).as("csumsq"))
+      .join(emb.groupBy(col("label")).agg(count(lit(1)).as("n")), "label")
+      .withColumnRenamed("label", "c_label")
+    val xstat = dims.groupBy(col("vec_id"), col("subsp"))
+      .agg(sum(col("u") * col("u")).as("xsumsq"))
+    val dots = dims
+      .join(broadcast(cs.select(col("label").as("c_label"), col("dim"),
+        col("csum"))), "dim")
+      .groupBy(col("vec_id"), col("subsp"), col("c_label"))
+      .agg(sum(col("u") * col("csum")).as("dotnum"))
+    dots
+      .join(broadcast(cmeta), Seq("c_label", "subsp"))
+      .withColumn("score",
+        col("csumsq").cast("double") / (col("n") * col("n")).cast("double")
+          - (col("dotnum") * 2).cast("double") / col("n").cast("double"))
+      .groupBy(col("vec_id"), col("subsp"))
+      .agg(min(struct(col("score"), col("c_label"))).as("best"))
+      .join(xstat, Seq("vec_id", "subsp"))
+      .select(col("vec_id"), col("subsp"),
+        col("best.c_label").as("code"),
+        round((col("xsumsq").cast("double") + col("best.score")) / 1e12, 6)
+          .as("quant_err"))
+  }
+
+  private val q126Sql =
+    """WITH dims AS (
+      |  SELECT vec_id, label, i - 1 AS dim, (i - 1) // 16 AS subsp,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+      |cs AS (
+      |  SELECT label, subsp, dim, CAST(sum(u) AS BIGINT) AS csum
+      |  FROM dims GROUP BY 1, 2, 3),
+      |cmeta AS (
+      |  SELECT cs.label AS c_label, subsp,
+      |    CAST(sum(csum * csum) AS BIGINT) AS csumsq, any_value(n) AS n
+      |  FROM cs JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+      |    cn ON cs.label = cn.label
+      |  GROUP BY 1, 2),
+      |xstat AS (
+      |  SELECT vec_id, subsp, CAST(sum(u * u) AS BIGINT) AS xsumsq
+      |  FROM dims GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT d.vec_id, d.subsp, cs.label AS c_label,
+      |    CAST(sum(d.u * cs.csum) AS BIGINT) AS dotnum
+      |  FROM dims d JOIN cs ON d.dim = cs.dim
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, subsp, c_label AS code, score FROM (
+      |    SELECT vec_id, subsp, c_label, score,
+      |      row_number() OVER (PARTITION BY vec_id, subsp
+      |        ORDER BY score ASC, c_label ASC) AS rn
+      |    FROM (
+      |      SELECT vec_id, subsp, c_label,
+      |        CAST(csumsq AS DOUBLE) / CAST(n * n AS DOUBLE)
+      |          - CAST(dotnum * 2 AS DOUBLE) / CAST(n AS DOUBLE) AS score
+      |      FROM dots JOIN cmeta USING (c_label, subsp)))
+      |  WHERE rn = 1)
+      |SELECT c.vec_id, c.subsp, c.code,
+      |  round((CAST(x.xsumsq AS DOUBLE) + c.score) / 1000000000000.0, 6)
+      |    AS quant_err
+      |FROM codes c JOIN xstat x
+      |  ON c.vec_id = x.vec_id AND c.subsp = x.subsp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q126_pq_encode", q126, Some(q126Sql)),
     QueryDef("q125_kmeans_lloyd_step", q125, Some(q125Sql)),
     QueryDef("q110_ivf_multiprobe", q110, Some(q110Sql)),
     QueryDef("q62_embedding_near_dup", q62, Some(q62Sql)),
