@@ -527,7 +527,101 @@ object SessionQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** q128: hourly gap-fill with forward fill — the time-grid
+    * regularization every metrics/feature pipeline runs before joining
+    * irregular event streams to fixed-cadence data: each user's span
+    * expands to a dense hourly grid (integer epoch-hours — no date-
+    * function parity traps) and missing hours carry the last observed
+    * value forward. The last-in-hour pick is an arg-max STRUCT
+    * aggregate ((t_us, event_id) order — deterministic under
+    * duplicates); grid generation is sequence()+explode off the per-user
+    * bounds (rows ∝ users × span, never a calendar cross join); the
+    * fill is last(ignoreNulls) over the user partition. Everything
+    * shares the user-key shuffle. */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        Q.us.as("t_us"), expr(s"(ts div 1000) div $hourUs").as("hr"))
+    val hourly = ev.groupBy(col("user_id"), col("hr"))
+      .agg(max(struct(col("t_us"), col("event_id"), col("value")))
+        .as("last"))
+      .select(col("user_id"), col("hr"), col("last.value").as("v"))
+    ev.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        last(col("v"), ignoreNulls = true)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("hr").asc))
+          .as("filled_value"),
+        col("v").isNotNull.as("is_observed"))
+  }
+
+  private val q128Sql = {
+    val hourUs = 3600L * 1000000L
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, value, ${Q.usSql} AS t_us,
+       |    ${Q.usSql} // $hourUs AS hr
+       |  FROM events),
+       |hourly AS (
+       |  SELECT user_id, hr, value AS v FROM (
+       |    SELECT user_id, hr, value,
+       |      row_number() OVER (PARTITION BY user_id, hr
+       |        ORDER BY t_us DESC, event_id DESC) AS rn
+       |    FROM ev) WHERE rn = 1),
+       |grid AS (
+       |  SELECT user_id, unnest(range(h0, h1 + 1)) AS hr
+       |  FROM (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+       |        FROM ev GROUP BY 1))
+       |SELECT g.user_id, g.hr,
+       |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+       |    ORDER BY g.hr ROWS UNBOUNDED PRECEDING) AS filled_value,
+       |  h.v IS NOT NULL AS is_observed
+       |FROM grid g LEFT JOIN hourly h
+       |  ON g.user_id = h.user_id AND g.hr = h.hr""".stripMargin
+  }
+
+  /** q129: event-transition matrix — per-user consecutive event-type
+    * pairs reduced to global (from, to) counts and row-normalized
+    * transition probabilities: the first-order Markov view behind
+    * next-event prediction and funnel-anomaly checks. One user-key
+    * shuffle for the lead(), one tiny (from, to) aggregate, and the
+    * row normalization divides two exact longs per row (engine-
+    * identical doubles, rounded at 6). */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Q.us.as("t_us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type")))
+          .cast("double"), 6))
+  }
+
+  private val q129Sql =
+    s"""SELECT from_type, to_type, n,
+       |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+       |    AS DOUBLE), 6) AS p
+       |FROM (
+       |  SELECT event_type AS from_type, to_type, count(*) AS n
+       |  FROM (
+       |    SELECT user_id, event_type,
+       |      lead(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY ${Q.usSql}, event_id) AS to_type
+       |    FROM events)
+       |  WHERE to_type IS NOT NULL
+       |  GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q128_hourly_gap_fill", q128, Some(q128Sql)),
+    QueryDef("q129_transition_matrix", q129, Some(q129Sql)),
     QueryDef("q111_scd2_intervals", q111, Some(q111Sql)),
     QueryDef("q112_cohort_retention", q112, Some(q112Sql)),
     QueryDef("q97_range_window", q97, Some(q97Sql)),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -396,7 +396,22 @@ object VectorQueries {
     * explode's partial aggregation. Codes then join ANN candidate
     * streams by (subspace, code) — the asymmetric-distance lookup
     * tables of a production PQ index. */
-  private def q126(s: SparkSession, d: String): DataFrame = {
+  /** Shared PQ building blocks (q126/q127): the micro-unit dim table
+    * (with `subsp = dim div 16`), per-(label, subspace, dim) codeword
+    * sums, codeword metadata (‖c_sub‖² numerator + member count), the
+    * per-(vector, subspace) squared norm, and the corpus encode
+    * (nearest codeword per subspace, argmin of ‖c‖²−2x·c as a
+    * struct-min aggregate). All numerators are exact int64; `score` is
+    * the 10¹²-scaled ‖c_sub‖²−2·x_sub·c_sub from two IEEE divisions —
+    * engine-identical given identical integers. */
+  private final case class Pq(dims: DataFrame, cs: DataFrame,
+      cmeta: DataFrame, xstat: DataFrame, codes: DataFrame)
+
+  private def pqScore: Column =
+    col("csumsq").cast("double") / (col("n") * col("n")).cast("double") -
+      (col("dotnum") * 2).cast("double") / col("n").cast("double")
+
+  private def pq(s: SparkSession, d: String): Pq = {
     val emb = Tables.embeddings(s, d)
     val dims = emb
       .select(col("vec_id"), col("label"),
@@ -411,22 +426,26 @@ object VectorQueries {
       .withColumnRenamed("label", "c_label")
     val xstat = dims.groupBy(col("vec_id"), col("subsp"))
       .agg(sum(col("u") * col("u")).as("xsumsq"))
-    val dots = dims
+    val codes = dims
       .join(broadcast(cs.select(col("label").as("c_label"), col("dim"),
         col("csum"))), "dim")
       .groupBy(col("vec_id"), col("subsp"), col("c_label"))
       .agg(sum(col("u") * col("csum")).as("dotnum"))
-    dots
       .join(broadcast(cmeta), Seq("c_label", "subsp"))
-      .withColumn("score",
-        col("csumsq").cast("double") / (col("n") * col("n")).cast("double")
-          - (col("dotnum") * 2).cast("double") / col("n").cast("double"))
+      .withColumn("score", pqScore)
       .groupBy(col("vec_id"), col("subsp"))
       .agg(min(struct(col("score"), col("c_label"))).as("best"))
-      .join(xstat, Seq("vec_id", "subsp"))
       .select(col("vec_id"), col("subsp"),
-        col("best.c_label").as("code"),
-        round((col("xsumsq").cast("double") + col("best.score")) / 1e12, 6)
+        col("best.c_label").as("code"), col("best.score").as("score"))
+    Pq(dims, cs, cmeta, xstat, codes)
+  }
+
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val p = pq(s, d)
+    p.codes
+      .join(p.xstat, Seq("vec_id", "subsp"))
+      .select(col("vec_id"), col("subsp"), col("code"),
+        round((col("xsumsq").cast("double") + col("score")) / 1e12, 6)
           .as("quant_err"))
   }
 
@@ -469,7 +488,118 @@ object VectorQueries {
       |FROM codes c JOIN xstat x
       |  ON c.vec_id = x.vec_id AND c.subsp = x.subsp""".stripMargin
 
+  /** q127: PQ asymmetric-distance (ADC) top-5 search — how a production
+    * PQ index answers queries: each query precomputes a tiny distance
+    * TABLE (its exact distance to every codeword, per subspace:
+    * ‖q_sub‖² + ‖c‖² − 2q·c from the shared exact numerators), and a
+    * corpus vector's approximate distance is just 4 table lookups keyed
+    * by its stored codes — the embedding itself is never touched at
+    * query time. The 4 per-subspace parts pivot to fixed columns and
+    * add in a FIXED left-to-right order (((p0+p1)+p2)+p3): double
+    * addition is order-sensitive, so a plain grouped sum would be
+    * shuffle-nondeterministic — the pivot makes it engine-exact.
+    * Ranking orders by the ROUNDED distance (the q110 rule) with c_id
+    * tiebreak.
+    *
+    * Scale shape: the distance table is queries × k × m rows — tiny,
+    * broadcast; the search side touches only the (vec, subsp, code)
+    * encode (4 rows/vector, no embeddings), joins on (subsp, code), and
+    * does one (q, c)-grouped pivot + per-query top-k. This is the
+    * memory-bandwidth shape that makes PQ viable at 10⁹ vectors. */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val p = pq(s, d)
+    val qstat = p.xstat.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("subsp"),
+        col("xsumsq").as("qsumsq"))
+    val table = p.dims.filter(col("vec_id") < 8)
+      .join(broadcast(p.cs.select(col("label").as("c_label"), col("dim"),
+        col("csum"))), "dim")
+      .groupBy(col("vec_id").as("q_id"), col("subsp"), col("c_label"))
+      .agg(sum(col("u") * col("csum")).as("dotnum"))
+      .join(broadcast(p.cmeta), Seq("c_label", "subsp"))
+      .withColumn("score", pqScore)
+      .join(broadcast(qstat), Seq("q_id", "subsp"))
+      .select(col("q_id"), col("subsp"), col("c_label"),
+        (col("qsumsq").cast("double") + col("score")).as("part"))
+    p.codes
+      .select(col("vec_id").as("c_id"), col("subsp"),
+        col("code").as("c_label"))
+      .join(broadcast(table), Seq("subsp", "c_label"))
+      .filter(col("c_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(min(when(col("subsp") === 0, col("part"))).as("p0"),
+        min(when(col("subsp") === 1, col("part"))).as("p1"),
+        min(when(col("subsp") === 2, col("part"))).as("p2"),
+        min(when(col("subsp") === 3, col("part"))).as("p3"))
+      .select(col("q_id"), col("c_id"),
+        round((((col("p0") + col("p1")) + col("p2")) + col("p3")) / 1e12, 6)
+          .as("adc_dist"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist").asc, col("c_id").asc)))
+      .filter(col("rk") <= 5)
+  }
+
+  private val q127Sql =
+    """WITH dims AS (
+      |  SELECT vec_id, label, i - 1 AS dim, (i - 1) // 16 AS subsp,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+      |cs AS (
+      |  SELECT label, subsp, dim, CAST(sum(u) AS BIGINT) AS csum
+      |  FROM dims GROUP BY 1, 2, 3),
+      |cmeta AS (
+      |  SELECT cs.label AS c_label, subsp,
+      |    CAST(sum(csum * csum) AS BIGINT) AS csumsq, any_value(n) AS n
+      |  FROM cs JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+      |    cn ON cs.label = cn.label
+      |  GROUP BY 1, 2),
+      |xstat AS (
+      |  SELECT vec_id, subsp, CAST(sum(u * u) AS BIGINT) AS xsumsq
+      |  FROM dims GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT d.vec_id, d.subsp, cs.label AS c_label,
+      |    CAST(sum(d.u * cs.csum) AS BIGINT) AS dotnum
+      |  FROM dims d JOIN cs ON d.dim = cs.dim
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT vec_id, subsp, c_label,
+      |    CAST(csumsq AS DOUBLE) / CAST(n * n AS DOUBLE)
+      |      - CAST(dotnum * 2 AS DOUBLE) / CAST(n AS DOUBLE) AS score
+      |  FROM dots JOIN cmeta USING (c_label, subsp)),
+      |codes AS (
+      |  SELECT vec_id AS c_id, subsp, c_label FROM (
+      |    SELECT vec_id, subsp, c_label,
+      |      row_number() OVER (PARTITION BY vec_id, subsp
+      |        ORDER BY score ASC, c_label ASC) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |tbl AS (
+      |  SELECT s.vec_id AS q_id, s.subsp, s.c_label,
+      |    CAST(x.xsumsq AS DOUBLE) + s.score AS part
+      |  FROM scored s JOIN xstat x
+      |    ON s.vec_id = x.vec_id AND s.subsp = x.subsp
+      |  WHERE s.vec_id < 8),
+      |cand AS (
+      |  SELECT t.q_id, c.c_id,
+      |    min(CASE WHEN c.subsp = 0 THEN t.part END) AS p0,
+      |    min(CASE WHEN c.subsp = 1 THEN t.part END) AS p1,
+      |    min(CASE WHEN c.subsp = 2 THEN t.part END) AS p2,
+      |    min(CASE WHEN c.subsp = 3 THEN t.part END) AS p3
+      |  FROM codes c JOIN tbl t
+      |    ON c.subsp = t.subsp AND c.c_label = t.c_label
+      |  WHERE c.c_id <> t.q_id
+      |  GROUP BY 1, 2)
+      |SELECT q_id, c_id, adc_dist, rk FROM (
+      |  SELECT q_id, c_id, adc_dist,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY adc_dist ASC, c_id ASC) AS rk
+      |  FROM (
+      |    SELECT q_id, c_id,
+      |      round((((p0 + p1) + p2) + p3) / 1000000000000.0, 6) AS adc_dist
+      |    FROM cand))
+      |WHERE rk <= 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q127_pq_adc_search", q127, Some(q127Sql)),
     QueryDef("q126_pq_encode", q126, Some(q126Sql)),
     QueryDef("q125_kmeans_lloyd_step", q125, Some(q125Sql)),
     QueryDef("q110_ivf_multiprobe", q110, Some(q110Sql)),
