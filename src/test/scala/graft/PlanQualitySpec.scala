@@ -159,4 +159,43 @@ class PlanQualitySpec extends SparkSpec {
       ks.size == 1 && ks.head.toString.contains("source")),
       "a join blocks on the skewable source key alone")
   }
+
+  test("q122's factored disjunction bounds reach both parquet scans") {
+    val p = planOf("q122_disjunctive_revenue")
+    // the common envelopes (quantity 1..35, the three brands) must be
+    // pushed — the OR-of-ANDs itself can't key a join, but its factored
+    // conjuncts prune both scans before the join carries anything
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,35.0)"),
+      s"lineitem quantity envelope not pushed:\n$p")
+    assert(p.contains("In(p_brand, [Brand#1,Brand#2,Brand#3])"),
+      s"part brand envelope not pushed:\n$p")
+  }
+
+  test("q119's per-part arg-max is an aggregate, not a window sort") {
+    // the correlated-min shape must stay a partial-aggregable struct
+    // max: a row_number rewrite would force a per-part sort of every
+    // (part, supplier) pair
+    val p = planOf("q119_best_supplier_per_part")
+    val beforeTopK = p.split("TakeOrderedAndProject").last
+    assert(!beforeTopK.contains("RunningWindowFunction"),
+      s"arg-max degenerated to a window:\n$p")
+  }
+
+  test("q123 scans lineitem once (window total, no self-join)") {
+    val p = planOf("q123_dominant_suppliers")
+    val factScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+      .size
+    assert(factScans == 1, s"expected 1 lineitem scan, got $factScans:\n$p")
+  }
+
+  test("q127's code lookup joins the broadcast distance table") {
+    val p = planOf("q127_pq_adc_search")
+    // the corpus side must join codes against a broadcast table — a
+    // shuffle join here would move the (vec, subsp, code) encode for
+    // every query batch
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC lookup not a broadcast join:\n$p")
+  }
 }
