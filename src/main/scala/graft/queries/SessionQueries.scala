@@ -619,7 +619,54 @@ object SessionQueries {
        |  WHERE to_type IS NOT NULL
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** q131: robust outlier detection via median absolute deviation — the
+    * anomaly screen that survives the heavy tails that break z-scores:
+    * per event type, median, MAD, and how many events sit beyond the
+    * 3×MAD fence. Exact interpolated percentiles on BOTH engines (the
+    * q09 `percentile` ↔ `quantile_cont` parity); the deviation and the
+    * 3×MAD fence are the same IEEE ops on identical doubles. MAD is
+    * inherently two-pass (the second percentile needs the first); each
+    * pass is one type-keyed aggregate with the tiny per-type medians
+    * broadcast back — events shuffle only on event_type, and at 100 TB
+    * each pass is one scan + one 5-row broadcast. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val stats = dev.groupBy(col("event_type"))
+      .agg(min(col("med")).as("median_v"),
+        expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(min(col("median_v")), 6).as("median_v"),
+        round(min(col("mad")), 6).as("mad"),
+        count(lit(1)).as("n"),
+        sum((col("dev") > lit(3.0) * col("mad")).cast("long"))
+          .as("n_outliers"))
+  }
+
+  private val q131Sql =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      |  FROM events e JOIN med m USING (event_type)),
+      |stats AS (
+      |  SELECT event_type, min(med) AS median_v,
+      |    quantile_cont(dev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, round(min(s.median_v), 6) AS median_v,
+      |  round(min(s.mad), 6) AS mad, count(*) AS n,
+      |  CAST(sum(CAST(d.dev > 3.0 * s.mad AS BIGINT)) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN stats s USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q131_mad_outliers", q131, Some(q131Sql)),
     QueryDef("q128_hourly_gap_fill", q128, Some(q128Sql)),
     QueryDef("q129_transition_matrix", q129, Some(q129Sql)),
     QueryDef("q111_scd2_intervals", q111, Some(q111Sql)),

@@ -506,12 +506,15 @@ object VectorQueries {
     * encode (4 rows/vector, no embeddings), joins on (subsp, code), and
     * does one (q, c)-grouped pivot + per-query top-k. This is the
     * memory-bandwidth shape that makes PQ viable at 10⁹ vectors. */
-  private def q127(s: SparkSession, d: String): DataFrame = {
-    val p = pq(s, d)
+  /** Per-query ADC distance table (q127/q130): for every (query,
+    * subspace, codeword), the exact distance part
+    * ‖q_sub‖² + ‖c‖² − 2q·c (10¹²-scaled), plus the raw sub-dot for
+    * full-vector probe ranking. Queries × k × m rows — always tiny. */
+  private def pqQueryTable(p: Pq): DataFrame = {
     val qstat = p.xstat.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("subsp"),
         col("xsumsq").as("qsumsq"))
-    val table = p.dims.filter(col("vec_id") < 8)
+    p.dims.filter(col("vec_id") < 8)
       .join(broadcast(p.cs.select(col("label").as("c_label"), col("dim"),
         col("csum"))), "dim")
       .groupBy(col("vec_id").as("q_id"), col("subsp"), col("c_label"))
@@ -519,24 +522,33 @@ object VectorQueries {
       .join(broadcast(p.cmeta), Seq("c_label", "subsp"))
       .withColumn("score", pqScore)
       .join(broadcast(qstat), Seq("q_id", "subsp"))
-      .select(col("q_id"), col("subsp"), col("c_label"),
+      .select(col("q_id"), col("subsp"), col("c_label"), col("dotnum"),
         (col("qsumsq").cast("double") + col("score")).as("part"))
-    p.codes
+  }
+
+  /** Fixed-order pivot sum of the 4 per-subspace ADC parts + per-query
+    * top-k (rounded-distance rank, c_id tiebreak — the q110 rule). */
+  private def adcTopK(cand: DataFrame, k: Int): DataFrame = cand
+    .groupBy(col("q_id"), col("c_id"))
+    .agg(min(when(col("subsp") === 0, col("part"))).as("p0"),
+      min(when(col("subsp") === 1, col("part"))).as("p1"),
+      min(when(col("subsp") === 2, col("part"))).as("p2"),
+      min(when(col("subsp") === 3, col("part"))).as("p3"))
+    .select(col("q_id"), col("c_id"),
+      round((((col("p0") + col("p1")) + col("p2")) + col("p3")) / 1e12, 6)
+        .as("adc_dist"))
+    .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("c_id").asc)))
+    .filter(col("rk") <= k)
+
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val p = pq(s, d)
+    adcTopK(p.codes
       .select(col("vec_id").as("c_id"), col("subsp"),
         col("code").as("c_label"))
-      .join(broadcast(table), Seq("subsp", "c_label"))
-      .filter(col("c_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(min(when(col("subsp") === 0, col("part"))).as("p0"),
-        min(when(col("subsp") === 1, col("part"))).as("p1"),
-        min(when(col("subsp") === 2, col("part"))).as("p2"),
-        min(when(col("subsp") === 3, col("part"))).as("p3"))
-      .select(col("q_id"), col("c_id"),
-        round((((col("p0") + col("p1")) + col("p2")) + col("p3")) / 1e12, 6)
-          .as("adc_dist"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("adc_dist").asc, col("c_id").asc)))
-      .filter(col("rk") <= 5)
+      .join(broadcast(pqQueryTable(p).drop("dotnum")),
+        Seq("subsp", "c_label"))
+      .filter(col("c_id") =!= col("q_id")), 5)
   }
 
   private val q127Sql =
@@ -598,7 +610,131 @@ object VectorQueries {
       |    FROM cand))
       |WHERE rk <= 5""".stripMargin
 
+  /** q130: IVF-PQ combined search (the FAISS IVFADC shape, flat codes):
+    * q110's cell pruning composed with q127's code-table scoring — each
+    * query probes its 2 best cells by full-vector centroid score (the
+    * full dot is the exact SUM of the 4 sub-dots the table already
+    * carries — no extra pass), and only vectors RESIDENT in a probed
+    * cell get ADC-scored from their 4 stored codes. This is the
+    * production recipe at 10⁹+ vectors: IVF cuts the candidate set by
+    * nprobe/k, PQ cuts the bytes touched per candidate; neither the
+    * query nor the corpus embeddings move at search time. (Codes here
+    * quantize the raw vector, not the cell residual — the residual
+    * refinement is a codebook change, same plan.)
+    *
+    * Scale shape: probes and distance tables are per-query × k — tiny,
+    * broadcast; the corpus side touches only (vec, subsp, code) rows
+    * joined on the resident cell then (q, subsp, code). A corpus
+    * bucketed by cell answers each probe from co-located partitions,
+    * exactly like q110 — the cell attach below is a join only because
+    * the testdata isn't pre-bucketed. */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val p = pq(s, d)
+    val table = pqQueryTable(p)
+    val cfull = p.cmeta.groupBy(col("c_label"), col("n"))
+      .agg(sum(col("csumsq")).as("cnormsq"))
+    val probes = table.groupBy(col("q_id"), col("c_label"))
+      .agg(sum(col("dotnum")).as("dotfull"))
+      .join(broadcast(cfull), "c_label")
+      .withColumn("cscore", col("dotfull").cast("double")
+        / sqrt(col("cnormsq").cast("double")))
+      .withColumn("pk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cscore").desc, col("c_label").asc)))
+      .filter(col("pk") <= 2)
+      .select(col("q_id"), col("c_label").as("cell"))
+    val cand = p.codes
+      .select(col("vec_id").as("c_id"), col("subsp"),
+        col("code").as("c_label"))
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id").as("c_id"), col("label").as("cell")), "c_id")
+      .join(broadcast(probes), "cell")
+      .join(broadcast(table.select(col("q_id"), col("subsp"),
+        col("c_label"), col("part"))), Seq("q_id", "subsp", "c_label"))
+      .filter(col("c_id") =!= col("q_id"))
+    adcTopK(cand, 3)
+  }
+
+  private val q130Sql =
+    """WITH dims AS (
+      |  SELECT vec_id, label, i - 1 AS dim, (i - 1) // 16 AS subsp,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+      |cs AS (
+      |  SELECT label, subsp, dim, CAST(sum(u) AS BIGINT) AS csum
+      |  FROM dims GROUP BY 1, 2, 3),
+      |cmeta AS (
+      |  SELECT cs.label AS c_label, subsp,
+      |    CAST(sum(csum * csum) AS BIGINT) AS csumsq, any_value(n) AS n
+      |  FROM cs JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+      |    cn ON cs.label = cn.label
+      |  GROUP BY 1, 2),
+      |xstat AS (
+      |  SELECT vec_id, subsp, CAST(sum(u * u) AS BIGINT) AS xsumsq
+      |  FROM dims GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT d.vec_id, d.subsp, cs.label AS c_label,
+      |    CAST(sum(d.u * cs.csum) AS BIGINT) AS dotnum
+      |  FROM dims d JOIN cs ON d.dim = cs.dim
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT vec_id, subsp, c_label,
+      |    CAST(csumsq AS DOUBLE) / CAST(n * n AS DOUBLE)
+      |      - CAST(dotnum * 2 AS DOUBLE) / CAST(n AS DOUBLE) AS score
+      |  FROM dots JOIN cmeta USING (c_label, subsp)),
+      |codes AS (
+      |  SELECT vec_id AS c_id, subsp, c_label FROM (
+      |    SELECT vec_id, subsp, c_label,
+      |      row_number() OVER (PARTITION BY vec_id, subsp
+      |        ORDER BY score ASC, c_label ASC) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |tbl AS (
+      |  SELECT s.vec_id AS q_id, s.subsp, s.c_label,
+      |    CAST(x.xsumsq AS DOUBLE) + s.score AS part
+      |  FROM scored s JOIN xstat x
+      |    ON s.vec_id = x.vec_id AND s.subsp = x.subsp
+      |  WHERE s.vec_id < 8),
+      |cfull AS (
+      |  SELECT c_label, any_value(n) AS n,
+      |    CAST(sum(csumsq) AS BIGINT) AS cnormsq
+      |  FROM cmeta GROUP BY 1),
+      |probes AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT f.q_id, f.c_label AS cell,
+      |      row_number() OVER (PARTITION BY f.q_id
+      |        ORDER BY CAST(f.dotfull AS DOUBLE)
+      |          / sqrt(CAST(cf.cnormsq AS DOUBLE)) DESC,
+      |        f.c_label ASC) AS pk
+      |    FROM (
+      |      SELECT vec_id AS q_id, c_label,
+      |        CAST(sum(dotnum) AS BIGINT) AS dotfull
+      |      FROM dots WHERE vec_id < 8 GROUP BY 1, 2) f
+      |    JOIN cfull cf ON f.c_label = cf.c_label)
+      |  WHERE pk <= 2),
+      |cand AS (
+      |  SELECT t.q_id, c.c_id,
+      |    min(CASE WHEN c.subsp = 0 THEN t.part END) AS p0,
+      |    min(CASE WHEN c.subsp = 1 THEN t.part END) AS p1,
+      |    min(CASE WHEN c.subsp = 2 THEN t.part END) AS p2,
+      |    min(CASE WHEN c.subsp = 3 THEN t.part END) AS p3
+      |  FROM codes c
+      |  JOIN embeddings e ON c.c_id = e.vec_id
+      |  JOIN probes pr ON e.label = pr.cell
+      |  JOIN tbl t ON t.q_id = pr.q_id AND t.subsp = c.subsp
+      |    AND t.c_label = c.c_label
+      |  WHERE c.c_id <> pr.q_id
+      |  GROUP BY 1, 2)
+      |SELECT q_id, c_id, adc_dist, rk FROM (
+      |  SELECT q_id, c_id, adc_dist,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY adc_dist ASC, c_id ASC) AS rk
+      |  FROM (
+      |    SELECT q_id, c_id,
+      |      round((((p0 + p1) + p2) + p3) / 1000000000000.0, 6) AS adc_dist
+      |    FROM cand))
+      |WHERE rk <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q130_ivfpq_search", q130, Some(q130Sql)),
     QueryDef("q127_pq_adc_search", q127, Some(q127Sql)),
     QueryDef("q126_pq_encode", q126, Some(q126Sql)),
     QueryDef("q125_kmeans_lloyd_step", q125, Some(q125Sql)),
