@@ -1038,7 +1038,73 @@ object TextQueries {
        |FROM tok JOIN tf USING (wh)
        |GROUP BY 1""".stripMargin
 
+  /** q132: count-min-sketch heavy hitters — the fixed-size frequency
+    * sketch (Cormode–Muthukrishnan) that replaces an unbounded token
+    * frequency table when the vocabulary won't fit: 4 rows × 1024
+    * buckets of pure counters, point queries answered by the min over
+    * the 4 rows, always ≥ the true count. Here the sketch AND the exact
+    * top-20 are both computed and compared (est_n − true_n is the
+    * collision overestimate a deployment monitors to size the sketch).
+    * Deliberately deterministic: the 4 row-hashes are disjoint 10-bit
+    * slices of the 60-bit md5 token hash — integer shifts/masks, no
+    * seeded RNG — so the oracle rebuilds the identical sketch.
+    *
+    * Scale shape: the sketch build is a (row, bucket)-keyed aggregate
+    * — map-side combine collapses every partition to ≤ 4×1024 partial
+    * counters regardless of corpus size, the whole shuffle is ≤ 4096
+    * rows per partition, and the final sketch is 16 KB of longs. The
+    * exact side (for the comparison) is the usual hash-keyed tf
+    * aggregate; a production pipeline at 100 TB keeps ONLY the sketch
+    * side. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(explode(expr(
+        s"transform($wordsExpr, t -> " +
+          "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .as("h"))
+    def bucket(r: Int): Column =
+      shiftright(col("h"), 10 * r).bitwiseAND(lit(1023L))
+    val cms = tok
+      .select(col("h"), explode(array((0 to 3).map(r =>
+        struct(lit(r).as("r"), bucket(r).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = tok.groupBy(col("h")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("h").asc)
+      .limit(20)
+    top
+      .select(col("h"), col("true_n"), explode(array((0 to 3).map(r =>
+        struct(lit(r).as("r"), bucket(r).as("bucket"))): _*)).as("rb"))
+      .select(col("h"), col("true_n"), col("rb.r").as("r"),
+        col("rb.bucket").as("bucket"))
+      .join(broadcast(cms), Seq("r", "bucket"))
+      .groupBy(col("h").as("token_hash"), col("true_n"))
+      .agg(min(col("c")).as("est_n"))
+      .select(col("token_hash"), col("true_n"), col("est_n"),
+        (col("est_n") - col("true_n")).as("overestimate"))
+  }
+
+  private val q132Sql =
+    s"""WITH tok AS (
+       |  SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT unnest($wordsSqlExpr) AS t FROM documents)),
+       |cms AS (
+       |  SELECT r, (h >> (10 * r)) & 1023 AS bucket, count(*) AS c
+       |  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS r) rr
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT h, count(*) AS true_n FROM tok GROUP BY 1
+       |  ORDER BY true_n DESC, h LIMIT 20)
+       |SELECT t.h AS token_hash, t.true_n,
+       |  CAST(min(cm.c) AS BIGINT) AS est_n,
+       |  CAST(min(cm.c) AS BIGINT) - t.true_n AS overestimate
+       |FROM top t, (SELECT unnest([0, 1, 2, 3]) AS r) rr
+       |JOIN cms cm ON cm.r = rr.r
+       |  AND cm.bucket = (t.h >> (10 * rr.r)) & 1023
+       |GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_countmin_heavy_hitters", q132, Some(q132Sql)),
     QueryDef("q124_corpus_rarity_score", q124, Some(q124Sql)),
     QueryDef("q115_exact_substring_dedup", q115, Some(q115Sql)),
     QueryDef("q113_bigram_novelty", q113, Some(q113Sql)),
