@@ -1103,7 +1103,66 @@ object TextQueries {
        |  AND cm.bucket = (t.h >> (10 * rr.r)) & 1023
        |GROUP BY 1, 2""".stripMargin
 
+  /** q134: source-level boilerplate strip — the site-chrome removal a
+    * crawl pipeline runs per domain (C4 drops repeated lines; here the
+    * repeated unit is the leading token): each source's single most
+    * common opening token is its boilerplate candidate, documents that
+    * open with it are rewritten without it, and the candidate's exact
+    * share rides along so a downstream threshold can gate the rewrite
+    * (on this synthetic corpus opening tokens are near-uniform, so a
+    * hard ≥20% gate would never fire — the share column is the honest
+    * form). Detection is one (source, token) aggregate + a per-source
+    * argmax; the verdict table is sources × 1 — broadcast back onto the
+    * corpus, so the rewrite pass never shuffles a document. */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        expr(s"$wordsExpr[0]").as("w0"))
+    val dom = docs.groupBy(col("source"), col("w0"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_src",
+        sum(col("n")).over(Window.partitionBy(col("source"))))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("w0").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("w0").as("boiler"),
+        round(col("n").cast("double") / col("n_src").cast("double"), 6)
+          .as("boiler_share"))
+    docs.join(broadcast(dom), Seq("source"))
+      .withColumn("stripped", col("w0") === col("boiler"))
+      .select(col("doc_id"), col("source"), col("boiler_share"),
+        col("stripped"),
+        when(col("stripped"),
+          length(expr("substring(text, length(w0) + 2)")))
+          .otherwise(length(col("text"))).as("new_n_chars"))
+  }
+
+  private val q134Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, text, $wordsSqlExpr[1] AS w0
+       |  FROM documents),
+       |dom AS (
+       |  SELECT source, w0 AS boiler,
+       |    round(CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE), 6)
+       |      AS boiler_share
+       |  FROM (
+       |    SELECT source, w0, n,
+       |      CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY n DESC, w0 ASC) AS rn
+       |    FROM (SELECT source, w0, count(*) AS n
+       |          FROM docs GROUP BY 1, 2))
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, d.source, dom.boiler_share,
+       |  d.w0 = dom.boiler AS stripped,
+       |  CASE WHEN d.w0 = dom.boiler
+       |    THEN length(substr(d.text, length(d.w0) + 2))
+       |    ELSE length(d.text) END AS new_n_chars
+       |FROM docs d JOIN dom ON d.source = dom.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q134_boilerplate_strip", q134, Some(q134Sql)),
     QueryDef("q132_countmin_heavy_hitters", q132, Some(q132Sql)),
     QueryDef("q124_corpus_rarity_score", q124, Some(q124Sql)),
     QueryDef("q115_exact_substring_dedup", q115, Some(q115Sql)),

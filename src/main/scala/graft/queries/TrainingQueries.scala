@@ -324,7 +324,53 @@ object TrainingQueries {
       |           % 3 + 1 AS DOUBLE) AS w
       |    FROM documents GROUP BY 1))""".stripMargin
 
+  /** q133: weighted priority sample (Duffield–Lund–Thorup) — k=50 docs
+    * drawn with probability ∝ length, plus the estimator a downstream
+    * consumer needs for unbiased totals: ŵ = max(w, τ) with τ the
+    * (k+1)-th priority. "Randomness" is the 60-bit md5 of doc_id (u =
+    * (h+1)/2⁶⁰), so the draw is reproducible and the oracle replays it;
+    * the priority w/u is one IEEE multiply+divide of exact inputs —
+    * engine-identical, no pow/log. Top-k and τ both come from
+    * TakeOrderedAndProject (never a global-window sort of the corpus:
+    * each executor keeps its local top-51, the driver merges 51×P
+    * rows); τ rides back as a 1-row broadcast (the q13 scalar rule).
+    * Priority sampling is the published scheme behind weighted
+    * telemetry/corpus subsampling at scale. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val two60 = 1152921504606846976.0 // 2^60, exact in double
+    val pri = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        (col("n_chars").cast("double") * lit(two60) /
+          (expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)")
+            + lit(1L)).cast("double")).as("q"))
+    val tau = pri.orderBy(col("q").desc, col("doc_id").asc).limit(51)
+      .agg(min(col("q")).as("tau"))
+    pri.orderBy(col("q").desc, col("doc_id").asc).limit(50)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w").as("weight"),
+        round(col("q"), 6).as("priority"),
+        round(col("tau"), 6).as("tau"),
+        round(greatest(col("w").cast("double"), col("tau")), 6)
+          .as("est_weight"))
+  }
+
+  private val q133Sql =
+    """WITH pri AS (
+      |  SELECT doc_id, n_chars AS w,
+      |    CAST(n_chars AS DOUBLE) * 1152921504606846976.0
+      |      / CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |          AS BIGINT) + 1 AS DOUBLE) AS q
+      |  FROM documents),
+      |tau AS (
+      |  SELECT min(q) AS tau FROM (
+      |    SELECT q FROM pri ORDER BY q DESC, doc_id LIMIT 51))
+      |SELECT doc_id, w AS weight, round(q, 6) AS priority,
+      |  round(tau, 6) AS tau,
+      |  round(greatest(CAST(w AS DOUBLE), tau), 6) AS est_weight
+      |FROM (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT 50), tau""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q133_priority_sample", q133, Some(q133Sql)),
     QueryDef("q42_asof_join", q42, Some(q42Sql)),
     QueryDef("q94_mixture_quota", q94, Some(q94Sql)),
     QueryDef("q81_drift_psi", q81, Some(q81Sql)),
