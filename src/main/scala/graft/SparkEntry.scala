@@ -16,7 +16,8 @@ object SparkEntry {
   private val all: Seq[QueryDef] =
     RelationalQueries.defs ++ QueueQueries.defs ++ SessionQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ MediaQueries.defs ++
-      OcrTreeQueries.defs ++ SqlSurfaceQueries.defs ++ TrainingQueries.defs
+      OcrTreeQueries.defs ++ SqlSurfaceQueries.defs ++
+      TrainingQueries.defs ++ OpsQueries.defs
 
   /** Flagship: sessionized ordered transcript assembly (reference §3.1
     * streaming STT path, batch form) on sf0.001.

@@ -665,7 +665,46 @@ object SessionQueries {
       |FROM dev d JOIN stats s USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  /** q137: DAU + rolling 7-day WAU — the distinct-users-over-a-sliding-
+    * window metric that a RANGE window can't express (COUNT DISTINCT
+    * isn't frame-able): the corpus reduces to distinct (user, day)
+    * pairs ONCE, each pair then covers the 7 report days it can count
+    * toward (a bounded ×7 explode of the already-tiny pair set — never
+    * of the events), pairs dedupe, and a day-keyed count finishes. All
+    * time math is integer epoch-days; report days are the days that
+    * actually have activity (inner join with DAU). */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("rday"))
+      .distinct()
+      .groupBy(col("rday")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("day") === col("rday"))
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
+  private val q137Sql = {
+    val dayUs = 86400L * 1000000L
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, ${Q.usSql} // $dayUs AS day
+       |  FROM events),
+       |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+       |wau AS (
+       |  SELECT rday, count(*) AS wau FROM (
+       |    SELECT DISTINCT user_id, unnest(range(day, day + 7)) AS rday
+       |    FROM ud)
+       |  GROUP BY 1)
+       |SELECT day, dau, wau
+       |FROM dau JOIN wau ON day = rday""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q137_rolling_wau", q137, Some(q137Sql)),
     QueryDef("q131_mad_outliers", q131, Some(q131Sql)),
     QueryDef("q128_hourly_gap_fill", q128, Some(q128Sql)),
     QueryDef("q129_transition_matrix", q129, Some(q129Sql)),
