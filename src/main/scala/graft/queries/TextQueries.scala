@@ -1161,7 +1161,81 @@ object TextQueries {
        |    ELSE length(d.text) END AS new_n_chars
        |FROM docs d JOIN dom ON d.source = dom.source""".stripMargin
 
+  /** q138: out-of-vocabulary rate — each document scored against the
+    * corpus top-k token vocabulary (the tokenizer-coverage check run
+    * before committing to a vocab size: high OOV → the tokenizer will
+    * fragment this slice). The vocab is a deterministic top-k
+    * (frequency desc, hash asc) of the same one-shuffle term-frequency
+    * table q124 builds; it broadcasts onto the token stream (k longs —
+    * always broadcastable) and a left anti-ish flag + doc group
+    * finishes. Integer-exact counts, ratio rounded at the end. k is the
+    * production knob (32k-256k for a BPE budget); 20 here so the OOV
+    * branch is actually exercised on the 31-token synthetic corpus. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        s"transform($wordsExpr, t -> " +
+          "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .as("wh"))
+    val vocab = tok.groupBy(col("wh")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("wh").asc)
+      .limit(20)
+      .select(col("wh"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+  }
+
+  private val q138Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
+       |  FROM (SELECT doc_id, unnest($wordsSqlExpr) AS t FROM documents)),
+       |vocab AS (
+       |  SELECT wh FROM (
+       |    SELECT wh, count(*) AS tf FROM tok GROUP BY 1)
+       |  ORDER BY tf DESC, wh LIMIT 20)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CAST(v.wh IS NULL AS BIGINT)) AS BIGINT) AS n_oov,
+       |  round(CAST(sum(CAST(v.wh IS NULL AS BIGINT)) AS DOUBLE)
+       |    / count(*), 6) AS oov_rate
+       |FROM tok LEFT JOIN vocab v USING (wh)
+       |GROUP BY 1""".stripMargin
+
+  /** q139: per-source log₂ length histogram — the length-distribution
+    * view that sizes a context-window / length-filter policy per crawl
+    * source. The log₂ bucket is `length(bin(n))` — the BIT LENGTH of
+    * the integer, identical in both engines — so the binning is
+    * integer-exact with no libm call; shares divide two longs per row.
+    * One (source, bucket) aggregate with map-side combine. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("source"), length(bin(col("n_chars"))).as("len_bucket"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy(col("source")))
+          .cast("double"), 6))
+  }
+
+  private val q139Sql =
+    """SELECT source, len_bucket, n_docs,
+      |  round(CAST(n_docs AS DOUBLE)
+      |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6)
+      |    AS share
+      |FROM (
+      |  SELECT source, length(bin(n_chars)) AS len_bucket,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q138_oov_rate", q138, Some(q138Sql)),
+    QueryDef("q139_length_histogram", q139, Some(q139Sql)),
     QueryDef("q134_boilerplate_strip", q134, Some(q134Sql)),
     QueryDef("q132_countmin_heavy_hitters", q132, Some(q132Sql)),
     QueryDef("q124_corpus_rarity_score", q124, Some(q124Sql)),
