@@ -76,4 +76,31 @@ class QueriesSmokeSpec extends SparkSpec {
     val sh = SparkEntry.queries("q30_simhash")(spark, sf0001)
     assert(sh.filter(col("simhash") < 0 || col("simhash") > 65535).count() == 0)
   }
+
+  test("q132 count-min estimates never under-count (CMS soundness)") {
+    val cms = SparkEntry.queries("q132_countmin_heavy_hitters")(spark, sf0001)
+    assert(cms.count() == 20)
+    assert(cms.filter(col("overestimate") < 0).count() == 0,
+      "CMS min-over-rows must be >= the true count")
+  }
+
+  test("q126 PQ quantization error is non-negative (squared distance)") {
+    val pq = SparkEntry.queries("q126_pq_encode")(spark, sf0001)
+    // err = ||x_sub - c||^2: exact math is >= 0; allow the 1e-6 rounding
+    assert(pq.filter(col("quant_err") < -1e-5).count() == 0)
+  }
+
+  test("q133 priority sample: k rows, estimator dominates the weight") {
+    val ps = SparkEntry.queries("q133_priority_sample")(spark, sf0001)
+    assert(ps.count() == 50)
+    assert(ps.filter(col("est_weight") < col("weight")).count() == 0,
+      "DLT estimator is max(w, tau) - never below the raw weight")
+  }
+
+  test("q130 IVFPQ returns top-3 per query from probed cells only") {
+    val r = SparkEntry.queries("q130_ivfpq_search")(spark, sf0001)
+    val counts = r.groupBy("q_id").count().collect()
+    assert(counts.nonEmpty)
+    assert(counts.forall(_.getLong(1) == 3L))
+  }
 }
