@@ -135,21 +135,21 @@ object RollingFingerprint {
   /** Extract the constant k argument, with a clear error instead of an
     * NPE/cast failure when a caller passes a non-constant or
     * non-integral expression. */
-  def kFrom(kExpr: Expression): Int = {
+  def kFrom(kExpr: Expression, fn: String = "rolling_fingerprint"): Int = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     if (!kExpr.foldable)
       throw fail(
-        s"rolling_fingerprint: k must be a constant (foldable) expression, got ${kExpr.sql}")
+        s"$fn: k must be a constant (foldable) expression, got ${kExpr.sql}")
     kExpr.dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
       case dt => throw fail(
-        s"rolling_fingerprint: k must be an integral constant, got ${dt.catalogString}")
+        s"$fn: k must be an integral constant, got ${dt.catalogString}")
     }
     val v = kExpr.eval()
-    if (v == null) throw fail("rolling_fingerprint: k must not be NULL")
+    if (v == null) throw fail(s"$fn: k must not be NULL")
     val k = v.asInstanceOf[Number].longValue()
     if (k < 1 || k > Int.MaxValue)
-      throw fail(s"rolling_fingerprint: k must be in [1, ${Int.MaxValue}], got $k")
+      throw fail(s"$fn: k must be in [1, ${Int.MaxValue}], got $k")
     k.toInt
   }
 

@@ -109,7 +109,8 @@ object TokenWindowHashes {
   /** The shared builder for SQL registration (register / extensions). */
   def build(exprs: Seq[Expression]): TokenWindowHashes = exprs match {
     case Seq(c) => TokenWindowHashes(c)
-    case Seq(c, kLit) => TokenWindowHashes(c, RollingFingerprint.kFrom(kLit))
+    case Seq(c, kLit) =>
+      TokenWindowHashes(c, RollingFingerprint.kFrom(kLit, "token_window_hashes"))
     case _ => throw new IllegalArgumentException(
       "token_window_hashes(tokens[, k]) takes 1 or 2 arguments")
   }

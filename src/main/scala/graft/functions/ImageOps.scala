@@ -391,9 +391,16 @@ object ImageOps {
   def houghAngle(img: Gray, darkerThan: Int = 128, voteThreshold: Int = 3)
       : (Double, Long) = {
     import Hough._
+    require(img.w <= 64 && img.h <= 64,
+      s"houghAngle supports planes up to 64x64 (OffsetQ contract), " +
+        s"got ${img.w}x${img.h}")
     val nTheta = ThetaMaxDeg - ThetaMinDeg + 1
-    // accumulator: θ index × ρ bin (bin < 128 for w,h ≤ 64 planes)
-    val votes = new java.util.HashMap[Integer, Integer]()
+    // Flat primitive accumulator: θ index × ρ bin. OffsetQ keeps the
+    // numerator positive for planes up to 64×64, so bin < 256. This is
+    // the per-document hot loop of q117 (~nTheta votes per dark pixel)
+    // — a boxed HashMap here costs an alloc + hash per vote.
+    val nBins = 256
+    val votes = new Array[Int](nTheta * nBins)
     var y = 0
     while (y < img.h) {
       var x = 0
@@ -402,9 +409,7 @@ object ImageOps {
           var t = 0
           while (t < nTheta) {
             val bin = (x * cosQ(t) + y * sinQ(t) + OffsetQ) / Scale
-            val key = Integer.valueOf(t * 4096 + bin)
-            val prev = votes.get(key)
-            votes.put(key, if (prev == null) 1 else prev + 1)
+            votes(t * nBins + bin) += 1
             t += 1
           }
         }
@@ -413,8 +418,10 @@ object ImageOps {
       y += 1
     }
     val angles = scala.collection.mutable.ArrayBuffer.empty[Int]
-    votes.forEach { (key, v) =>
-      if (v >= voteThreshold) angles += (key / 4096) + ThetaMinDeg - 90
+    var i = 0
+    while (i < votes.length) {
+      if (votes(i) >= voteThreshold) angles += (i / nBins) + ThetaMinDeg - 90
+      i += 1
     }
     if (angles.isEmpty) (0.0, 0L)
     else {

@@ -23,6 +23,24 @@ object TextQueries {
   private val wordsExpr = "split(text, ' ')"
   private val wordsSqlExpr = "str_split(text, ' ')"
 
+  /** The shared token front of q124/q132/q138: one (doc_id, 60-bit md5
+    * token hash) row per token — hashing happens BEFORE any shuffle
+    * (the q113 rule: the shuffle key is never the string). The matching
+    * oracle fragment is [[tokenHashesSql]]; change the hash in BOTH or
+    * parity breaks for all three queries at once (which is the point —
+    * one place per engine, not three). */
+  private def tokenHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        s"transform($wordsExpr, t -> " +
+          "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .as("wh"))
+
+  private val tokenHashesSql =
+    s"""SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
+       |  FROM (SELECT doc_id, unnest($wordsSqlExpr) AS t FROM documents)""".stripMargin
+
   /** q23: token counting — whitespace tokens, BPE-ish regex tokens
     * (letter runs / digit runs / single other), chars. */
   private def q23(s: SparkSession, d: String): DataFrame =
@@ -1003,11 +1021,7 @@ object TextQueries {
     * table is tiny relative to the corpus at any scale; AQE broadcasts
     * the join-back when it fits. */
   private def q124(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(
-        s"transform($wordsExpr, t -> " +
-          "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-        .as("wh"))
+    val tok = tokenHashes(s, d)
     val tf = tok.groupBy(col("wh")).agg(count(lit(1)).as("tf"))
     tok.join(tf, "wh")
       .groupBy(col("doc_id"))
@@ -1025,9 +1039,7 @@ object TextQueries {
 
   private val q124Sql =
     s"""WITH tok AS (
-       |  SELECT doc_id,
-       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
-       |  FROM (SELECT doc_id, unnest($wordsSqlExpr) AS t FROM documents)),
+       |  $tokenHashesSql),
        |tf AS (SELECT wh, count(*) AS tf FROM tok GROUP BY 1)
        |SELECT doc_id, count(*) AS n_tokens,
        |  CAST(sum(1000000000000 // tf) AS BIGINT) // count(*) AS mean_inv_tf,
@@ -1057,11 +1069,7 @@ object TextQueries {
     * aggregate; a production pipeline at 100 TB keeps ONLY the sketch
     * side. */
   private def q132(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(explode(expr(
-        s"transform($wordsExpr, t -> " +
-          "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-        .as("h"))
+    val tok = tokenHashes(s, d).select(col("wh").as("h"))
     def bucket(r: Int): Column =
       shiftright(col("h"), 10 * r).bitwiseAND(lit(1023L))
     val cms = tok
@@ -1086,8 +1094,7 @@ object TextQueries {
 
   private val q132Sql =
     s"""WITH tok AS (
-       |  SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
-       |  FROM (SELECT unnest($wordsSqlExpr) AS t FROM documents)),
+       |  SELECT wh AS h FROM ($tokenHashesSql)),
        |cms AS (
        |  SELECT r, (h >> (10 * r)) & 1023 AS bucket, count(*) AS c
        |  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS r) rr
@@ -1172,11 +1179,7 @@ object TextQueries {
     * production knob (32k-256k for a BPE budget); 20 here so the OOV
     * branch is actually exercised on the 31-token synthetic corpus. */
   private def q138(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(
-        s"transform($wordsExpr, t -> " +
-          "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-        .as("wh"))
+    val tok = tokenHashes(s, d)
     val vocab = tok.groupBy(col("wh")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("wh").asc)
       .limit(20)
@@ -1192,9 +1195,7 @@ object TextQueries {
 
   private val q138Sql =
     s"""WITH tok AS (
-       |  SELECT doc_id,
-       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
-       |  FROM (SELECT doc_id, unnest($wordsSqlExpr) AS t FROM documents)),
+       |  $tokenHashesSql),
        |vocab AS (
        |  SELECT wh FROM (
        |    SELECT wh, count(*) AS tf FROM tok GROUP BY 1)

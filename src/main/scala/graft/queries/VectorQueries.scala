@@ -292,32 +292,28 @@ object VectorQueries {
     * size; k is the only blow-up factor, exactly as in a production
     * Lloyd sweep. */
   private def q125(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val dims = emb
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("dim", "v")))
-      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
-    val cs = dims.groupBy(col("label"), col("dim"))
-      .agg(sum(col("u")).as("csum"))
-    val cmeta = cs.groupBy(col("label"))
-      .agg(sum(col("csum") * col("csum")).as("csumsq"))
-      .join(emb.groupBy(col("label")).agg(count(lit(1)).as("n")), "label")
-      .withColumnRenamed("label", "c_label")
-    val dots = dims
-      .join(broadcast(cs.withColumnRenamed("label", "c_label")), "dim")
+    val p = pq(s, d)
+    // Whole-vector forms derived from the shared subspace pieces: the
+    // per-dim codeword sums are the same rows (a dim belongs to exactly
+    // one subspace), and the full-vector norm numerator is the exact
+    // integer sum of the per-subspace ones — one source of truth for
+    // the centroid math across q125/q126/q127/q130.
+    val cmeta = p.cmeta.groupBy(col("c_label"), col("n"))
+      .agg(sum(col("csumsq")).as("csumsq"))
+    val dots = p.dims
+      .join(broadcast(p.cs.select(col("label").as("c_label"), col("dim"),
+        col("csum"))), "dim")
       .groupBy(col("vec_id"), col("label"), col("c_label"))
       .agg(sum(col("u") * col("csum")).as("dotnum"))
     val assign = dots
       .join(broadcast(cmeta), "c_label")
-      .withColumn("score",
-        col("csumsq").cast("double") / (col("n") * col("n")).cast("double")
-          - (col("dotnum") * 2).cast("double") / col("n").cast("double"))
+      .withColumn("score", pqScore)
       .groupBy(col("vec_id"))
       .agg(first(col("label")).as("old_label"),
         min(struct(col("score"), col("c_label"))).as("best"))
       .select(col("vec_id"), col("old_label"),
         col("best.c_label").as("new_label"))
-    val nstat = dims.select(col("vec_id"), col("dim"), col("u"))
+    val nstat = p.dims.select(col("vec_id"), col("dim"), col("u"))
       .join(assign.select(col("vec_id"), col("new_label")), "vec_id")
       .groupBy(col("new_label"), col("dim"))
       .agg(sum(col("u")).as("nsum"))
@@ -440,17 +436,13 @@ object VectorQueries {
     Pq(dims, cs, cmeta, xstat, codes)
   }
 
-  private def q126(s: SparkSession, d: String): DataFrame = {
-    val p = pq(s, d)
-    p.codes
-      .join(p.xstat, Seq("vec_id", "subsp"))
-      .select(col("vec_id"), col("subsp"), col("code"),
-        round((col("xsumsq").cast("double") + col("score")) / 1e12, 6)
-          .as("quant_err"))
-  }
-
-  private val q126Sql =
-    """WITH dims AS (
+  /** Shared oracle-SQL prefix for the PQ family (q126/q127/q130): the
+    * DuckDB mirror of [[pq]]. One definition per engine — a change to
+    * the micro-unit scale, dim count, or score formula edits exactly
+    * two places (here and [[pq]]/[[pqScore]]) instead of one per
+    * query. */
+  private val pqSqlPrefix =
+    """dims AS (
       |  SELECT vec_id, label, i - 1 AS dim, (i - 1) // 16 AS subsp,
       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u
       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
@@ -471,22 +463,64 @@ object VectorQueries {
       |    CAST(sum(d.u * cs.csum) AS BIGINT) AS dotnum
       |  FROM dims d JOIN cs ON d.dim = cs.dim
       |  GROUP BY 1, 2, 3),
-      |codes AS (
-      |  SELECT vec_id, subsp, c_label AS code, score FROM (
-      |    SELECT vec_id, subsp, c_label, score,
-      |      row_number() OVER (PARTITION BY vec_id, subsp
-      |        ORDER BY score ASC, c_label ASC) AS rn
-      |    FROM (
-      |      SELECT vec_id, subsp, c_label,
-      |        CAST(csumsq AS DOUBLE) / CAST(n * n AS DOUBLE)
-      |          - CAST(dotnum * 2 AS DOUBLE) / CAST(n AS DOUBLE) AS score
-      |      FROM dots JOIN cmeta USING (c_label, subsp)))
-      |  WHERE rn = 1)
-      |SELECT c.vec_id, c.subsp, c.code,
-      |  round((CAST(x.xsumsq AS DOUBLE) + c.score) / 1000000000000.0, 6)
-      |    AS quant_err
-      |FROM codes c JOIN xstat x
-      |  ON c.vec_id = x.vec_id AND c.subsp = x.subsp""".stripMargin
+      |scored AS (
+      |  SELECT vec_id, subsp, c_label,
+      |    CAST(csumsq AS DOUBLE) / CAST(n * n AS DOUBLE)
+      |      - CAST(dotnum * 2 AS DOUBLE) / CAST(n AS DOUBLE) AS score
+      |  FROM dots JOIN cmeta USING (c_label, subsp))""".stripMargin
+
+  /** ...plus the corpus encode and per-query distance tables the two
+    * search queries (q127/q130) both need. */
+  private val pqSearchSqlPrefix =
+    s"""$pqSqlPrefix,
+       |codes AS (
+       |  SELECT vec_id AS c_id, subsp, c_label FROM (
+       |    SELECT vec_id, subsp, c_label,
+       |      row_number() OVER (PARTITION BY vec_id, subsp
+       |        ORDER BY score ASC, c_label ASC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |tbl AS (
+       |  SELECT s.vec_id AS q_id, s.subsp, s.c_label,
+       |    CAST(x.xsumsq AS DOUBLE) + s.score AS part
+       |  FROM scored s JOIN xstat x
+       |    ON s.vec_id = x.vec_id AND s.subsp = x.subsp
+       |  WHERE s.vec_id < 8)""".stripMargin
+
+  /** The fixed-order pivot sum + per-query rank over a `cand` CTE with
+    * (q_id, c_id, p0..p3) — the SQL mirror of [[adcTopK]]. */
+  private def adcRankSql(k: Int): String =
+    s"""SELECT q_id, c_id, adc_dist, rk FROM (
+       |  SELECT q_id, c_id, adc_dist,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_dist ASC, c_id ASC) AS rk
+       |  FROM (
+       |    SELECT q_id, c_id,
+       |      round((((p0 + p1) + p2) + p3) / 1000000000000.0, 6) AS adc_dist
+       |    FROM cand))
+       |WHERE rk <= $k""".stripMargin
+
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val p = pq(s, d)
+    p.codes
+      .join(p.xstat, Seq("vec_id", "subsp"))
+      .select(col("vec_id"), col("subsp"), col("code"),
+        round((col("xsumsq").cast("double") + col("score")) / 1e12, 6)
+          .as("quant_err"))
+  }
+
+  private val q126Sql =
+    s"""WITH $pqSqlPrefix,
+       |codes AS (
+       |  SELECT vec_id, subsp, c_label AS code, score FROM (
+       |    SELECT vec_id, subsp, c_label, score,
+       |      row_number() OVER (PARTITION BY vec_id, subsp
+       |        ORDER BY score ASC, c_label ASC) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT c.vec_id, c.subsp, c.code,
+       |  round((CAST(x.xsumsq AS DOUBLE) + c.score) / 1000000000000.0, 6)
+       |    AS quant_err
+       |FROM codes c JOIN xstat x
+       |  ON c.vec_id = x.vec_id AND c.subsp = x.subsp""".stripMargin
 
   /** q127: PQ asymmetric-distance (ADC) top-5 search — how a production
     * PQ index answers queries: each query precomputes a tiny distance
@@ -552,63 +586,18 @@ object VectorQueries {
   }
 
   private val q127Sql =
-    """WITH dims AS (
-      |  SELECT vec_id, label, i - 1 AS dim, (i - 1) // 16 AS subsp,
-      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u
-      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
-      |cs AS (
-      |  SELECT label, subsp, dim, CAST(sum(u) AS BIGINT) AS csum
-      |  FROM dims GROUP BY 1, 2, 3),
-      |cmeta AS (
-      |  SELECT cs.label AS c_label, subsp,
-      |    CAST(sum(csum * csum) AS BIGINT) AS csumsq, any_value(n) AS n
-      |  FROM cs JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
-      |    cn ON cs.label = cn.label
-      |  GROUP BY 1, 2),
-      |xstat AS (
-      |  SELECT vec_id, subsp, CAST(sum(u * u) AS BIGINT) AS xsumsq
-      |  FROM dims GROUP BY 1, 2),
-      |dots AS (
-      |  SELECT d.vec_id, d.subsp, cs.label AS c_label,
-      |    CAST(sum(d.u * cs.csum) AS BIGINT) AS dotnum
-      |  FROM dims d JOIN cs ON d.dim = cs.dim
-      |  GROUP BY 1, 2, 3),
-      |scored AS (
-      |  SELECT vec_id, subsp, c_label,
-      |    CAST(csumsq AS DOUBLE) / CAST(n * n AS DOUBLE)
-      |      - CAST(dotnum * 2 AS DOUBLE) / CAST(n AS DOUBLE) AS score
-      |  FROM dots JOIN cmeta USING (c_label, subsp)),
-      |codes AS (
-      |  SELECT vec_id AS c_id, subsp, c_label FROM (
-      |    SELECT vec_id, subsp, c_label,
-      |      row_number() OVER (PARTITION BY vec_id, subsp
-      |        ORDER BY score ASC, c_label ASC) AS rn
-      |    FROM scored) WHERE rn = 1),
-      |tbl AS (
-      |  SELECT s.vec_id AS q_id, s.subsp, s.c_label,
-      |    CAST(x.xsumsq AS DOUBLE) + s.score AS part
-      |  FROM scored s JOIN xstat x
-      |    ON s.vec_id = x.vec_id AND s.subsp = x.subsp
-      |  WHERE s.vec_id < 8),
-      |cand AS (
-      |  SELECT t.q_id, c.c_id,
-      |    min(CASE WHEN c.subsp = 0 THEN t.part END) AS p0,
-      |    min(CASE WHEN c.subsp = 1 THEN t.part END) AS p1,
-      |    min(CASE WHEN c.subsp = 2 THEN t.part END) AS p2,
-      |    min(CASE WHEN c.subsp = 3 THEN t.part END) AS p3
-      |  FROM codes c JOIN tbl t
-      |    ON c.subsp = t.subsp AND c.c_label = t.c_label
-      |  WHERE c.c_id <> t.q_id
-      |  GROUP BY 1, 2)
-      |SELECT q_id, c_id, adc_dist, rk FROM (
-      |  SELECT q_id, c_id, adc_dist,
-      |    row_number() OVER (PARTITION BY q_id
-      |      ORDER BY adc_dist ASC, c_id ASC) AS rk
-      |  FROM (
-      |    SELECT q_id, c_id,
-      |      round((((p0 + p1) + p2) + p3) / 1000000000000.0, 6) AS adc_dist
-      |    FROM cand))
-      |WHERE rk <= 5""".stripMargin
+    s"""WITH $pqSearchSqlPrefix,
+       |cand AS (
+       |  SELECT t.q_id, c.c_id,
+       |    min(CASE WHEN c.subsp = 0 THEN t.part END) AS p0,
+       |    min(CASE WHEN c.subsp = 1 THEN t.part END) AS p1,
+       |    min(CASE WHEN c.subsp = 2 THEN t.part END) AS p2,
+       |    min(CASE WHEN c.subsp = 3 THEN t.part END) AS p3
+       |  FROM codes c JOIN tbl t
+       |    ON c.subsp = t.subsp AND c.c_label = t.c_label
+       |  WHERE c.c_id <> t.q_id
+       |  GROUP BY 1, 2)
+       |${adcRankSql(5)}""".stripMargin
 
   /** q130: IVF-PQ combined search (the FAISS IVFADC shape, flat codes):
     * q110's cell pruning composed with q127's code-table scoring — each
@@ -655,83 +644,38 @@ object VectorQueries {
   }
 
   private val q130Sql =
-    """WITH dims AS (
-      |  SELECT vec_id, label, i - 1 AS dim, (i - 1) // 16 AS subsp,
-      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u
-      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
-      |cs AS (
-      |  SELECT label, subsp, dim, CAST(sum(u) AS BIGINT) AS csum
-      |  FROM dims GROUP BY 1, 2, 3),
-      |cmeta AS (
-      |  SELECT cs.label AS c_label, subsp,
-      |    CAST(sum(csum * csum) AS BIGINT) AS csumsq, any_value(n) AS n
-      |  FROM cs JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
-      |    cn ON cs.label = cn.label
-      |  GROUP BY 1, 2),
-      |xstat AS (
-      |  SELECT vec_id, subsp, CAST(sum(u * u) AS BIGINT) AS xsumsq
-      |  FROM dims GROUP BY 1, 2),
-      |dots AS (
-      |  SELECT d.vec_id, d.subsp, cs.label AS c_label,
-      |    CAST(sum(d.u * cs.csum) AS BIGINT) AS dotnum
-      |  FROM dims d JOIN cs ON d.dim = cs.dim
-      |  GROUP BY 1, 2, 3),
-      |scored AS (
-      |  SELECT vec_id, subsp, c_label,
-      |    CAST(csumsq AS DOUBLE) / CAST(n * n AS DOUBLE)
-      |      - CAST(dotnum * 2 AS DOUBLE) / CAST(n AS DOUBLE) AS score
-      |  FROM dots JOIN cmeta USING (c_label, subsp)),
-      |codes AS (
-      |  SELECT vec_id AS c_id, subsp, c_label FROM (
-      |    SELECT vec_id, subsp, c_label,
-      |      row_number() OVER (PARTITION BY vec_id, subsp
-      |        ORDER BY score ASC, c_label ASC) AS rn
-      |    FROM scored) WHERE rn = 1),
-      |tbl AS (
-      |  SELECT s.vec_id AS q_id, s.subsp, s.c_label,
-      |    CAST(x.xsumsq AS DOUBLE) + s.score AS part
-      |  FROM scored s JOIN xstat x
-      |    ON s.vec_id = x.vec_id AND s.subsp = x.subsp
-      |  WHERE s.vec_id < 8),
-      |cfull AS (
-      |  SELECT c_label, any_value(n) AS n,
-      |    CAST(sum(csumsq) AS BIGINT) AS cnormsq
-      |  FROM cmeta GROUP BY 1),
-      |probes AS (
-      |  SELECT q_id, cell FROM (
-      |    SELECT f.q_id, f.c_label AS cell,
-      |      row_number() OVER (PARTITION BY f.q_id
-      |        ORDER BY CAST(f.dotfull AS DOUBLE)
-      |          / sqrt(CAST(cf.cnormsq AS DOUBLE)) DESC,
-      |        f.c_label ASC) AS pk
-      |    FROM (
-      |      SELECT vec_id AS q_id, c_label,
-      |        CAST(sum(dotnum) AS BIGINT) AS dotfull
-      |      FROM dots WHERE vec_id < 8 GROUP BY 1, 2) f
-      |    JOIN cfull cf ON f.c_label = cf.c_label)
-      |  WHERE pk <= 2),
-      |cand AS (
-      |  SELECT t.q_id, c.c_id,
-      |    min(CASE WHEN c.subsp = 0 THEN t.part END) AS p0,
-      |    min(CASE WHEN c.subsp = 1 THEN t.part END) AS p1,
-      |    min(CASE WHEN c.subsp = 2 THEN t.part END) AS p2,
-      |    min(CASE WHEN c.subsp = 3 THEN t.part END) AS p3
-      |  FROM codes c
-      |  JOIN embeddings e ON c.c_id = e.vec_id
-      |  JOIN probes pr ON e.label = pr.cell
-      |  JOIN tbl t ON t.q_id = pr.q_id AND t.subsp = c.subsp
-      |    AND t.c_label = c.c_label
-      |  WHERE c.c_id <> pr.q_id
-      |  GROUP BY 1, 2)
-      |SELECT q_id, c_id, adc_dist, rk FROM (
-      |  SELECT q_id, c_id, adc_dist,
-      |    row_number() OVER (PARTITION BY q_id
-      |      ORDER BY adc_dist ASC, c_id ASC) AS rk
-      |  FROM (
-      |    SELECT q_id, c_id,
-      |      round((((p0 + p1) + p2) + p3) / 1000000000000.0, 6) AS adc_dist
-      |    FROM cand))
-      |WHERE rk <= 3""".stripMargin
+    s"""WITH $pqSearchSqlPrefix,
+       |cfull AS (
+       |  SELECT c_label, any_value(n) AS n,
+       |    CAST(sum(csumsq) AS BIGINT) AS cnormsq
+       |  FROM cmeta GROUP BY 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT f.q_id, f.c_label AS cell,
+       |      row_number() OVER (PARTITION BY f.q_id
+       |        ORDER BY CAST(f.dotfull AS DOUBLE)
+       |          / sqrt(CAST(cf.cnormsq AS DOUBLE)) DESC,
+       |        f.c_label ASC) AS pk
+       |    FROM (
+       |      SELECT vec_id AS q_id, c_label,
+       |        CAST(sum(dotnum) AS BIGINT) AS dotfull
+       |      FROM dots WHERE vec_id < 8 GROUP BY 1, 2) f
+       |    JOIN cfull cf ON f.c_label = cf.c_label)
+       |  WHERE pk <= 2),
+       |cand AS (
+       |  SELECT t.q_id, c.c_id,
+       |    min(CASE WHEN c.subsp = 0 THEN t.part END) AS p0,
+       |    min(CASE WHEN c.subsp = 1 THEN t.part END) AS p1,
+       |    min(CASE WHEN c.subsp = 2 THEN t.part END) AS p2,
+       |    min(CASE WHEN c.subsp = 3 THEN t.part END) AS p3
+       |  FROM codes c
+       |  JOIN embeddings e ON c.c_id = e.vec_id
+       |  JOIN probes pr ON e.label = pr.cell
+       |  JOIN tbl t ON t.q_id = pr.q_id AND t.subsp = c.subsp
+       |    AND t.c_label = c.c_label
+       |  WHERE c.c_id <> pr.q_id
+       |  GROUP BY 1, 2)
+       |${adcRankSql(3)}""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q130_ivfpq_search", q130, Some(q130Sql)),

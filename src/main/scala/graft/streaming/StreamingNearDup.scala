@@ -18,8 +18,9 @@ import scala.util.hashing.MurmurHash3
   * band retains at most `maxPerBand` (docId, signature) entries,
   * newest-first (the same bounded-candidates rule q29 gets from
   * banding), so per-key state is O(maxPerBand · k) ints regardless of
-  * stream length; production deployments add a state TTL exactly like
-  * [[StreamingDedup]]'s horizon. Pairs are emitted per matching band;
+  * stream length, and `stateTtlMs` drops idle band KEYS wholesale so
+  * the key count is bounded too (the [[StreamingDedup]] horizon rule).
+  * Pairs are emitted per matching band;
   * a doc pair sharing BOTH bands emits twice — downstream dedup is one
   * `dropDuplicatesWithinWatermark` on the pair key (kept out of this
   * operator so the spec can observe raw emissions).
@@ -71,29 +72,43 @@ object StreamingNearDup {
     m.toDouble / K
   }
 
-  /** Matching pairs, emitted as each duplicate arrives. */
+  /** Matching pairs, emitted as each duplicate arrives. `stateTtlMs > 0`
+    * bounds TOTAL state like [[StreamingDedup]]'s horizon: a band key
+    * idle longer than the TTL is dropped wholesale (processing-time
+    * timeout), so state is O(active bands · maxPerBand) instead of
+    * growing with every distinct document ever seen — without it, a
+    * mostly-unique stream grows two band keys per document forever. */
   def attach(docs: Dataset[Doc], threshold: Double = 0.5,
-      maxPerBand: Int = 64): Dataset[DupPair] = {
+      maxPerBand: Int = 64, stateTtlMs: Long = 0L): Dataset[DupPair] = {
     import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs
       .flatMap(d => bands(d.docId, signature(d.text)))
       .groupByKey(_.band)
       .flatMapGroupsWithState[List[(Long, Array[Int])], DupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_, in, state: GroupState[List[(Long, Array[Int])]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = Seq.newBuilder[DupPair]
-          in.toSeq.sortBy(_.docId).foreach { bd =>
-            seen.foreach { case (id, sig) =>
-              if (id != bd.docId) {
-                val j = estJaccard(sig, bd.sig)
-                if (j >= threshold) out += DupPair(bd.docId, id, j)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = Seq.newBuilder[DupPair]
+            in.toSeq.sortBy(_.docId).foreach { bd =>
+              seen.foreach { case (id, sig) =>
+                if (id != bd.docId) {
+                  val j = estJaccard(sig, bd.sig)
+                  if (j >= threshold) out += DupPair(bd.docId, id, j)
+                }
               }
+              seen = ((bd.docId, bd.sig) :: seen).take(maxPerBand)
             }
-            seen = ((bd.docId, bd.sig) :: seen).take(maxPerBand)
+            state.update(seen)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 }

@@ -60,6 +60,35 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the TTL variant still detects and registers timeouts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Doc]
+    // A long TTL: behavior must be identical to NoTimeout within the
+    // spec's horizon (the timeout wiring itself — hasTimedOut branch,
+    // setTimeoutDuration — is the code under test; firing a
+    // processing-time timeout deterministically isn't). NOTE: with
+    // ProcessingTimeTimeout registered the engine re-plans timeout
+    // batches forever, so processAllAvailable() never observes a
+    // quiescent stream — poll the sink with a deadline instead.
+    val query = StreamingNearDup.attach(input.toDS(), stateTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      input.addData(Doc(30, base), Doc(31, nearDup))
+      val deadline = System.currentTimeMillis() + 60000
+      var pairs = Array.empty[DupPair]
+      while (pairs.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        pairs = spark.table("neardup_ttl").as[DupPair].collect()
+      }
+      assert(pairs.nonEmpty, "no pair within the 60 s deadline")
+      assert(pairs.forall(p => p.docId == 31 && p.matchId == 30),
+        s"${pairs.toList}")
+    } finally query.stop()
+  }
+
   test("per-band state is bounded by maxPerBand") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
