@@ -934,7 +934,53 @@ object RelationalQueries {
       |WHERE supp_qty * 2 > total_qty
       |ORDER BY s_name""".stripMargin
 
+  /** q140: TPC-H Q11 shape — parts carrying a significant share of
+    * total shipped value (> 0.1% of the global total; partsupp's stock
+    * value re-expressed as shipped `extendedprice` value). The
+    * correlated "sum(...) * fraction" subquery is the 1-row broadcast
+    * scalar again, but as a RELATIVE threshold this time: a part is
+    * significant when its value exceeds 1.5× the mean part value, and
+    * the comparison cross-multiplies in integer cents
+    * (2·value·n > 3·total) instead of dividing — exact on both engines,
+    * no double fraction, and scale-free where Q11's fixed 0.1% gate
+    * degenerates as the part count grows. One lineitem pass feeds the
+    * per-part aggregate; the global (total, count) re-aggregates THAT
+    * (partials of partials — never a second fact scan). At scales where
+    * 2·value·n could overflow int64 (≳10¹⁹ cent·part products), the
+    * same plan runs with DECIMAL partials — the knob, not the shape. */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("value_c"))
+    val total = perPart
+      .agg(sum(col("value_c")).as("total_c"), count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_c") * 2 * col("n_parts") > col("total_c") * 3)
+      .select(col("l_partkey"),
+        (col("value_c").cast("double") / 100.0).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey").asc)
+      .limit(100)
+  }
+
+  private val q140Sql =
+    """WITH per AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS value_c
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+      |    count(*) AS n_parts
+      |  FROM per)
+      |SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS part_value
+      |FROM per, tot
+      |WHERE value_c * 2 * n_parts > total_c * 3
+      |ORDER BY part_value DESC, l_partkey
+      |LIMIT 100""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q140_significant_parts", q140, Some(q140Sql)),
     QueryDef("q118_product_profit", q118, Some(q118Sql)),
     QueryDef("q119_best_supplier_per_part", q119, Some(q119Sql)),
     QueryDef("q120_top_supplier", q120, Some(q120Sql)),
