@@ -76,7 +76,82 @@ object OpsQueries {
            |FROM events""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  /** q142: Bloom-filter membership — the runtime-filter mechanic behind
+    * bloom-join pruning (build a compact filter on the small side, test
+    * the big side before shuffling it): a 4096-bit, k=4 filter over the
+    * signup users, probed by EVERY user, with ground truth joined back
+    * so the false-positive rate is measured, not assumed. Deliberately
+    * deterministic: the 4 row hashes are disjoint 12-bit slices of the
+    * 60-bit md5 (the q132 rule — no seeded RNG), and the bit array is
+    * its relational form (the ≤4096-row set of set positions, broadcast
+    * to the probe side exactly as a runtime filter would ship). A probe
+    * is positive iff all 4 of its positions are set; positives that are
+    * not members are the measured FP cost of the 4096-bit sizing. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    def h(c: org.apache.spark.sql.Column) = expr(
+      s"cast(conv(substring(md5(cast(cast(${c.toString} as string) as binary)), 1, 15), 16, 10) as bigint)")
+    val users = Tables.events(s, d).select(col("user_id")).distinct()
+      .withColumn("h", h(col("user_id")))
+    // members: first-3-day signups — a strict subset of the user base at
+    // every scale (all-user signups would leave no true negatives to
+    // measure the FP rate against). 1704326400000000 = 2024-01-04 UTC
+    // in epoch micros (the ts-div-1000 oracle convention).
+    val members = Tables.events(s, d)
+      .filter(col("event_type") === "signup" &&
+        expr("ts div 1000") < lit(1704326400000000L))
+      .select(col("user_id")).distinct()
+    val slices = (0 to 3).map(r =>
+      struct(lit(r).as("r"), shiftright(col("h"), 12 * r)
+        .bitwiseAND(lit(4095L)).as("bitpos")))
+    val bits = users.join(members, "user_id")
+      .select(explode(array(slices: _*)).as("s"))
+      .select(col("s.bitpos").as("bitpos")).distinct()
+      .withColumn("present", lit(1))
+    users
+      .select(col("user_id"), explode(array(slices: _*)).as("s"))
+      .select(col("user_id"), col("s.bitpos").as("bitpos"))
+      .join(broadcast(bits), Seq("bitpos"), "left")
+      .groupBy(col("user_id"))
+      .agg((count(col("present")) === 4).as("bloom_positive"))
+      .join(members.withColumn("member_flag", lit(true)),
+        Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("member_flag").isNotNull.as("is_member"),
+        col("bloom_positive"),
+        (col("bloom_positive") && col("member_flag").isNull)
+          .as("false_positive"))
+  }
+
+  private val q142Sql =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |members AS (
+      |  SELECT DISTINCT user_id FROM events
+      |  WHERE event_type = 'signup'
+      |    AND epoch_us(ts) < 1704326400000000),
+      |bits AS (
+      |  SELECT DISTINCT (u.h >> (12 * r.r)) & 4095 AS bitpos
+      |  FROM users u
+      |  JOIN members m ON u.user_id = m.user_id,
+      |  (SELECT unnest([0, 1, 2, 3]) AS r) r),
+      |probes AS (
+      |  SELECT user_id, count(b.bitpos) = 4 AS bloom_positive
+      |  FROM (
+      |    SELECT u.user_id, (u.h >> (12 * r.r)) & 4095 AS bitpos
+      |    FROM users u, (SELECT unnest([0, 1, 2, 3]) AS r) r) pb
+      |  LEFT JOIN bits b ON b.bitpos = pb.bitpos
+      |  GROUP BY 1)
+      |SELECT p.user_id,
+      |  m.user_id IS NOT NULL AS is_member,
+      |  p.bloom_positive,
+      |  p.bloom_positive AND m.user_id IS NULL AS false_positive
+      |FROM probes p LEFT JOIN members m ON p.user_id = m.user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q135_skew_report", q135, Some(q135Sql)),
-    QueryDef("q136_column_profile", q136, Some(q136Sql)))
+    QueryDef("q136_column_profile", q136, Some(q136Sql)),
+    QueryDef("q142_bloom_membership", q142, Some(q142Sql)))
 }

@@ -979,7 +979,70 @@ object RelationalQueries {
       |ORDER BY part_value DESC, l_partkey
       |LIMIT 100""".stripMargin
 
+  /** q141: top-N-plus-OTHER rollup — the reporting classic: revenue per
+    * customer nation, the top 5 nations kept by name and everything
+    * else collapsed into one 'OTHER' row, with exact shares. The
+    * regroup happens ON THE AGGREGATE (25 nation rows), so the fact
+    * table is scanned and reduced exactly once; the top-5 pick is
+    * TakeOrderedAndProject (each executor keeps a local top-5 — never
+    * a single-partition window sort), membership comes back as a
+    * broadcast flag join, and the grand total rides the 1-row
+    * broadcast scalar (the q13 pattern). Ranking is a deterministic
+    * (revenue, name) order over integer cents. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val perNation = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 10000).cast("long")).as("rev_u"))
+    val top5 = perNation
+      .orderBy(col("rev_u").desc, col("n_name").asc).limit(5)
+      .select(col("n_name").as("top_name"))
+    val total = perNation.agg(sum(col("rev_u")).as("total_u"))
+    perNation
+      .join(broadcast(top5), col("n_name") === col("top_name"), "left")
+      .withColumn("bucket",
+        when(col("top_name").isNotNull, col("n_name")).otherwise(lit("OTHER")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("rev_u")).as("rev_u"), count(lit(1)).as("n_nations"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_nations"),
+        (col("rev_u").cast("double") / 10000.0).as("revenue"),
+        round(col("rev_u").cast("double") / col("total_u").cast("double"), 6)
+          .as("share"))
+  }
+
+  private val q141Sql =
+    """WITH per AS (
+      |  SELECT n_name,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+      |      AS BIGINT)) AS BIGINT) AS rev_u
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |top5 AS (
+      |  SELECT n_name FROM per ORDER BY rev_u DESC, n_name LIMIT 5),
+      |buckets AS (
+      |  SELECT CASE WHEN t.n_name IS NOT NULL THEN per.n_name
+      |    ELSE 'OTHER' END AS bucket,
+      |    CAST(sum(rev_u) AS BIGINT) AS rev_u, count(*) AS n_nations
+      |  FROM per LEFT JOIN top5 t ON per.n_name = t.n_name
+      |  GROUP BY 1)
+      |SELECT bucket, n_nations,
+      |  CAST(rev_u AS DOUBLE) / 10000.0 AS revenue,
+      |  round(CAST(rev_u AS DOUBLE)
+      |    / CAST((SELECT sum(rev_u) FROM per) AS DOUBLE), 6) AS share
+      |FROM buckets""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q141_topn_plus_other", q141, Some(q141Sql)),
     QueryDef("q140_significant_parts", q140, Some(q140Sql)),
     QueryDef("q118_product_profit", q118, Some(q118Sql)),
     QueryDef("q119_best_supplier_per_part", q119, Some(q119Sql)),
