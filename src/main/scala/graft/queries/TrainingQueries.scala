@@ -369,7 +369,63 @@ object TrainingQueries {
       |  round(greatest(CAST(w AS DOUBLE), tau), 6) AS est_weight
       |FROM (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT 50), tau""".stripMargin
 
+  /** q143: decile lift / gains table — the model-eval staple: users
+    * ranked by a score (here: exact integer-cents activity value),
+    * split into score deciles, and each decile's share of conversions
+    * reported (a good score concentrates conversions in the top
+    * deciles). The textbook ntile(10) is a GLOBAL-sort window — a
+    * single-partition scan at 100 TB — so the deciles come instead
+    * from the 9 exact interpolated quantile thresholds (one 1-row
+    * broadcast, the q09 percentile ↔ quantile_cont parity) and each
+    * user's decile is a per-row count of thresholds beaten: map-side
+    * work, no global sort anywhere. Conversion totals ride a second
+    * 1-row broadcast. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("score_c"),
+        sum((col("event_type") === "purchase").cast("long")).as("convs"))
+    val th = per.agg(expr(
+      "percentile(score_c, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("ths"))
+    val tot = per.agg(sum(col("convs")).as("total_convs"))
+    per.crossJoin(broadcast(th))
+      .withColumn("decile",
+        lit(1) + size(expr("filter(ths, t -> score_c > t)")))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("convs")).as("convs"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("convs"),
+        round(col("convs").cast("double") /
+          col("total_convs").cast("double"), 6).as("conv_share"))
+  }
+
+  private val q143Sql =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS score_c,
+      |    CAST(sum(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT)
+      |      AS convs
+      |  FROM events GROUP BY 1),
+      |th AS (
+      |  SELECT quantile_cont(score_c,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ths
+      |  FROM per),
+      |tot AS (SELECT CAST(sum(convs) AS BIGINT) AS total_convs FROM per)
+      |SELECT decile, count(*) AS n_users,
+      |  CAST(sum(convs) AS BIGINT) AS convs,
+      |  round(CAST(sum(convs) AS DOUBLE)
+      |    / CAST(any_value(total_convs) AS DOUBLE), 6) AS conv_share
+      |FROM (
+      |  SELECT p.convs,
+      |    1 + len(list_filter(th.ths, t -> CAST(p.score_c AS DOUBLE) > t))
+      |      AS decile
+      |  FROM per p, th), tot
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q143_decile_lift", q143, Some(q143Sql)),
     QueryDef("q133_priority_sample", q133, Some(q133Sql)),
     QueryDef("q42_asof_join", q42, Some(q42Sql)),
     QueryDef("q94_mixture_quota", q94, Some(q94Sql)),
