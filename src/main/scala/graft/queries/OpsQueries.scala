@@ -88,28 +88,28 @@ object OpsQueries {
     * is positive iff all 4 of its positions are set; positives that are
     * not members are the measured FP cost of the 4096-bit sizing. */
   private def q142(s: SparkSession, d: String): DataFrame = {
-    def h(c: org.apache.spark.sql.Column) = expr(
-      s"cast(conv(substring(md5(cast(cast(${c.toString} as string) as binary)), 1, 15), 16, 10) as bigint)")
+    // 60-bit md5 of the named column's string form (the shared engine
+    // pair of this idiom lives in TextQueries.tokenHashes; here the
+    // input is a numeric key, hence the extra cast-to-string).
+    def h(name: String) = expr(
+      s"cast(conv(substring(md5(cast(cast($name as string) as binary)), 1, 15), 16, 10) as bigint)")
     val users = Tables.events(s, d).select(col("user_id")).distinct()
-      .withColumn("h", h(col("user_id")))
+      .withColumn("h", h("user_id"))
     // members: first-3-day signups — a strict subset of the user base at
     // every scale (all-user signups would leave no true negatives to
     // measure the FP rate against). 1704326400000000 = 2024-01-04 UTC
-    // in epoch micros (the ts-div-1000 oracle convention).
+    // in epoch micros.
     val members = Tables.events(s, d)
       .filter(col("event_type") === "signup" &&
-        expr("ts div 1000") < lit(1704326400000000L))
+        Q.us < lit(1704326400000000L))
       .select(col("user_id")).distinct()
     val slices = (0 to 3).map(r =>
-      struct(lit(r).as("r"), shiftright(col("h"), 12 * r)
-        .bitwiseAND(lit(4095L)).as("bitpos")))
+      shiftright(col("h"), 12 * r).bitwiseAND(lit(4095L)))
     val bits = users.join(members, "user_id")
-      .select(explode(array(slices: _*)).as("s"))
-      .select(col("s.bitpos").as("bitpos")).distinct()
+      .select(explode(array(slices: _*)).as("bitpos")).distinct()
       .withColumn("present", lit(1))
     users
-      .select(col("user_id"), explode(array(slices: _*)).as("s"))
-      .select(col("user_id"), col("s.bitpos").as("bitpos"))
+      .select(col("user_id"), explode(array(slices: _*)).as("bitpos"))
       .join(broadcast(bits), Seq("bitpos"), "left")
       .groupBy(col("user_id"))
       .agg((count(col("present")) === 4).as("bloom_positive"))
@@ -123,7 +123,7 @@ object OpsQueries {
   }
 
   private val q142Sql =
-    """WITH users AS (
+    s"""WITH users AS (
       |  SELECT user_id,
       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
       |      AS BIGINT) AS h
@@ -131,7 +131,7 @@ object OpsQueries {
       |members AS (
       |  SELECT DISTINCT user_id FROM events
       |  WHERE event_type = 'signup'
-      |    AND epoch_us(ts) < 1704326400000000),
+      |    AND ${Q.usSql} < 1704326400000000),
       |bits AS (
       |  SELECT DISTINCT (u.h >> (12 * r.r)) & 4095 AS bitpos
       |  FROM users u

@@ -385,8 +385,14 @@ object TrainingQueries {
       .groupBy(col("user_id"))
       .agg(sum(round(col("value") * 100).cast("long")).as("score_c"),
         sum((col("event_type") === "purchase").cast("long")).as("convs"))
+    // thresholds round to 6dp BEFORE the comparison (the q09 rule):
+    // Spark's Percentile and DuckDB's quantile_cont interpolate with
+    // different expression forms, so the raw doubles can differ in the
+    // last bit — a boundary score would then flip deciles between
+    // engines.
     val th = per.agg(expr(
-      "percentile(score_c, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      "transform(percentile(score_c, " +
+        "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), t -> round(t, 6))")
       .as("ths"))
     val tot = per.agg(sum(col("convs")).as("total_convs"))
     per.crossJoin(broadcast(th))
@@ -409,8 +415,9 @@ object TrainingQueries {
       |      AS convs
       |  FROM events GROUP BY 1),
       |th AS (
-      |  SELECT quantile_cont(score_c,
-      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ths
+      |  SELECT list_transform(quantile_cont(score_c,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+      |    t -> round(t, 6)) AS ths
       |  FROM per),
       |tot AS (SELECT CAST(sum(convs) AS BIGINT) AS total_convs FROM per)
       |SELECT decile, count(*) AS n_users,
