@@ -1234,7 +1234,37 @@ object TextQueries {
       |    count(*) AS n_docs
       |  FROM documents GROUP BY 1, 2)""".stripMargin
 
+  /** q144: near-dup similarity histogram — the threshold-calibration
+    * view over q29's verified pairs: pair counts per 0.05-wide Jaccard
+    * band above the 0.7 floor, with each band's exact similarity range.
+    * This is the table an operator reads before moving the dedup
+    * threshold (how much dup mass sits between 0.7 and 0.8?). Banding
+    * is integer-exact: the 6dp-rounded similarity converts back to
+    * exact micro-units and buckets by integer division — no
+    * float-boundary flips between engines. Costs one extra tiny
+    * aggregate over q29's output; the candidate generation is q29's
+    * banded plan unchanged. */
+  private def q144(s: SparkSession, d: String): DataFrame =
+    q29(s, d)
+      .withColumn("sim_bucket",
+        expr("cast(round(jaccard * 1000000) as bigint) div 50000"))
+      .groupBy(col("sim_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 6).as("min_sim"),
+        round(max(col("jaccard")), 6).as("max_sim"))
+
+  private val q144Sql =
+    s"""WITH pairs AS ($q29Sql)
+       |SELECT CAST(round(jaccard * 1000000) AS BIGINT) // 50000
+       |    AS sim_bucket,
+       |  count(*) AS n_pairs,
+       |  round(min(jaccard), 6) AS min_sim,
+       |  round(max(jaccard), 6) AS max_sim
+       |FROM pairs
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q144_similarity_histogram", q144, Some(q144Sql)),
     QueryDef("q138_oov_rate", q138, Some(q138Sql)),
     QueryDef("q139_length_histogram", q139, Some(q139Sql)),
     QueryDef("q134_boilerplate_strip", q134, Some(q134Sql)),
