@@ -1,0 +1,106 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** S9: REAL image decode/encode on pure-JDK `javax.imageio` — no native
+  * dependency, headless-safe. Closes the last stubbed §2 operator: the
+  * reference decodes uploaded bytes with `cv2.imdecode`
+  * (`src/ocr/service.py:447-464`); we decode PNG / BMP / GIF / JPEG /
+  * TIFF with the JDK's built-in readers and hand the gray plane to the
+  * existing pure-Scala kernels ([[ImageOps]]: binarize, morphology,
+  * CLAHE, Hough, crop).
+  *
+  * Losslessness contract (pinned by ImageCodecSpec): for an 8-bit gray
+  * plane, encode→decode is the IDENTITY for png/bmp/gif (png writes
+  * 8-bit grayscale; bmp/gif write 256-entry gray palettes — all exact).
+  * JPEG decodes for real but is lossy by design, so it is covered by
+  * dimension/plausibility tests, never by a pixel-identity oracle.
+  *
+  * Scale note (100 TB): codec work is per-row CPU inside a
+  * `mapPartitions` seam — embarrassingly parallel, no shuffle; the
+  * expensive part at cluster scale is the scan of the binary column,
+  * which stays pruned to the payload rows that request decoding.
+  */
+object ImageCodec {
+
+  // ImageIO on a server JVM: no display required for raster codecs.
+  System.setProperty("java.awt.headless", "true")
+  // Skip the on-disk cache for ImageInputStream (pure in-memory byte work).
+  ImageIO.setUseCache(false)
+
+  /** Encode a gray plane via the JDK writer. `format`: "png" | "bmp" |
+    * "gif" (lossless for 8-bit gray) | "jpg" (lossy). */
+  def encode(img: ImageOps.Gray, format: String): Array[Byte] = {
+    val buf = new BufferedImage(img.w, img.h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = buf.getRaster
+    var y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        raster.setSample(x, y, 0, img(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(buf, format, bos))
+      throw new IllegalArgumentException(s"no JDK writer for format: $format")
+    bos.toByteArray
+  }
+
+  /** Decode any JDK-readable image to a gray plane. Gray/indexed-gray
+    * sources come back bit-exact (single raster band); color sources
+    * collapse by integer BT.601 luma (r*299+g*587+b*114+500)/1000 —
+    * which is also exact-identity when r==g==b. None on undecodable or
+    * empty bytes (matches the reference's None return on cv2.imdecode
+    * failure, `ocr/service.py:455-458`). */
+  def decode(bytes: Array[Byte]): Option[ImageOps.Gray] = {
+    if (bytes == null || bytes.length == 0) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      val raster = img.getRaster
+      val singleBand = raster.getNumBands == 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v =
+            if (singleBand) raster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              (r * 299 + g * 587 + b * 114 + 500) / 1000
+            }
+          out(y * w + x) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImageOps.Gray(w, h, out))
+    }
+  }
+
+  /** Container sniff by magic bytes (the reference trusts the client's
+    * mime type then lets cv2 sniff; we sniff directly). Returns
+    * "png" | "bmp" | "gif" | "jpeg" | "tiff" | "unknown". */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = if (bytes != null && i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (at(0) == 'B' && at(1) == 'M') "bmp"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if ((at(0) == 'I' && at(1) == 'I' && at(2) == 42 && at(3) == 0) ||
+      (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 42)) "tiff"
+    else "unknown"
+  }
+}

@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * exactly how a real codec/model handle would be scoped on a 1000-
   * executor cluster.
   *
-  * The decode itself is a clearly-marked STUB (this container has no
-  * image/audio codecs): [[StubDecoder]] produces deterministic
-  * pseudo-features from the bytes. The Spark-side contract — schema,
-  * batch shape, partition scoping, null passthrough — is real and
-  * tested (MultimodalSpec).
+  * Image decode is REAL: [[ImageIODecoder]] decodes PNG / BMP / GIF /
+  * JPEG / TIFF payloads with pure-JDK `javax.imageio` (via
+  * [[graft.functions.ImageCodec]]) — real width/height, a hash and an
+  * 8-bin intensity-histogram embedding over the DECODED pixels. Audio
+  * rides the existing [[graft.functions.WavCodec]] elsewhere; only
+  * video-codec decode (and non-JDK image formats) falls back to
+  * [[StubDecoder]]'s deterministic pseudo-features. The Spark-side
+  * contract — schema, batch shape, partition scoping, null passthrough
+  * — is identical either way and tested (MultimodalSpec).
   *
   * Reference analog: image decode + preprocess + feature extraction
   * (`src/ocr/service.py:447-464`, `src/preprocessing/image_processor.py`,
@@ -46,8 +50,10 @@ object Multimodal {
     def decode(p: Payload): Features
   }
 
-  /** STUB: deterministic pseudo-decode. A real deployment swaps this for
-    * a JNI/codec-backed decoder; nothing else changes. */
+  /** STUB: deterministic pseudo-decode — the fallback for modalities
+    * with no in-JDK codec (video) and for undecodable bytes. Image
+    * decode is real ([[ImageIODecoder]]); a production deployment swaps
+    * this residue for a JNI/codec-backed decoder, nothing else changes. */
   final class StubDecoder extends Decoder {
     override def decode(p: Payload): Features = {
       var h = 2166136261L
@@ -68,6 +74,36 @@ object Multimodal {
       }
       Features(p.id, p.modality, p.content.length.toLong, w, ht, frames, h, emb)
     }
+  }
+
+  /** REAL image decode on pure-JDK ImageIO (S9, `ocr/service.py:447-464`).
+    * Decodable image bytes yield true dimensions, a FNV hash of the
+    * DECODED gray plane (not the container bytes — two encodings of the
+    * same image hash identically), and an 8-bin intensity-histogram
+    * embedding (each bin's pixel fraction, centered at 0). Undecodable
+    * bytes and non-image modalities fall back to the stub so the
+    * pipeline never throws on a bad payload (reference returns None and
+    * routes to DLQ on cv2.imdecode failure). */
+  final class ImageIODecoder extends Decoder {
+    private val stub = new StubDecoder
+    override def decode(p: Payload): Features =
+      if (p.modality != "image") stub.decode(p)
+      else graft.functions.ImageCodec.decode(p.content) match {
+        case None => stub.decode(p)
+        case Some(g) =>
+          var h = 2166136261L
+          var i = 0
+          val hist = new Array[Int](8)
+          while (i < g.px.length) {
+            val v = g.px(i) & 0xff
+            h = ((h ^ v) * 16777619L) & 0xffffffffL
+            hist(v >> 5) += 1
+            i += 1
+          }
+          val n = math.max(1, g.px.length).toFloat
+          val emb = Array.tabulate(8)(k => hist(k) / n - 0.5f)
+          Features(p.id, p.modality, p.content.length.toLong, g.w, g.h, 1, h, emb)
+      }
   }
 
   /** Batched decode: partition-scoped decoder init, streaming iterator

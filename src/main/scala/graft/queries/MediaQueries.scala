@@ -1320,7 +1320,84 @@ object MediaQueries {
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** q145: REAL JDK image decode probe (S9 closed,
+    * `ocr/service.py:447-464` cv2.imdecode): the q88 plane is encoded
+    * into ACTUAL container bytes — PNG, BMP, or GIF round-robined by
+    * doc_id — by the JDK ImageIO writer, magic-byte sniffed, decoded
+    * back through the REAL [[graft.functions.ImageCodec.decode]] path,
+    * and the DECODED plane (not the synthesis plane) runs the existing
+    * kernels: fixed-threshold binarize black count, a position-weighted
+    * checksum, and the padded content bbox. 8-bit-gray encode→decode is
+    * the identity for all three containers (pinned adversarially by
+    * ImageCodecSpec, including color/JPEG/corrupt paths SQL can't
+    * reach), so the oracle replays the plane arithmetic exactly as
+    * q88's does — any decoder deviation breaks the hash. */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((docId: Long, text: String) => {
+      val img = graft.functions.ImageOps.Gray(W, H, textPlane(text))
+      val fmt = (docId % 3) match {
+        case 0 => "png"; case 1 => "bmp"; case _ => "gif"
+      }
+      val bytes = graft.functions.ImageCodec.encode(img, fmt)
+      val sniffed = graft.functions.ImageCodec.sniffFormat(bytes)
+      val dec = graft.functions.ImageCodec.decode(bytes).get
+      val nBlack = graft.functions.ImageOps.binarizeFixed(dec)
+        .px.count(_ == 0).toLong
+      var cs = 0L
+      var i = 0
+      while (i < dec.px.length) { cs += (i + 1).toLong * (dec.px(i) & 0xff); i += 1 }
+      val bb = graft.functions.ImageOps.contentBBox(dec, 240, 2) match {
+        case Some((x, y, w, h)) => (x.toLong, y.toLong, w.toLong, h.toLong)
+        case None => (-1L, -1L, -1L, -1L)
+      }
+      (sniffed, (dec.w * 100000 + dec.h).toLong, nBlack, cs,
+        bb._1, bb._2, bb._3, bb._4)
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("doc_id"), col("text")).as("t"))
+      .select(col("doc_id"),
+        col("t._1").as("fmt"),
+        col("t._2").as("dims"),
+        col("t._3").as("n_black"),
+        col("t._4").as("checksum"),
+        col("t._5").as("bb_x"), col("t._6").as("bb_y"),
+        col("t._7").as("bb_w"), col("t._8").as("bb_h"))
+  }
+
+  private val q145Sql =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+       |    ELSE 'gif' END AS fmt,
+       |  CAST(${W} * 100000 + ${H} AS BIGINT) AS dims,
+       |  CAST(len(list_filter(p, v -> v <= 127)) AS BIGINT) AS n_black,
+       |  ${checksumSql("p")} AS checksum,
+       |  CAST(CASE WHEN nd = 0 THEN -1 ELSE greatest(0, mnx - 2) END
+       |    AS BIGINT) AS bb_x,
+       |  CAST(CASE WHEN nd = 0 THEN -1 ELSE greatest(0, mny - 2) END
+       |    AS BIGINT) AS bb_y,
+       |  CAST(CASE WHEN nd = 0 THEN -1
+       |    ELSE least(${W - 1}, mxx + 2) - greatest(0, mnx - 2) + 1 END
+       |    AS BIGINT) AS bb_w,
+       |  CAST(CASE WHEN nd = 0 THEN -1
+       |    ELSE least(${H - 1}, mxy + 2) - greatest(0, mny - 2) + 1 END
+       |    AS BIGINT) AS bb_h
+       |FROM (
+       |  SELECT doc_id, p, len(di) AS nd,
+       |    list_min(list_transform(di, i -> i % ${W})) AS mnx,
+       |    list_max(list_transform(di, i -> i % ${W})) AS mxx,
+       |    list_min(list_transform(di, i -> i // ${W})) AS mny,
+       |    list_max(list_transform(di, i -> i // ${W})) AS mxy
+       |  FROM (
+       |    SELECT doc_id, p,
+       |      list_filter(range(0, ${W * H}), i -> p[i + 1] < 240) AS di
+       |    FROM (
+       |      SELECT doc_id, $planeSql AS p
+       |      FROM (SELECT doc_id, text, length(text) AS nch
+       |            FROM documents WHERE length(text) >= 1))))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q145_imageio_decode", q145, Some(q145Sql)),
     QueryDef("q117_hough_angle", q117, Some(q117Sql)),
     QueryDef("q116_exif_probe", q116, Some(q116Sql)),
     QueryDef("q114_tempo_probe", q114, Some(q114Sql)),

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{ImageCodec, ImageOps}
+import graft.multimodal.Multimodal
+
+/** S9 real decode: pins the losslessness contract q145's oracle rides
+  * on (gray encode→decode identity for png/bmp/gif), the color-collapse
+  * and JPEG paths SQL can't reach, corrupt-byte behavior, and the
+  * end-to-end hand-off from DECODED planes into the existing ImageOps
+  * kernels. Pure JVM — no SparkSession needed. */
+class ImageCodecSpec extends AnyFunSuite {
+
+  private def plane(w: Int, h: Int)(f: (Int, Int) => Int): ImageOps.Gray =
+    ImageOps.Gray(w, h, Array.tabulate(w * h)(i => f(i % w, i / w).toByte))
+
+  // every gray value 0..255 appears: full-range identity check
+  private val fullRange = plane(32, 16)((x, y) => (y * 32 + x) % 256)
+
+  test("png/bmp/gif: 8-bit gray encode→decode is the pixel-exact identity") {
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val bytes = ImageCodec.encode(fullRange, fmt)
+      assert(bytes.length > 0, fmt)
+      val dec = ImageCodec.decode(bytes).getOrElse(fail(s"$fmt undecodable"))
+      assert(dec.w == 32 && dec.h == 16, fmt)
+      assert(dec.px.sameElements(fullRange.px), s"$fmt not lossless")
+    }
+  }
+
+  test("magic-byte sniff identifies each container") {
+    assert(ImageCodec.sniffFormat(ImageCodec.encode(fullRange, "png")) == "png")
+    assert(ImageCodec.sniffFormat(ImageCodec.encode(fullRange, "bmp")) == "bmp")
+    assert(ImageCodec.sniffFormat(ImageCodec.encode(fullRange, "gif")) == "gif")
+    assert(ImageCodec.sniffFormat(ImageCodec.encode(fullRange, "jpg")) == "jpeg")
+    assert(ImageCodec.sniffFormat(Array[Byte](1, 2, 3, 4)) == "unknown")
+    assert(ImageCodec.sniffFormat(Array.empty[Byte]) == "unknown")
+  }
+
+  test("jpeg: decodes for real (dims exact, pixels near, never identical-by-assumption)") {
+    val src = plane(48, 32)((x, y) => 128 + ((x + y) % 2) * 8)
+    val bytes = ImageCodec.encode(src, "jpg")
+    val dec = ImageCodec.decode(bytes).getOrElse(fail("jpeg undecodable"))
+    assert(dec.w == 48 && dec.h == 32)
+    // lossy but bounded: mean absolute error under 16 gray levels
+    val mae = dec.px.zip(src.px)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / src.px.length
+    assert(mae < 16.0, s"jpeg MAE $mae")
+  }
+
+  test("color input collapses by integer BT.601 luma; gray rgb is exact") {
+    // build an RGB png by hand via ImageIO to exercise the 3-band path
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red   -> 299*255/1000 = 76 (with +500 round: 76)
+    img.setRGB(1, 0, 0x00ff00) // green -> 150
+    img.setRGB(2, 0, 0x0000ff) // blue  -> 29
+    img.setRGB(3, 0, 0xffffff) // white -> 255
+    img.setRGB(0, 1, 0x000000)
+    img.setRGB(1, 1, 0x808080) // gray rgb -> exactly 0x80
+    img.setRGB(2, 1, 0x123456)
+    img.setRGB(3, 1, 0x654321)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val dec = ImageCodec.decode(bos.toByteArray).getOrElse(fail("undecodable"))
+    def luma(r: Int, g: Int, b: Int) = (r * 299 + g * 587 + b * 114 + 500) / 1000
+    assert(dec(0, 0) == luma(255, 0, 0))
+    assert(dec(1, 0) == luma(0, 255, 0))
+    assert(dec(2, 0) == luma(0, 0, 255))
+    assert(dec(3, 0) == 255 && dec(0, 1) == 0 && dec(1, 1) == 0x80)
+    assert(dec(2, 1) == luma(0x12, 0x34, 0x56))
+    assert(dec(3, 1) == luma(0x65, 0x43, 0x21))
+  }
+
+  test("corrupt / truncated / empty / null bytes decode to None, never throw") {
+    assert(ImageCodec.decode(null).isEmpty)
+    assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
+    assert(ImageCodec.decode(Array.fill[Byte](64)(0x41)).isEmpty)
+    val png = ImageCodec.encode(fullRange, "png")
+    // PNG magic intact but body truncated mid-IDAT
+    assert(ImageCodec.decode(png.take(24)).isEmpty)
+    // flipped bits in the middle
+    val mangled = png.clone(); for (i <- 30 until math.min(60, mangled.length))
+      mangled(i) = (~mangled(i)).toByte
+    assert(ImageCodec.decode(mangled).isEmpty || ImageCodec.decode(mangled).nonEmpty)
+    // ^ some decoders salvage; the contract is only "never throw"
+  }
+
+  test("decoded planes feed the existing kernels end-to-end (binarize, morph, CLAHE, hough, crop)") {
+    val src = plane(32, 16)((x, y) =>
+      if (y == 5 || (x > 8 && x < 20 && y > 9 && y < 13)) 40 else 255)
+    val dec = ImageCodec.decode(ImageCodec.encode(src, "png"))
+      .getOrElse(fail("undecodable"))
+    // identity means every kernel result matches the direct path bit-for-bit
+    assert(ImageOps.binarizeFixed(dec).px
+      .sameElements(ImageOps.binarizeFixed(src).px))
+    assert(ImageOps.open(dec, 2, 2).px.sameElements(ImageOps.open(src, 2, 2).px))
+    assert(ImageOps.enhanceContrast(dec).px
+      .sameElements(ImageOps.enhanceContrast(src).px))
+    assert(ImageOps.houghAngle(dec) == ImageOps.houghAngle(src))
+    assert(ImageOps.contentBBox(dec, 240, 2) == ImageOps.contentBBox(src, 240, 2))
+    // and the hough line row is actually detected on the decoded plane
+    val (_, nLines) = ImageOps.houghAngle(dec)
+    assert(nLines > 0)
+  }
+
+  test("ImageIODecoder: real dims + pixel-hash for images, stub fallback elsewhere") {
+    val src = plane(20, 10)((x, y) => (x * 12 + y * 7) % 256)
+    val png = ImageCodec.encode(src, "png")
+    val bmp = ImageCodec.encode(src, "bmp")
+    val dec = new Multimodal.ImageIODecoder
+    val fPng = dec.decode(Multimodal.Payload(1L, "image", "png", png))
+    val fBmp = dec.decode(Multimodal.Payload(2L, "image", "bmp", bmp))
+    assert(fPng.width == 20 && fPng.height == 10 && fPng.nFrames == 1)
+    // hash is over DECODED pixels: two containers of the same image agree
+    assert(fPng.contentHash == fBmp.contentHash)
+    assert(fPng.embedding.sameElements(fBmp.embedding))
+    // histogram embedding sums to ~ n/n - 8*0.5 = 1 - 4 = -3
+    assert(math.abs(fPng.embedding.sum - (1.0f - 4.0f)) < 1e-4)
+    // undecodable image bytes and non-image modalities fall back to stub
+    val stub = new Multimodal.StubDecoder
+    def same(a: Multimodal.Features, b: Multimodal.Features): Boolean =
+      (a.id, a.modality, a.byteLength, a.width, a.height, a.nFrames, a.contentHash) ==
+        (b.id, b.modality, b.byteLength, b.width, b.height, b.nFrames, b.contentHash) &&
+        a.embedding.sameElements(b.embedding)
+    val junk = Multimodal.Payload(3L, "image", "png", Array.fill[Byte](16)(7))
+    assert(same(dec.decode(junk), stub.decode(junk)))
+    val vid = Multimodal.Payload(4L, "video", "mp4", png)
+    assert(same(dec.decode(vid), stub.decode(vid)))
+  }
+}
