@@ -385,6 +385,76 @@ object ImageOps {
       math.round(math.sin(math.toRadians(ThetaMinDeg + i)) * Scale).toInt)
   }
 
+  /** F13 warp trig: cos/sin quantized to integer 1/1024ths over the
+    * deskew band [−45°, 45°] (index = angle + 45) — same quantization
+    * discipline as [[Hough]], so an oracle can replay the warp with the
+    * kernel's own tables embedded as integer literals. */
+  object Warp {
+    val MaxDeg = 45
+    val Scale = 1024
+    // keeps every rounded-NN numerator nonnegative for planes ≤ 64×64
+    val OffsetQ = 2 * Scale * 64
+
+    val cosQ: Array[Int] = Array.tabulate(2 * MaxDeg + 1)(i =>
+      math.round(math.cos(math.toRadians(i - MaxDeg)) * Scale).toInt)
+    val sinQ: Array[Int] = Array.tabulate(2 * MaxDeg + 1)(i =>
+      math.round(math.sin(math.toRadians(i - MaxDeg)) * Scale).toInt)
+  }
+
+  /** F13: arbitrary-angle rotation about the image center by
+    * nearest-neighbor inverse mapping — the deterministic core of the
+    * reference's `cv2.warpAffine(M, borderValue=white)` deskew
+    * (`image_processor.py:143-180`), in pure integer math. For each
+    * OUTPUT pixel, the source position is found by rotating the
+    * center-relative coordinate back by `angleDeg`; out-of-frame
+    * sources fill white. Coordinates are doubled so the (w−1)/2 center
+    * stays integral; trig rides [[Warp]]'s 1/1024 tables; the final NN
+    * round is floor(v + ½) via one nonnegative integer division —
+    * bit-identical in any engine with integer `//`. */
+  def rotateNN(img: Gray, angleDeg: Int, fill: Int = 255): Gray = {
+    require(angleDeg >= -Warp.MaxDeg && angleDeg <= Warp.MaxDeg,
+      s"rotateNN supports [−45°, 45°] (deskew band), got $angleDeg")
+    require(img.w <= 64 && img.h <= 64,
+      s"rotateNN supports planes up to 64x64 (OffsetQ contract), " +
+        s"got ${img.w}x${img.h}")
+    val c = Warp.cosQ(angleDeg + Warp.MaxDeg)
+    val s = Warp.sinQ(angleDeg + Warp.MaxDeg)
+    val out = new Array[Byte](img.px.length)
+    var y = 0
+    while (y < img.h) {
+      val uy = 2 * y - (img.h - 1) // doubled offset from center
+      var x = 0
+      while (x < img.w) {
+        val ux = 2 * x - (img.w - 1)
+        // inverse-rotated doubled source coords, ×Scale
+        val ax = c * ux + s * uy
+        val ay = -s * ux + c * uy
+        // src = floor((a/Scale + dim-1)/2 + 1/2), kept nonnegative
+        val sx = (ax + Warp.Scale * img.w + Warp.OffsetQ) / (2 * Warp.Scale) - 64
+        val sy = (ay + Warp.Scale * img.h + Warp.OffsetQ) / (2 * Warp.Scale) - 64
+        out(y * img.w + x) =
+          (if (sx >= 0 && sx < img.w && sy >= 0 && sy < img.h)
+            img(sx, sy)
+          else fill).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Gray(img.w, img.h, out)
+  }
+
+  /** F13 end-to-end deskew: estimate the skew with [[houghAngle]],
+    * round half-up to whole degrees, clamp to the warp band, rotate by
+    * the NEGATED angle to correct (`image_processor.py:143-180`:
+    * `getRotationMatrix2D(center, angle)` un-rotates the detected
+    * skew). Returns (corrected plane, applied-angle-in-degrees). */
+  def deskew(img: Gray): (Gray, Int) = {
+    val (skew, _) = houghAngle(img)
+    val a = math.max(-Warp.MaxDeg,
+      math.min(Warp.MaxDeg, math.floor(skew + 0.5).toInt))
+    (rotateNN(img, -a), -a)
+  }
+
   /** Returns (median angle in degrees ∈ [−45, 45], number of detected
     * line cells); (0.0, 0) when nothing reaches the vote threshold —
     * the reference's `return 0.0` for `lines is None`. */

@@ -1396,7 +1396,108 @@ object MediaQueries {
        |      FROM (SELECT doc_id, text, length(text) AS nch
        |            FROM documents WHERE length(text) >= 1))))""".stripMargin
 
+  /** q146: deskew END-TO-END probe (F13 closed,
+    * `image_processor.py:143-180` warpAffine): the q88 plane through
+    * the REAL houghAngle estimator, the estimate rounded half-up /
+    * clamped to the ±45° band, then the plane rotated by the NEGATED
+    * angle through the REAL integer nearest-neighbor warp
+    * ([[graft.functions.ImageOps.rotateNN]]) — doubled center-relative
+    * coordinates, 1/1024-quantized trig, floor(v+½) NN rounding, white
+    * fill. Every step is integer math, so the oracle replays the FULL
+    * chain — Hough voting, median, rounding, and the warp with the
+    * kernel's own quantized tables as literals. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val img = graft.functions.ImageOps.Gray(W, H, textPlane(text))
+      val (skew, _) = graft.functions.ImageOps.houghAngle(img)
+      val (fixed, applied) = graft.functions.ImageOps.deskew(img)
+      val nBlack = graft.functions.ImageOps.binarizeFixed(fixed)
+        .px.count(_ == 0).toLong
+      var cs = 0L
+      var i = 0
+      while (i < fixed.px.length) { cs += (i + 1).toLong * (fixed.px(i) & 0xff); i += 1 }
+      (skew, applied.toLong, cs, nBlack)
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(col("doc_id"),
+        (col("t._1") + lit(0.0)).as("skew_deg"),
+        col("t._2").as("applied_deg"),
+        col("t._3").as("checksum"),
+        col("t._4").as("n_black"))
+  }
+
+  private val q146Sql = {
+    val hg = graft.functions.ImageOps.Hough
+    val wp = graft.functions.ImageOps.Warp
+    val hCos = hg.cosQ.mkString("[", ", ", "]")
+    val hSin = hg.sinQ.mkString("[", ", ", "]")
+    val wCos = wp.cosQ.mkString("[", ", ", "]")
+    val wSin = wp.sinQ.mkString("[", ", ", "]")
+    val sc = wp.Scale
+    val offX = sc * W + wp.OffsetQ
+    val offY = sc * H + wp.OffsetQ
+    s"""WITH base AS (
+       |  SELECT doc_id, text, length(text) AS nch
+       |  FROM documents WHERE length(text) >= 1),
+       |pl AS (SELECT doc_id, $planeSql AS p FROM base),
+       |edge AS (
+       |  SELECT doc_id, CAST(i % ${W} AS INT) AS x,
+       |         CAST(i // ${W} AS INT) AS y
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(range(0, ${W * H}),
+       |            i -> p[i + 1] < 128)) AS i
+       |        FROM pl)),
+       |hcs AS (
+       |  SELECT t, cosl[t + 1] AS c, sinl[t + 1] AS sn
+       |  FROM (SELECT CAST(unnest(range(0, ${hg.cosQ.length})) AS INT) AS t,
+       |          $hCos AS cosl, $hSin AS sinl)),
+       |acc AS (
+       |  SELECT doc_id, t,
+       |    (e.x * c.c + e.y * c.sn + ${hg.OffsetQ}) // ${hg.Scale} AS bin,
+       |    count(*) AS v
+       |  FROM edge e CROSS JOIN hcs c
+       |  GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT doc_id, median(t + ${hg.ThetaMinDeg} - 90) + 0.0 AS med
+       |  FROM acc WHERE v >= 3 GROUP BY 1),
+       |ang AS (
+       |  SELECT pl.doc_id, pl.p,
+       |    coalesce(a.med, 0.0) AS skew,
+       |    CAST(-greatest(-${wp.MaxDeg}, least(${wp.MaxDeg},
+       |      CAST(floor(coalesce(a.med, 0.0) + 0.5) AS INT))) AS INT) AS applied
+       |  FROM pl LEFT JOIN agg a ON a.doc_id = pl.doc_id),
+       |trig AS (
+       |  SELECT doc_id, p, skew, applied,
+       |    wcl[applied + ${wp.MaxDeg + 1}] AS c,
+       |    wsl[applied + ${wp.MaxDeg + 1}] AS sn
+       |  FROM ang CROSS JOIN (SELECT $wCos AS wcl, $wSin AS wsl)),
+       |src AS (
+       |  SELECT doc_id, p, skew, applied,
+       |    list_transform(range(0, ${W * H}), i ->
+       |      [ ( c * (2 * (i % ${W}) - ${W - 1})
+       |          + sn * (2 * (i // ${W}) - ${H - 1}) + $offX) // ${2 * sc} - 64,
+       |        (-sn * (2 * (i % ${W}) - ${W - 1})
+       |          + c * (2 * (i // ${W}) - ${H - 1}) + $offY) // ${2 * sc} - 64 ])
+       |      AS sxy
+       |  FROM trig),
+       |warped AS (
+       |  SELECT doc_id, skew, applied,
+       |    list_transform(sxy, q ->
+       |      CASE WHEN q[1] >= 0 AND q[1] < ${W} AND q[2] >= 0 AND q[2] < ${H}
+       |        THEN p[q[2] * ${W} + q[1] + 1] ELSE 255 END) AS wpx
+       |  FROM src)
+       |SELECT doc_id,
+       |  skew + 0.0 AS skew_deg,
+       |  CAST(applied AS BIGINT) AS applied_deg,
+       |  ${checksumSql("wpx")} AS checksum,
+       |  CAST(len(list_filter(wpx, v -> v <= 127)) AS BIGINT) AS n_black
+       |FROM warped""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q146_deskew_warp", q146, Some(q146Sql)),
     QueryDef("q145_imageio_decode", q145, Some(q145Sql)),
     QueryDef("q117_hough_angle", q117, Some(q117Sql)),
     QueryDef("q116_exif_probe", q116, Some(q116Sql)),

@@ -164,4 +164,54 @@ class ImageOpsSpec extends SparkSpec {
     val (zDeg, zN) = ImageOps.houghAngle(plane((_, _) => false))
     assert(zDeg == 0.0 && zN == 0L)
   }
+
+  test("F13 rotateNN: 0° is the identity, out-of-frame fills white") {
+    val img = ImageOps.Gray(32, 16,
+      Array.tabulate(512)(i => ((i * 37) % 256).toByte))
+    assert(ImageOps.rotateNN(img, 0).px.sameElements(img.px))
+    // a rotation pulls corners from outside the frame → white fill
+    val r30 = ImageOps.rotateNN(img, 30)
+    assert(r30(0, 0) == 255 && r30(31, 15) == 255)
+    // interior content survives: center pixel maps to itself under any
+    // angle only for odd dims; here check the warp is a permutation-ish
+    // map (non-fill outputs all existed in the source)
+    val srcVals = img.px.map(_ & 0xff).toSet
+    assert(r30.px.map(_ & 0xff).forall(v => v == 255 || srcVals.contains(v)))
+  }
+
+  test("F13 rotateNN: ±angle round-trips the interior, 45° band enforced") {
+    def plane(f: (Int, Int) => Boolean): ImageOps.Gray =
+      ImageOps.Gray(32, 16, Array.tabulate(512)(i =>
+        (if (f(i % 32, i / 32)) 40 else 255).toByte))
+    val img = plane((x, y) => x > 10 && x < 22 && y > 5 && y < 11)
+    val back = ImageOps.rotateNN(ImageOps.rotateNN(img, 10), -10)
+    // NN quantization wiggles edges; interior block must survive
+    var agree = 0; var interior = 0
+    for (y <- 7 to 9; x <- 13 to 19) {
+      interior += 1; if (back(x, y) == img(x, y)) agree += 1
+    }
+    assert(agree >= interior - 2, s"$agree/$interior interior pixels survive")
+    intercept[IllegalArgumentException](ImageOps.rotateNN(img, 46))
+    intercept[IllegalArgumentException](ImageOps.rotateNN(img, -46))
+  }
+
+  test("F13 deskew end-to-end: a rotated level line comes back nearly level") {
+    // level 1px line, tilted BY the warp itself (so the tilt is exactly
+    // what the estimator sees at this quantization), then corrected
+    val level = ImageOps.Gray(32, 16, Array.tabulate(512) { i =>
+      (if (i / 32 == 8) 40 else 255).toByte
+    })
+    val img = ImageOps.rotateNN(level, 15)
+    val (skewBefore, nBefore) = ImageOps.houghAngle(img)
+    assert(nBefore > 0 && math.abs(skewBefore) >= 5.0,
+      s"fixture must read as tilted, got $skewBefore")
+    val (fixed, applied) = ImageOps.deskew(img)
+    assert(applied == -math.floor(skewBefore + 0.5).toInt)
+    // the corrected plane reads nearly level (NN + vote quantization
+    // leave a degree or two; the estimator itself is coarse by spec)
+    val (skewAfter, _) = ImageOps.houghAngle(fixed)
+    assert(math.abs(skewAfter) <= 3.0 &&
+      math.abs(skewAfter) < math.abs(skewBefore),
+      s"deskew: $skewBefore -> $skewAfter (applied $applied)")
+  }
 }
