@@ -69,13 +69,13 @@ object Bench {
     // chars of output, and at 125+ queries a 3-decimal line would crowd
     // the window (r3-r6's WindowExec WARN spam actually pushed the JSON
     // out entirely — BENCH_r0{3..6}.json all record parsed:null).
-    def r3(v: Double): String = "%.2f".format(v)
+    def fmt2(v: Double): String = "%.2f".format(v)
     // Driver captures only the last 2000 chars of output: keys shrink to
     // their unique qNN prefix so the whole JSON line fits that window
     // (full names are in SURVEY.md §2.12 / Verify output).
     def short(k: String): String = k.takeWhile(_ != '_')
     val qs = (results.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"\"" + short(k) + "\":" + r3(v) } ++
+      s"\"" + short(k) + "\":" + fmt2(v) } ++
       failed.keys.toSeq.sorted.map(k => s"\"" + short(k) + "\":null"))
       .mkString("{", ",", "}")
     val failedArr = failed.keys.toSeq.sorted
@@ -88,8 +88,24 @@ object Bench {
       results.get("q15_transcript_assembly")
         .filter(_ > 0).map(t => n / t).getOrElse(0.0)
     } catch { case _: Throwable => 0.0 }
+    // STREAMING flagship (VERDICT r7 #2): the actual flatMapGroupsWithState
+    // sessionizer under a file-source stream + RocksDB state store — not
+    // the batch q15 proxy. Sustained events/s excludes stream startup;
+    // p50/p99 are per-trigger latencies from the query's own telemetry.
+    val stream = try StreamBench.run(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
+        StreamBench.Result(0L, 0, 0.0, 0.0, 0.0, 0.0, 0L, 0L)
+      }
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"flagship_events_per_sec":${"%.0f".format(flagshipEps)},"sf":"$sfName"}""")
+    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"flagship_events_per_sec":${"%.0f".format(flagshipEps)},"stream_eps":${"%.0f".format(stream.epsSustained)},"stream_p50_ms":${stream.p50Ms},"stream_p99_ms":${stream.p99Ms},"stream_batches":${stream.batches},"sf":"$sfName"}"""
+    // stdout is the driver's contract, but its capture window is the last
+    // 2000 chars — persist the line to a file too so the number is always
+    // recoverable even if future growth crowds the window (ADVICE r7).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("target/bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.model.AudioChunk
+import graft.streaming.SessionProcessor
+
+/** Streaming flagship measurement (VERDICT r7 #2): the batch q15 number
+  * is a proxy; the brief's engine is Structured Streaming and the
+  * reference's flagship is the streaming STT path (`server.py:53-138`).
+  * This drives the ACTUAL stateful sessionizer —
+  * `flatMapGroupsWithState` over a file-source chunk stream — and
+  * reports sustained events/s plus per-trigger latency quantiles from
+  * the query's own progress telemetry.
+  *
+  * Method: the sf events table is mapped once (batch) to AudioChunk
+  * rows and staged as N parquet files; the streaming query reads them
+  * `maxFilesPerTrigger` at a time, so the run covers `N /
+  * maxFilesPerTrigger` micro-batches — enough triggers for a p50/p99,
+  * each one a real state-store round trip. State rides the RocksDB
+  * provider (the 100 TB production choice; rocksdbjni ships with
+  * Spark) unless `useRocksDb = false`.
+  *
+  * Scale note: the plan is ONE shuffle (groupByKey on sessionId) into
+  * state-store-partitioned tasks; throughput scales with shuffle
+  * partitions × executors, state with unique sessions, and neither
+  * depends on total history length (W4 keeps ≤150 ms per session
+  * buffered). That is the shape that survives 1000 executors.
+  */
+object StreamBench {
+
+  final case class Result(
+      rows: Long,
+      batches: Int,
+      wallSec: Double,
+      triggerSumSec: Double,
+      epsSustained: Double, // rows / Σ triggerExecution — steady-state
+      epsWall: Double, // rows / wall — includes stream startup
+      p50Ms: Long,
+      p99Ms: Long)
+
+  def run(spark: SparkSession, sfDir: String,
+      workDir: String = "/tmp/graft_stream_bench",
+      stageFiles: Int = 24,
+      filesPerTrigger: Int = 2,
+      useRocksDb: Boolean = true): Result = {
+    import spark.implicits._
+    val wd = new java.io.File(workDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(wd)
+
+    // batch pre-pass: events → AudioChunk rows (PipelineMain's session-
+    // path mapping), staged as `stageFiles` files to bound trigger size
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val base = events.groupBy(col("user_id"))
+      .agg(min(expr("ts div 1000")).as("base_us"))
+    events
+      .join(broadcast(base), "user_id")
+      .select(
+        col("user_id").cast("string").as("sessionId"),
+        encode(coalesce(col("props"), lit("")), "UTF-8").as("content"),
+        ((expr("ts div 1000") - col("base_us")) / 1000L).cast("long")
+          .as("offsetMs"),
+        lit(50L).as("durationMs"),
+        lit(false).as("isFinal"))
+      .repartition(stageFiles)
+      .write.mode("overwrite").parquet(s"$workDir/chunks")
+
+    if (useRocksDb)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = spark.read.parquet(s"$workDir/chunks").schema
+    val chunks = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$workDir/chunks")
+      .as[AudioChunk](Encoders.product[AudioChunk])
+
+    val t0 = System.nanoTime()
+    val query = SessionProcessor.attach(chunks, timeoutMs = 0L).toDF()
+      .writeStream
+      .queryName("stream_bench_sessionizer")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode("append")
+      .format("noop")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val progress = query.recentProgress.toSeq
+      .filter(_.numInputRows > 0) // AvailableNow appends an empty closer
+    val durs = progress
+      .map(p => p.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+      .sorted
+    val rows = progress.map(_.numInputRows).sum
+    val sumSec = durs.sum / 1e3
+    def pct(q: Double): Long =
+      if (durs.isEmpty) 0L
+      else durs(math.min(durs.length - 1, (q * durs.length).toInt))
+    Result(
+      rows = rows,
+      batches = progress.length,
+      wallSec = wall,
+      triggerSumSec = sumSec,
+      epsSustained = if (sumSec > 0) rows / sumSec else 0.0,
+      epsWall = if (wall > 0) rows / wall else 0.0,
+      p50Ms = pct(0.50),
+      p99Ms = pct(0.99))
+  }
+}
