@@ -319,12 +319,12 @@ object TextQueries {
     * in a real dedup pipeline: group transitively-linked docs and pick
     * a canonical representative (min doc_id). Scalable construction:
     * never materialize band cliques — each band group contributes STAR
-    * edges to its min doc (2 edges/doc total), and components emerge by
-    * iterative min-label propagation (the DataFrame form of
-    * large-star/small-star CC), converging in O(component diameter)
-    * rounds with `localCheckpoint` truncating lineage each round. The
-    * oracle computes the same fixpoint with a recursive CTE
-    * (reachability labels → min per node). */
+    * edges to its min doc (2 edges/doc total), and components emerge
+    * via [[graft.operators.ConnectedComponents.minLabel]]: accelerated
+    * min-label propagation (edge hop + pointer jump per round) seeded
+    * from the dup subgraph only, converging in O(log diameter)
+    * driver-synchronized rounds. The oracle computes the same fixpoint
+    * with a recursive CTE (reachability labels → min per node). */
   private def q78(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sig = q28(s, d)
@@ -343,52 +343,7 @@ object TextQueries {
       .distinct()
     val edges = stars.select(col("doc_id").as("src"), col("root").as("dst"))
       .union(stars.select(col("root").as("src"), col("doc_id").as("dst")))
-      .localCheckpoint()
-    // The fixpoint runs over the DUP SUBGRAPH only: a doc with no band
-    // partner can never join a cluster, so seeding labels from the edge
-    // endpoints (symmetric union → src covers both directions) instead
-    // of the whole corpus shrinks every round's join/aggregate from
-    // |corpus| to |dup docs| — at 100 TB that is the difference between
-    // iterating over petabytes and iterating over the (small) duplicate
-    // population. Singletons are excluded by the final n_docs > 1
-    // filter either way; results are identical.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    // Convergence detection rides the SAME job that materializes the
-    // round's labels (one job per round, not a count() job on top): each
-    // node's previous label is carried through the union — seed rows tag
-    // old=label, propagated rows old=null; every propagation target is an
-    // edge endpoint and edges are symmetric, so every node has exactly
-    // one seed row and max(old) recovers its unique previous label. A
-    // marking expression bumps an accumulator when the label strictly
-    // improved; the driver reads it after localCheckpoint has run the
-    // round. Task retries can only re-observe genuine improvements, so
-    // over-counting never turns a converged round (acc=0) into a
-    // non-converged one.
-    val changedAcc = s.sparkContext.longAccumulator("q78_label_improvements")
-    val markImproved = udf { (newLabel: Long, oldLabel: Long) =>
-      if (newLabel < oldLabel) changedAcc.add(1L)
-      newLabel
-    }
-    var converged = false
-    while (!converged) {
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"),
-          lit(null).cast("long").as("old"))
-      val next = labels
-        .select(col("node"), col("label"), col("label").as("old"))
-        .union(prop)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("min_label"),
-          coalesce(max(col("old")), lit(Long.MaxValue)).as("old"))
-      changedAcc.reset()
-      labels = next
-        .select(col("node"),
-          markImproved(col("min_label"), col("old")).as("label"))
-        .localCheckpoint()
-      converged = changedAcc.value == 0L
-    }
+    val (labels, _) = graft.operators.ConnectedComponents.minLabel(edges)
     labels.groupBy(col("label").as("canonical_doc"))
       .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
       .filter(col("n_docs") > 1)
