@@ -103,7 +103,12 @@ object StreamingNearDup {
                   if (j >= threshold) out += DupPair(bd.docId, id, j)
                 }
               }
-              seen = ((bd.docId, bd.sig) :: seen).take(maxPerBand)
+              // one slot per docId: a redelivered/replayed doc must not
+              // occupy multiple maxPerBand slots (evicting genuinely
+              // distinct candidates early) nor emit duplicate pairs
+              // against its own stale copy (ADVICE r7)
+              seen = ((bd.docId, bd.sig) :: seen.filterNot(_._1 == bd.docId))
+                .take(maxPerBand)
             }
             state.update(seen)
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
