@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Scale-trend corpora for the dedup family (VERDICT r7 #4).
+
+Generates documents.parquet at 1x/2x/4x the sf0.1 row count with the
+SAME generative process the driver's corpus exhibits (uniform words
+from its 31-word vocabulary, 10..100 tokens/doc, 5 langs, 20 sources)
+so wall-time scaling exponents are measured on a self-consistent
+series — the baseline point is regenerated too, NOT the driver's file,
+so all three points share one RNG/process.
+
+Usage: python3 tools/gen_scale_docs.py [outRoot]   # default /tmp/graft_scale
+"""
+import os
+import random
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = ['the', 'query', 'row', 'stream', 'spark', 'fast', 'customer',
+         'batch', 'data', 'sort', 'value', 'hash', 'filter', 'big', 'dup',
+         'column', 'order', 'a', 'vector', 'part', 'scan', 'slow', 'agg',
+         'key', 'window', 'table', 'merge', 'join', 'line', 'small', 'group']
+LANGS = ['en', 'en', 'en', 'zh', 'es', 'de', 'fr']  # en-heavy like sf0.1
+BASE_ROWS = 5000  # sf0.1's documents row count
+
+
+def gen(out_dir: str, rows: int, seed: int) -> None:
+    rnd = random.Random(seed)
+    doc_id, text, lang, source, n_chars = [], [], [], [], []
+    for i in range(rows):
+        n = rnd.randint(10, 100)
+        t = ' '.join(rnd.choice(VOCAB) for _ in range(n))
+        doc_id.append(i)
+        text.append(t)
+        lang.append(rnd.choice(LANGS))
+        source.append(f'src{rnd.randint(0, 19)}')
+        n_chars.append(len(t))
+    table = pa.table({'doc_id': pa.array(doc_id, pa.int64()),
+                      'text': pa.array(text, pa.string()),
+                      'lang': pa.array(lang, pa.string()),
+                      'source': pa.array(source, pa.string()),
+                      'n_chars': pa.array(n_chars, pa.int64())})
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(out_dir, 'documents.parquet'))
+    print(f'{out_dir}: {rows} docs')
+
+
+if __name__ == '__main__':
+    root = sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_scale'
+    for mult in (1, 2, 4):
+        gen(os.path.join(root, f'x{mult}'), BASE_ROWS * mult, seed=1234)
