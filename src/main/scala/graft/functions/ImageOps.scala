@@ -96,6 +96,74 @@ object ImageOps {
     if (dpi < 0.8 * targetDpi) Some(targetDpi / dpi) else None
   }
 
+  /** F18: REAL pixel resize, nearest-neighbor with half-pixel centers —
+    * source pixel for output x is floor((x+½)·srcW/dstW), i.e.
+    * ((2x+1)·srcW) / (2·dstW) in pure nonnegative integer math
+    * (cv2.resize INTER_NEAREST geometry; `image_processor.py:264-286`
+    * upscales for DPI, thumbnails downscale the same way). Exactly
+    * replayable by any engine with integer division. */
+  def resizeNN(img: Gray, dstW: Int, dstH: Int): Gray = {
+    require(dstW > 0 && dstH > 0, s"bad resize target ${dstW}x$dstH")
+    val out = new Array[Byte](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = ((2 * y + 1) * img.h) / (2 * dstH)
+      var x = 0
+      while (x < dstW) {
+        val sx = ((2 * x + 1) * img.w) / (2 * dstW)
+        out(y * dstW + x) = img.px(sy * img.w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Gray(dstW, dstH, out)
+  }
+
+  /** F18: bilinear resize in 10-bit fixed point — cv2 INTER_LINEAR
+    * geometry (src = (dst+½)·scale − ½, edge-clamped) with weights
+    * quantized to 1/1024ths and symmetric rounding, so the result is
+    * integer-deterministic across platforms (no FP accumulation).
+    * Typed-spec'd against hand-computed fixtures; the oracle probes
+    * ride [[resizeNN]], whose arithmetic SQL replays more cheaply. */
+  def resizeBilinear(img: Gray, dstW: Int, dstH: Int): Gray = {
+    require(dstW > 0 && dstH > 0, s"bad resize target ${dstW}x$dstH")
+    val S = 1024
+    val out = new Array[Byte](dstW * dstH)
+    // fixed-point source coordinate for output index i on an axis of
+    // srcN/dstN: ((2i+1)·srcN·S/(2·dstN)) − S/2, clamped at 0
+    def coords(dstN: Int, srcN: Int): (Array[Int], Array[Int], Array[Int]) = {
+      val i0 = new Array[Int](dstN); val i1 = new Array[Int](dstN)
+      val fr = new Array[Int](dstN)
+      var i = 0
+      while (i < dstN) {
+        val fp = math.max(0, ((2 * i + 1) * srcN * S) / (2 * dstN) - S / 2)
+        val base = fp / S
+        i0(i) = math.min(srcN - 1, base)
+        i1(i) = math.min(srcN - 1, base + 1)
+        fr(i) = fp % S
+        i += 1
+      }
+      (i0, i1, fr)
+    }
+    val (x0, x1, fx) = coords(dstW, img.w)
+    val (y0, y1, fy) = coords(dstH, img.h)
+    var y = 0
+    while (y < dstH) {
+      var x = 0
+      while (x < dstW) {
+        val p00 = img(x0(x), y0(y)); val p01 = img(x1(x), y0(y))
+        val p10 = img(x0(x), y1(y)); val p11 = img(x1(x), y1(y))
+        val top = p00 * (S - fx(x)) + p01 * fx(x)
+        val bot = p10 * (S - fx(x)) + p11 * fx(x)
+        val v = (top * (S - fy(y)) + bot * fy(y) + S * S / 2) / (S * S)
+        out(y * dstW + x) = math.min(255, v).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Gray(dstW, dstH, out)
+  }
+
   /** F23/P5: validation — dims within [100, 10000]² and content ratio
     * (non-white share) ≥ 1 % (`image_processor.py:422-446`). */
   def validate(img: Gray): Boolean = {

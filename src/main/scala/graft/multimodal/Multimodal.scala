@@ -179,6 +179,30 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize (F18): decode via ImageIO, nearest-neighbor
+    * resize in integer half-pixel-center geometry, re-encode as PNG.
+    * Undecodable payloads pass through with src dims 0×0 and content
+    * untouched (DLQ-style passthrough, never a throw mid-partition).
+    * Same per-partition batching seam as decodeAll. */
+  def resizeImages(payloads: Dataset[Payload], dstW: Int, dstH: Int)
+      : Dataset[Resized] = {
+    implicit val enc = Encoders.product[Resized]
+    payloads.mapPartitions { it =>
+      it.map { p =>
+        graft.functions.ImageCodec.decode(p.content) match {
+          case Some(g) =>
+            val r = graft.functions.ImageOps.resizeNN(g, dstW, dstH)
+            val scale = math.min(dstW.toDouble / g.w, dstH.toDouble / g.h)
+            Resized(p.id, p.modality, g.w, g.h, dstW, dstH,
+              math.round(scale * 1e6) / 1e6,
+              graft.functions.ImageCodec.encode(r, "png"))
+          case None =>
+            Resized(p.id, p.modality, 0, 0, dstW, dstH, 0.0, p.content)
+        }
+      }
+    }
+  }
+
   /** Documents table → payload rows (text bytes standing in for media
     * payloads on the synthetic corpus). */
   def payloadsFromDocuments(spark: SparkSession, dir: String): Dataset[Payload] = {

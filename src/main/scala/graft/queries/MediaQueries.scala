@@ -1496,7 +1496,66 @@ object MediaQueries {
        |FROM warped""".stripMargin
   }
 
+  /** q147: REAL pixel resize probe (F18 closed,
+    * `image_processor.py:264-286` DPI upscale): the q88 plane goes
+    * through a REAL PNG encode→decode round trip
+    * ([[graft.functions.ImageCodec]]) and then the REAL
+    * nearest-neighbor resize — half-pixel-center integer geometry —
+    * both DOWN (16×8 thumbnail) and UP (64×32, the DPI-upscale
+    * direction), summarized as position-weighted checksums. The oracle
+    * replays the NN index arithmetic (((2x+1)·srcW)/(2·dstW)) directly
+    * on the synthesis plane; the bilinear kernel is typed-spec'd
+    * (ImageOpsSpec) where SQL replay would cost more than it proves. */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val img = graft.functions.ImageOps.Gray(W, H, textPlane(text))
+      val dec = graft.functions.ImageCodec.decode(
+        graft.functions.ImageCodec.encode(img, "png")).get
+      def checksum(g: graft.functions.ImageOps.Gray): Long = {
+        var cs = 0L; var i = 0
+        while (i < g.px.length) { cs += (i + 1).toLong * (g.px(i) & 0xff); i += 1 }
+        cs
+      }
+      val down = graft.functions.ImageOps.resizeNN(dec, 16, 8)
+      val up = graft.functions.ImageOps.resizeNN(dec, 64, 32)
+      (checksum(down), checksum(up),
+        down.px.count(b => (b & 0xff) <= 127).toLong,
+        up.px.count(b => (b & 0xff) <= 127).toLong)
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(col("doc_id"),
+        col("t._1").as("cs_down"), col("t._2").as("cs_up"),
+        col("t._3").as("dark_down"), col("t._4").as("dark_up"))
+  }
+
+  private val q147Sql = {
+    def resized(dw: Int, dh: Int): String =
+      s"""list_transform(range(0, ${dw * dh}), i ->
+         |  p[ (((2 * (i // $dw) + 1) * ${H}) // ${2 * dh}) * ${W}
+         |     + (((2 * (i % $dw) + 1) * ${W}) // ${2 * dw}) + 1 ])""".stripMargin
+    def cs(src: String, n: Int): String =
+      s"""CAST(list_reduce(list_transform(range(0, $n),
+         |  i -> CAST((i + 1) * $src[i + 1] AS BIGINT)),
+         |  (a, b) -> a + b) AS BIGINT)""".stripMargin
+    s"""SELECT doc_id,
+       |  ${cs("dn", 16 * 8)} AS cs_down,
+       |  ${cs("up", 64 * 32)} AS cs_up,
+       |  CAST(len(list_filter(dn, v -> v <= 127)) AS BIGINT) AS dark_down,
+       |  CAST(len(list_filter(up, v -> v <= 127)) AS BIGINT) AS dark_up
+       |FROM (
+       |  SELECT doc_id,
+       |    ${resized(16, 8)} AS dn,
+       |    ${resized(64, 32)} AS up
+       |  FROM (
+       |    SELECT doc_id, $planeSql AS p
+       |    FROM (SELECT doc_id, text, length(text) AS nch
+       |          FROM documents WHERE length(text) >= 1)))""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q147_resize_probe", q147, Some(q147Sql)),
     QueryDef("q146_deskew_warp", q146, Some(q146Sql)),
     QueryDef("q145_imageio_decode", q145, Some(q145Sql)),
     QueryDef("q117_hough_angle", q117, Some(q117Sql)),

@@ -325,7 +325,9 @@ object TextQueries {
     * from the dup subgraph only, converging in O(log diameter)
     * driver-synchronized rounds. The oracle computes the same fixpoint
     * with a recursive CTE (reachability labels → min per node). */
-  private def q78(s: SparkSession, d: String): DataFrame = {
+  /** Shared by q78/q150: symmetric star edges of the LSH candidate
+    * graph (2 edges/doc per band group, never the clique). */
+  private def lshStarEdges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sig = q28(s, d)
     def fold(seed: Long, ms: Seq[String]): Column =
@@ -341,9 +343,13 @@ object TextQueries {
       .filter(col("doc_id") =!= col("root"))
       .select(col("doc_id"), col("root"))
       .distinct()
-    val edges = stars.select(col("doc_id").as("src"), col("root").as("dst"))
+    stars.select(col("doc_id").as("src"), col("root").as("dst"))
       .union(stars.select(col("root").as("src"), col("doc_id").as("dst")))
-    val (labels, _) = graft.operators.ConnectedComponents.minLabel(edges)
+  }
+
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val (labels, _) =
+      graft.operators.ConnectedComponents.minLabel(lshStarEdges(s, d))
     labels.groupBy(col("label").as("canonical_doc"))
       .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
       .filter(col("n_docs") > 1)
@@ -1218,7 +1224,156 @@ object TextQueries {
        |FROM pairs
        |GROUP BY 1""".stripMargin
 
+  /** q149: Gopher/C4-style quality-RULE bundle — the keep/drop decision
+    * a filtering pipeline actually materializes, with per-rule flags
+    * and a reason bitmask so drops are auditable. Every threshold
+    * compares INTEGER cross-products (100·n_stop ≥ 6·n_words, not
+    * stop_ratio ≥ 0.06 in floating point) so rule outcomes can never
+    * flip on a float rounding boundary between engines. The word-stat
+    * shuffle carries (doc, word) counts partial-combined map-side (the
+    * q82 shape); everything else is per-row. Rules (adapted to this
+    * corpus's signal set, thresholds cited Gopher §A1/C4): word count
+    * in [20, 1000]; mean word length in [3, 10]; stopword ratio
+    * ≥ 0.06; top-word share ≤ 0.20; distinct-word ratio ≥ 0.20. */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("words", expr(wordsExpr))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), lit(" "), lit("")))
+          .cast("long").as("nosp"),
+        expr("size(filter(words, x -> x IN ('the','a','and','of','to')))")
+          .cast("long").as("n_stop"))
+    val wordStats = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("maxc"), count(lit(1)).as("n_distinct"))
+    docs.join(wordStats, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_stop").cast("double") / col("n_words"), 6)
+          .as("stop_ratio"),
+        round(col("maxc").cast("double") / col("n_words"), 6)
+          .as("top_share"),
+        (col("n_words") >= 20 && col("n_words") <= 1000).as("r_len"),
+        (col("nosp") >= lit(3) * col("n_words") &&
+          col("nosp") <= lit(10) * col("n_words")).as("r_wordlen"),
+        (lit(100) * col("n_stop") >= lit(6) * col("n_words")).as("r_stop"),
+        (lit(5) * col("maxc") <= col("n_words")).as("r_rep"),
+        (lit(5) * col("n_distinct") >= col("n_words")).as("r_div"))
+      .withColumn("keep",
+        col("r_len") && col("r_wordlen") && col("r_stop") &&
+          col("r_rep") && col("r_div"))
+      .withColumn("fail_mask",
+        when(col("r_len"), 0L).otherwise(1L) +
+          when(col("r_wordlen"), 0L).otherwise(2L) +
+          when(col("r_stop"), 0L).otherwise(4L) +
+          when(col("r_rep"), 0L).otherwise(8L) +
+          when(col("r_div"), 0L).otherwise(16L))
+  }
+
+  private val q149Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len($wordsSqlExpr) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nosp,
+       |    CAST(len(list_filter($wordsSqlExpr,
+       |      x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |ws AS (
+       |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS maxc,
+       |    CAST(count(*) AS BIGINT) AS n_distinct
+       |  FROM (
+       |    SELECT doc_id, w, count(*) AS cnt
+       |    FROM (SELECT doc_id, unnest($wordsSqlExpr) AS w FROM documents)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_words,
+       |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+       |  round(CAST(maxc AS DOUBLE) / n_words, 6) AS top_share,
+       |  (n_words >= 20 AND n_words <= 1000) AS r_len,
+       |  (nosp >= 3 * n_words AND nosp <= 10 * n_words) AS r_wordlen,
+       |  (100 * n_stop >= 6 * n_words) AS r_stop,
+       |  (5 * maxc <= n_words) AS r_rep,
+       |  (5 * n_distinct >= n_words) AS r_div,
+       |  ((n_words >= 20 AND n_words <= 1000)
+       |    AND (nosp >= 3 * n_words AND nosp <= 10 * n_words)
+       |    AND (100 * n_stop >= 6 * n_words)
+       |    AND (5 * maxc <= n_words)
+       |    AND (5 * n_distinct >= n_words)) AS keep,
+       |  (CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 0 ELSE 1 END
+       |   + CASE WHEN nosp >= 3 * n_words AND nosp <= 10 * n_words
+       |       THEN 0 ELSE 2 END
+       |   + CASE WHEN 100 * n_stop >= 6 * n_words THEN 0 ELSE 4 END
+       |   + CASE WHEN 5 * maxc <= n_words THEN 0 ELSE 8 END
+       |   + CASE WHEN 5 * n_distinct >= n_words THEN 0 ELSE 16 END)
+       |    AS fail_mask
+       |FROM base JOIN ws USING (doc_id)""".stripMargin
+
+  /** q150: deduped-corpus MATERIALIZATION summary — the artifact a
+    * dedup pipeline actually ships: every non-canonical member of an
+    * LSH duplicate cluster (q78's components) is dropped, the cluster
+    * minimum survives, and the write is summarized per source. The
+    * drop set is exactly "nodes whose component label ≠ themselves" —
+    * no second clustering pass, no clique materialization; the
+    * anti-join keys on doc_id, so the corpus-side scan shuffles
+    * nothing (broadcast drop list at dup-population size, or a
+    * bucketed join at extreme dup rates). */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val (labels, _) =
+      graft.operators.ConnectedComponents.minLabel(lshStarEdges(s, d))
+    val dropped = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    Tables.documents(s, d)
+      .join(broadcast(dropped.withColumn("is_dup", lit(true))),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("is_dup"), 0L).otherwise(col("n_chars")))
+          .as("kept_chars"))
+  }
+
+  private val q150Sql =
+    s"""WITH RECURSIVE sig AS ($q28Sql),
+       |bandt AS (
+       |  SELECT doc_id, 1 AS bidx,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS bidx,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
+       |  FROM sig),
+       |stars AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(doc_id) OVER (PARTITION BY bidx, band) AS root
+       |  FROM bandt),
+       |edges AS (
+       |  SELECT doc_id AS src, root AS dst FROM stars WHERE doc_id <> root
+       |  UNION ALL
+       |  SELECT root AS src, doc_id AS dst FROM stars WHERE doc_id <> root),
+       |lab AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, lab.label AS label
+       |  FROM lab JOIN edges e ON lab.node = e.src),
+       |final AS (SELECT node, min(label) AS label FROM lab GROUP BY node),
+       |dropped AS (SELECT node AS doc_id FROM final WHERE label <> node)
+       |SELECT d.source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+       |    AS BIGINT) AS kept_chars
+       |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q150_dedup_materialize", q150, Some(q150Sql)),
+    QueryDef("q149_quality_rules", q149, Some(q149Sql)),
     QueryDef("q144_similarity_histogram", q144, Some(q144Sql)),
     QueryDef("q138_oov_rate", q138, Some(q138Sql)),
     QueryDef("q139_length_histogram", q139, Some(q139Sql)),

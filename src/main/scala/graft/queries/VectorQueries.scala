@@ -677,7 +677,46 @@ object VectorQueries {
        |  GROUP BY 1, 2)
        |${adcRankSql(3)}""".stripMargin
 
+  /** q148: IVF-PQ + EXACT re-rank — the full production ANN recipe
+    * (FAISS IVFADC + refine): q130's compressed-domain search nominates
+    * top-3 candidates per query, then ONLY those ≤3×queries rows read
+    * their full-precision embeddings for an exact-cosine re-rank. At
+    * 10⁹+ vectors this is the standard two-stage shape: the corpus scan
+    * runs entirely in the compressed domain (4 bytes of codes/vector),
+    * and full vectors are fetched for a per-query constant number of
+    * finalists. The candidate list is broadcast on BOTH joins, so the
+    * embedding side stays a streamed semi-join probe — no shuffle of
+    * the corpus. The oracle replays q130 verbatim and re-scores in SQL. */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val cands = q130(s, d).select(col("q_id"), col("c_id"), col("adc_dist"))
+    emb
+      .join(broadcast(cands), col("vec_id") === col("c_id"))
+      .select(col("q_id"), col("c_id"), col("adc_dist"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      .join(broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))), "q_id")
+      .select(col("q_id"), col("c_id"), col("adc_dist"),
+        round(expr("float_vector_dot(q_emb, c_emb)") /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_exact"))
+      .withColumn("rerank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_exact").desc, col("c_id").asc)))
+  }
+
+  private val q148Sql =
+    s"""SELECT a.q_id, a.c_id, a.adc_dist,
+       |  round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cos_exact,
+       |  CAST(row_number() OVER (PARTITION BY a.q_id
+       |    ORDER BY round(${cosineSql("q.embedding", "c.embedding")}, 6) DESC,
+       |    a.c_id ASC) AS INT) AS rerank
+       |FROM ($q130Sql) a
+       |JOIN embeddings q ON q.vec_id = a.q_id
+       |JOIN embeddings c ON c.vec_id = a.c_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q148_ivfpq_rerank", q148, Some(q148Sql)),
     QueryDef("q130_ivfpq_search", q130, Some(q130Sql)),
     QueryDef("q127_pq_adc_search", q127, Some(q127Sql)),
     QueryDef("q126_pq_encode", q126, Some(q126Sql)),

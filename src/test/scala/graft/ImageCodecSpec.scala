@@ -103,6 +103,29 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(nLines > 0)
   }
 
+  test("resizeImages: real decode->resize->re-encode, passthrough on junk") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val src = plane(32, 16)((x, y) => ((x * 8 + y * 16) % 256))
+    val png = ImageCodec.encode(src, "png")
+    val payloads = Seq(
+      Multimodal.Payload(1L, "image", "png", png),
+      Multimodal.Payload(2L, "image", "png", Array.fill[Byte](9)(3))).toDS()
+    val out = Multimodal.resizeImages(payloads, 16, 8).collect()
+      .map(r => r.id -> r).toMap
+    val ok = out(1L)
+    assert(ok.srcWidth == 32 && ok.srcHeight == 16)
+    assert(ok.dstWidth == 16 && ok.dstHeight == 8 && ok.scale == 0.5)
+    // the emitted bytes are a REAL png of the resized plane
+    val back = ImageCodec.decode(ok.content).getOrElse(fail("not decodable"))
+    assert(back.w == 16 && back.h == 8)
+    assert(back.px.sameElements(ImageOps.resizeNN(src, 16, 8).px))
+    // junk passes through unchanged, no throw
+    val bad = out(2L)
+    assert(bad.srcWidth == 0 && bad.scale == 0.0 &&
+      bad.content.sameElements(Array.fill[Byte](9)(3)))
+  }
+
   test("ImageIODecoder: real dims + pixel-hash for images, stub fallback elsewhere") {
     val src = plane(20, 10)((x, y) => (x * 12 + y * 7) % 256)
     val png = ImageCodec.encode(src, "png")

@@ -165,6 +165,36 @@ class ImageOpsSpec extends SparkSpec {
     assert(zDeg == 0.0 && zN == 0L)
   }
 
+  test("F18 resizeNN: identity at same size, exact 2x up/down geometry") {
+    val img = ImageOps.Gray(4, 2,
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    assert(ImageOps.resizeNN(img, 4, 2).px.sameElements(img.px))
+    // 2x up: each source pixel becomes a 2x2 block (half-pixel centers)
+    val up = ImageOps.resizeNN(img, 8, 4)
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert(up(x, y) == img(x / 2, y / 2), s"up($x,$y)")
+    // 2x down on the upscaled image returns the original
+    assert(ImageOps.resizeNN(up, 4, 2).px.sameElements(img.px))
+    // 1x1 collapse picks the half-pixel-center source (2,1) -> 70
+    assert(ImageOps.resizeNN(img, 1, 1)(0, 0) == 70)
+  }
+
+  test("F18 resizeBilinear: flat field invariant, midpoint average, clamp") {
+    val flat = ImageOps.Gray(5, 3, Array.fill[Byte](15)(200.toByte))
+    assert(ImageOps.resizeBilinear(flat, 10, 6).px
+      .forall(b => (b & 0xff) == 200))
+    // 2-pixel row upscaled 2x: outer pixels clamp to the edges, inner
+    // pair interpolates at fx=256/1024 and 768/1024 of [0, 100]
+    val two = ImageOps.Gray(2, 1, Array[Byte](0, 100))
+    val r = ImageOps.resizeBilinear(two, 4, 1)
+    assert(r(0, 0) == 0 && r(3, 0) == 100)
+    assert(r(1, 0) == 25 && r(2, 0) == 75, s"${r.px.toList}")
+    // downscale average: [0,255] -> 1 px sits at the midpoint ~128
+    val mid = ImageOps.resizeBilinear(ImageOps.Gray(2, 1,
+      Array[Byte](0, 255.toByte)), 1, 1)
+    assert(math.abs(mid(0, 0) - 128) <= 1, s"${mid(0, 0)}")
+  }
+
   test("F13 rotateNN: 0° is the identity, out-of-frame fills white") {
     val img = ImageOps.Gray(32, 16,
       Array.tabulate(512)(i => ((i * 37) % 256).toByte))

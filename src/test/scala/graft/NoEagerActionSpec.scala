@@ -16,14 +16,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   * every job the constructor might have launched has been counted too —
   * the total must then equal the sentinel count exactly.
   *
-  * q78 is the one declared exception: its connected-components fixpoint
-  * is a driver-coordinated loop (documented in PLANS.md) and launches
-  * jobs at build time by design.
+  * q78 and q150 are the declared exceptions: their connected-components
+  * fixpoint is a driver-coordinated loop (documented in PLANS.md) and
+  * launches jobs at build time by design.
   */
 class NoEagerActionSpec extends SparkSpec {
 
-  test("query construction launches no Spark jobs (q78 exempted)") {
-    val exempt = Set("q78_dup_clusters")
+  test("query construction launches no Spark jobs (q78/q150 exempted)") {
+    val exempt = Set("q78_dup_clusters", "q150_dedup_materialize")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {

@@ -13,7 +13,8 @@ class WinScanSpec extends SparkSpec {
   test("no query plans an unpartitioned window (q11's bounded rank excepted)") {
     val allowed = Set("q11_priority_dequeue")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if name != "q78_dup_clusters") { // iterative build; components gated elsewhere
+         if name != "q78_dup_clusters" &&
+           name != "q150_dedup_materialize") { // iterative builds; gated elsewhere
       val globals = PlanGuards.flatten(
         fn(spark, sf0001).queryExecution.executedPlan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
