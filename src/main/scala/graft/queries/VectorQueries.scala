@@ -715,7 +715,53 @@ object VectorQueries {
        |JOIN embeddings q ON q.vec_id = a.q_id
        |JOIN embeddings c ON c.vec_id = a.c_id""".stripMargin
 
+  /** q151: SEMANTIC dedup (SemDeDup shape, Abbas et al. 2023): docs
+    * whose embeddings sit within a cosine ball are transitively
+    * clustered and only the minimum id per cluster survives. Composes
+    * q62's cell-blocked near-dup pairs (never all-pairs: candidates
+    * share an IVF cell) with the pointer-jump CC operator, then
+    * summarizes the keep/drop decision per cell. At 100 TB the pair
+    * stage is the cell-bucketed join q62 already is, the CC stage runs
+    * on the (small) duplicate population, and the drop list broadcasts
+    * onto the corpus — the embedding table itself never reshuffles. */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val pairs = q62(s, d).select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val (cc, _) = graft.operators.ConnectedComponents.minLabel(edges)
+    val dropped = cc.filter(col("node") =!= col("label"))
+      .select(col("node").as("vec_id"), lit(true).as("is_dup"))
+    Tables.embeddings(s, d)
+      .join(broadcast(dropped), Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
+  }
+
+  private val q151Sql =
+    s"""WITH RECURSIVE pairs AS ($q62Sql),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |lab AS (
+       |  SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+       |  UNION
+       |  SELECT e.dst AS node, lab.lbl AS lbl
+       |  FROM lab JOIN edges e ON lab.node = e.src),
+       |final AS (SELECT node, min(lbl) AS lbl FROM lab GROUP BY node),
+       |dropped AS (SELECT node FROM final WHERE lbl <> node)
+       |SELECT em.label, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept
+       |FROM embeddings em LEFT JOIN dropped dr ON em.vec_id = dr.node
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q151_semantic_dedup", q151, Some(q151Sql)),
     QueryDef("q148_ivfpq_rerank", q148, Some(q148Sql)),
     QueryDef("q130_ivfpq_search", q130, Some(q130Sql)),
     QueryDef("q127_pq_adc_search", q127, Some(q127Sql)),

@@ -23,7 +23,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 class NoEagerActionSpec extends SparkSpec {
 
   test("query construction launches no Spark jobs (q78/q150 exempted)") {
-    val exempt = Set("q78_dup_clusters", "q150_dedup_materialize")
+    val exempt = Set("q78_dup_clusters", "q150_dedup_materialize",
+      "q151_semantic_dedup")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {

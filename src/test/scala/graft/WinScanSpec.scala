@@ -14,7 +14,8 @@ class WinScanSpec extends SparkSpec {
     val allowed = Set("q11_priority_dequeue")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if name != "q78_dup_clusters" &&
-           name != "q150_dedup_materialize") { // iterative builds; gated elsewhere
+           name != "q150_dedup_materialize" &&
+           name != "q151_semantic_dedup") { // iterative builds; gated elsewhere
       val globals = PlanGuards.flatten(
         fn(spark, sf0001).queryExecution.executedPlan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
