@@ -90,6 +90,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected interval bucket explode:\n$p")
   }
 
+  test("q148 re-rank broadcasts the candidates — the corpus never shuffle-joins") {
+    val p = planOf("q148_ivfpq_rerank")
+    // two-stage refine: both the finalist list and the query vectors
+    // ride broadcasts onto the embeddings scan; a SortMergeJoin here
+    // would mean the corpus shuffled for a <=3xqueries-row join
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for re-rank:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"candidates/queries not broadcast:\n$p")
+  }
+
+  test("q149 word stats combine map-side before the (doc, word) exchange") {
+    val p = planOf("q149_quality_rules")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    // the doc-level stats join back by broadcast (tiny vs the corpus)
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+  }
+
   test("NO query plans a CartesianProduct; nested-loop only where intended") {
     // global guard over the whole declared surface: an accidental
     // cross product is the one plan shape that cannot survive 100 TB.
