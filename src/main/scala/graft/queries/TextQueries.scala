@@ -1371,7 +1371,45 @@ object TextQueries {
        |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
        |GROUP BY 1""".stripMargin
 
+  /** q152: BPE-trainer MERGE STEP — the inner loop of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016) as one
+    * relational pass: word frequencies once (the corpus shuffle),
+    * then adjacent-symbol-pair counts weighted by word frequency from
+    * the DISTINCT-word table only — pair work scales with vocabulary
+    * (Heaps' law), not corpus size, which is why real BPE trainers
+    * precompute word counts exactly like this. Top-10 merge candidates
+    * by (count, pair) total order via TakeOrderedAndProject — never a
+    * global-sort window. Repeated pairs inside a word ("aaa" → "aa"
+    * twice) count per occurrence, matching the reference algorithm. */
+  private def q152(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr(wordsExpr)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pr"))
+      .groupBy(col("pr"))
+      .agg(sum(col("f")).as("cnt"), count(lit(1)).as("n_ctx"))
+      .orderBy(col("cnt").desc, col("pr").asc)
+      .limit(10)
+
+  private val q152Sql =
+    s"""WITH wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest($wordsSqlExpr) AS w FROM documents)
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT f, unnest(list_transform(range(1, length(w)),
+       |    i -> substr(w, CAST(i AS INT), 2))) AS pr
+       |  FROM wf WHERE length(w) >= 2)
+       |SELECT pr, CAST(sum(f) AS BIGINT) AS cnt,
+       |  CAST(count(*) AS BIGINT) AS n_ctx
+       |FROM pairs GROUP BY 1
+       |ORDER BY cnt DESC, pr LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q152_bpe_merge_step", q152, Some(q152Sql)),
     QueryDef("q150_dedup_materialize", q150, Some(q150Sql)),
     QueryDef("q149_quality_rules", q149, Some(q149Sql)),
     QueryDef("q144_similarity_histogram", q144, Some(q144Sql)),

@@ -73,6 +73,37 @@ class RocksDbStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("RocksDB checkpoint recovery: session buffer survives a restart") {
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    val base = java.nio.file.Files.createTempDirectory("rocks_ckpt").toString
+    val input = MemoryStream[AudioChunk]
+    def chunk(off: Long, dur: Long) =
+      AudioChunk("s", Array.fill(dur.toInt * 2)(100.toByte), off, dur,
+        isFinal = false)
+    def startQuery() = SessionProcessor.attach(input.toDS(), timeoutMs = 0L)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out").outputMode("append").start()
+    // run 1: 200 ms buffered (below the 320 ms trigger), then stop —
+    // the not-yet-emitted buffer lives only in RocksDB state
+    val q1 = startQuery()
+    try {
+      input.addData(chunk(0, 200)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(rocks.read.parquet(s"$base/out").count() == 0)
+    // run 2: restart from the SAME checkpoint/provider; +200 ms crosses
+    // the trigger only if run 1's buffer was restored from RocksDB
+    val q2 = startQuery()
+    try {
+      input.addData(chunk(200, 200)); q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = rocks.read.parquet(s"$base/out")
+      .as[TranscriptEvent].collect()
+    assert(rows.length == 1 && rows.head.resultOffsetMs == 0L,
+      s"RocksDB state not restored: ${rows.toSeq}")
+  }
+
   test("near-dup band state: redelivery holds ONE slot, matches dedup to 2 bands") {
     implicit val sqlCtx = rocks.sqlContext
     import rocks.implicits._
