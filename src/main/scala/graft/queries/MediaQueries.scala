@@ -1554,7 +1554,61 @@ object MediaQueries {
        |          FROM documents WHERE length(text) >= 1)))""".stripMargin
   }
 
+  /** q153: the REAL Multimodal API under oracle — q44 proves the
+    * mapPartitions plumbing with the stub; this proves the actual
+    * production path: per-doc PNG payloads (real ImageIO encode of the
+    * q88 plane) through [[graft.multimodal.Multimodal.decodeAll]] with
+    * the [[graft.multimodal.Multimodal.ImageIODecoder]] — real decode,
+    * decoded-pixel FNV hash, 8-bin histogram embedding. The oracle
+    * replays the plane synthesis, the FNV fold, and the bin fractions
+    * (exact /512 binary rationals; both engines round half-even at 5
+    * decimals). Container byte length is compression-dependent and
+    * deliberately not an output. */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val mk = udf((text: String) => graft.functions.ImageCodec.encode(
+      graft.functions.ImageOps.Gray(W, H, textPlane(text)), "png"))
+    val payloads = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id").as("id"), lit("image").as("modality"),
+        lit("png").as("format"), mk(col("text")).as("content"))
+      .as[graft.multimodal.Multimodal.Payload](
+        Encoders.product[graft.multimodal.Multimodal.Payload])
+    graft.multimodal.Multimodal
+      .decodeAll(payloads,
+        () => new graft.multimodal.Multimodal.ImageIODecoder)
+      .toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("nFrames").as("n_frames"),
+        col("contentHash").as("content_hash"),
+        array_join(transform(col("embedding"),
+          e => format_number(e.cast("double"), 5)), ",").as("emb_csv"))
+  }
+
+  private val q153Sql =
+    s"""WITH pl AS (
+       |  SELECT doc_id, $planeSql AS p
+       |  FROM (SELECT doc_id, text, length(text) AS nch
+       |        FROM documents WHERE length(text) >= 1))
+       |SELECT doc_id,
+       |  CAST(${W} AS INT) AS width, CAST(${H} AS INT) AS height,
+       |  CAST(1 AS INT) AS n_frames,
+       |  list_reduce(
+       |    list_prepend(CAST(2166136261 AS BIGINT),
+       |      list_transform(p, v -> CAST(v AS BIGINT))),
+       |    (acc, c) -> (xor(acc, c) * 16777619) % 4294967296)
+       |    AS content_hash,
+       |  list_aggregate(
+       |    list_transform(range(0, 8),
+       |      k -> printf('%.5f',
+       |        CAST(CAST(len(list_filter(p, v -> v // 32 = k)) AS FLOAT)
+       |          / CAST(${W * H} AS FLOAT)
+       |          - CAST(0.5 AS FLOAT) AS DOUBLE))),
+       |    'string_agg', ',') AS emb_csv
+       |FROM pl""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q153_imageio_features", q153, Some(q153Sql)),
     QueryDef("q147_resize_probe", q147, Some(q147Sql)),
     QueryDef("q146_deskew_warp", q146, Some(q146Sql)),
     QueryDef("q145_imageio_decode", q145, Some(q145Sql)),
