@@ -70,27 +70,49 @@ object StreamBench {
       .repartition(stageFiles)
       .write.mode("overwrite").parquet(s"$workDir/chunks")
 
-    if (useRocksDb)
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val schema = spark.read.parquet(s"$workDir/chunks").schema
-    val chunks = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(s"$workDir/chunks")
-      .as[AudioChunk](Encoders.product[AudioChunk])
+    // Session conf is shared with the caller: set what the bench needs
+    // (provider + enough progress retention to never truncate the
+    // telemetry this function sums over) and RESTORE both on every
+    // exit path — a leaked provider would silently change state-store
+    // behavior for every later streaming query in the session.
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val RetainKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevProvider = spark.conf.getOption(ProviderKey)
+    val prevRetain = spark.conf.getOption(RetainKey)
+    val (query, wall) =
+      try {
+        if (useRocksDb)
+          spark.conf.set(ProviderKey,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set(RetainKey, math.max(1000, stageFiles * 2).toString)
+        val schema = spark.read.parquet(s"$workDir/chunks").schema
+        val chunks = spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", filesPerTrigger)
+          .parquet(s"$workDir/chunks")
+          .as[AudioChunk](Encoders.product[AudioChunk])
 
-    val t0 = System.nanoTime()
-    val query = SessionProcessor.attach(chunks, timeoutMs = 0L).toDF()
-      .writeStream
-      .queryName("stream_bench_sessionizer")
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .outputMode("append")
-      .format("noop")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    val wall = (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime()
+        val q = SessionProcessor.attach(chunks, timeoutMs = 0L).toDF()
+          .writeStream
+          .queryName("stream_bench_sessionizer")
+          .option("checkpointLocation", s"$workDir/ckpt")
+          .outputMode("append")
+          .format("noop")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (q, (System.nanoTime() - t0) / 1e9)
+      } finally {
+        prevProvider match {
+          case Some(v) => spark.conf.set(ProviderKey, v)
+          case None => spark.conf.unset(ProviderKey)
+        }
+        prevRetain match {
+          case Some(v) => spark.conf.set(RetainKey, v)
+          case None => spark.conf.unset(RetainKey)
+        }
+      }
 
     val progress = query.recentProgress.toSeq
       .filter(_.numInputRows > 0) // AvailableNow appends an empty closer

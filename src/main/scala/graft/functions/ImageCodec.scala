@@ -67,7 +67,14 @@ object ImageCodec {
       val h = img.getHeight
       val out = new Array[Byte](w * h)
       val raster = img.getRaster
-      val singleBand = raster.getNumBands == 1
+      // Raw-sample fast path ONLY for true 8-bit grayscale: an
+      // indexed-COLOR image (palette GIF/BMP/PNG) also has one raster
+      // band, but its samples are palette indices, not intensities —
+      // those must go through getRGB + luma. >8-bit gray likewise
+      // (getSample would truncate to the low byte).
+      val singleBand = raster.getNumBands == 1 &&
+        !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] &&
+        img.getColorModel.getComponentSize(0) <= 8
       var y = 0
       while (y < h) {
         var x = 0

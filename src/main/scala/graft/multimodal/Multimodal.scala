@@ -179,11 +179,15 @@ object Multimodal {
     }
   }
 
-  /** REAL image resize (F18): decode via ImageIO, nearest-neighbor
-    * resize in integer half-pixel-center geometry, re-encode as PNG.
-    * Undecodable payloads pass through with src dims 0×0 and content
-    * untouched (DLQ-style passthrough, never a throw mid-partition).
-    * Same per-partition batching seam as decodeAll. */
+  /** REAL image resize (F18): decode via ImageIO, ASPECT-PRESERVING
+    * fit inside the (dstW, dstH) box — one uniform scale on both axes,
+    * like the reference's fx=fy adjust_dpi resize — via the integer
+    * half-pixel-center NN kernel, re-encode as PNG. The emitted
+    * dstWidth/dstHeight are the ACTUAL output dims (≤ the box), so the
+    * reported `scale` is the scale that was really applied on both
+    * axes. Undecodable payloads pass through with src dims 0×0 and
+    * content untouched (DLQ-style passthrough, never a throw
+    * mid-partition). Same per-partition batching seam as decodeAll. */
   def resizeImages(payloads: Dataset[Payload], dstW: Int, dstH: Int)
       : Dataset[Resized] = {
     implicit val enc = Encoders.product[Resized]
@@ -191,9 +195,11 @@ object Multimodal {
       it.map { p =>
         graft.functions.ImageCodec.decode(p.content) match {
           case Some(g) =>
-            val r = graft.functions.ImageOps.resizeNN(g, dstW, dstH)
             val scale = math.min(dstW.toDouble / g.w, dstH.toDouble / g.h)
-            Resized(p.id, p.modality, g.w, g.h, dstW, dstH,
+            val outW = math.max(1, math.floor(g.w * scale + 0.5).toInt)
+            val outH = math.max(1, math.floor(g.h * scale + 0.5).toInt)
+            val r = graft.functions.ImageOps.resizeNN(g, outW, outH)
+            Resized(p.id, p.modality, g.w, g.h, outW, outH,
               math.round(scale * 1e6) / 1e6,
               graft.functions.ImageCodec.encode(r, "png"))
           case None =>

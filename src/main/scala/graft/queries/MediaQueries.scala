@@ -1409,8 +1409,13 @@ object MediaQueries {
   private def q146(s: SparkSession, d: String): DataFrame = {
     val probe = udf((text: String) => {
       val img = graft.functions.ImageOps.Gray(W, H, textPlane(text))
+      // one Hough pass (the per-doc hot loop) feeds BOTH the reported
+      // skew and the correction — deskew() would re-estimate
       val (skew, _) = graft.functions.ImageOps.houghAngle(img)
-      val (fixed, applied) = graft.functions.ImageOps.deskew(img)
+      val applied = -math.max(-graft.functions.ImageOps.Warp.MaxDeg,
+        math.min(graft.functions.ImageOps.Warp.MaxDeg,
+          math.floor(skew + 0.5).toInt))
+      val fixed = graft.functions.ImageOps.rotateNN(img, applied)
       val nBlack = graft.functions.ImageOps.binarizeFixed(fixed)
         .px.count(_ == 0).toLong
       var cs = 0L

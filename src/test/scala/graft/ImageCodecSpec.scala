@@ -71,6 +71,33 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(dec(3, 1) == luma(0x65, 0x43, 0x21))
   }
 
+  test("indexed-COLOR palettes collapse by luma, never return raw indices") {
+    // a 256-color palette image whose index 0 is pure red: the raster
+    // has ONE band of palette indices — decode must emit luma(255,0,0)
+    // = 76, not the index value 0
+    val cmap = new Array[Int](256)
+    cmap(0) = 0xffff0000 // red
+    cmap(1) = 0xff00ff00 // green
+    for (i <- 2 until 256) cmap(i) = 0xff000000 | (i << 16) | (i << 8) | i
+    val icm = new java.awt.image.IndexColorModel(
+      8, 256, cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(
+      4, 1, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    img.getRaster.setSample(0, 0, 0, 0) // red
+    img.getRaster.setSample(1, 0, 0, 1) // green
+    img.getRaster.setSample(2, 0, 0, 128) // gray 128
+    img.getRaster.setSample(3, 0, 0, 255) // gray 255
+    for (fmt <- Seq("png", "gif", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), fmt)
+      val dec = ImageCodec.decode(bos.toByteArray)
+        .getOrElse(fail(s"$fmt undecodable"))
+      assert(dec(0, 0) == (255 * 299 + 500) / 1000, s"$fmt red -> luma")
+      assert(dec(1, 0) == (255 * 587 + 500) / 1000, s"$fmt green -> luma")
+      assert(dec(2, 0) == 128 && dec(3, 0) == 255, s"$fmt gray entries exact")
+    }
+  }
+
   test("corrupt / truncated / empty / null bytes decode to None, never throw") {
     assert(ImageCodec.decode(null).isEmpty)
     assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)

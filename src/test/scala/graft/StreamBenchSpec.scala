@@ -19,15 +19,11 @@ class StreamBenchSpec extends SparkSpec {
     assert(r.epsSustained > 0 && r.epsWall > 0)
     assert(r.p50Ms > 0 && r.p99Ms >= r.p50Ms)
     assert(r.triggerSumSec <= r.wallSec + 0.001)
-    // the bench opts into the production state-store provider
-    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
-      .contains("RocksDBStateStoreProvider"))
-    // restore whatever the suite session had (other specs use default)
-    before match {
-      case Some(v) => spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset(
-        "spark.sql.streaming.stateStore.providerClass")
-    }
+    // run() opts into the production provider for its own query but
+    // must RESTORE the caller's session conf on exit (leaking it would
+    // silently change every later streaming spec in this JVM)
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass") == before,
+      "StreamBench leaked the state-store provider conf")
   }
 }
