@@ -1408,7 +1408,46 @@ object TextQueries {
        |FROM pairs GROUP BY 1
        |ORDER BY cnt DESC, pr LIMIT 10""".stripMargin
 
+  /** q154: overlapping token-window CHUNKING — the doc→chunk explode a
+    * RAG index or a pretraining pipeline runs before embedding/packing:
+    * 32-token windows on a 24-token stride (8-token overlap), every
+    * start position < n emitted, chunk ids stable (doc_id, k). Pure
+    * per-row explode — no shuffle at all; chunk volume is the only
+    * cost and it is exactly (Σ ⌈n/stride⌉) rows at any corpus size.
+    * Distinct from q76 (bin packing) and q109 (passage dedup): this is
+    * the boundary-DEFINING step those consume. */
+  private def q154(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", expr(wordsExpr))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("n"),
+        explode(expr(
+          """transform(sequence(0, (n + 23) div 24 - 1),
+            |  k -> struct(k AS idx, slice(toks, k * 24 + 1, 32) AS ch))"""
+            .stripMargin)).as("c"))
+      .select(col("doc_id"),
+        col("c.idx").cast("long").as("chunk_idx"),
+        (col("c.idx") * 24).cast("long").as("start_tok"),
+        size(col("c.ch")).cast("long").as("n_toks"),
+        array_join(col("c.ch"), " ").as("chunk_text"))
+
+  private val q154Sql =
+    s"""SELECT doc_id,
+       |  CAST(k AS BIGINT) AS chunk_idx,
+       |  CAST(k * 24 AS BIGINT) AS start_tok,
+       |  CAST(len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS BIGINT)
+       |    AS n_toks,
+       |  array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ')
+       |    AS chunk_text
+       |FROM (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, (len(toks) + 23) // 24)) AS k
+       |  FROM (SELECT doc_id, $wordsSqlExpr AS toks FROM documents)
+       |  WHERE len(toks) >= 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q154_rag_chunks", q154, Some(q154Sql)),
     QueryDef("q152_bpe_merge_step", q152, Some(q152Sql)),
     QueryDef("q150_dedup_materialize", q150, Some(q150Sql)),
     QueryDef("q149_quality_rules", q149, Some(q149Sql)),
