@@ -45,8 +45,24 @@ object ImageCodec {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    if (!ImageIO.write(buf, format, bos))
+    val writers = ImageIO.getImageWritersByFormatName(format)
+    if (!writers.hasNext)
       throw new IllegalArgumentException(s"no JDK writer for format: $format")
+    val writer = writers.next()
+    try {
+      // The JDK GIF writer interlaces by DEFAULT, and the JDK reader
+      // de-interlaces small heights (<8 rows) incorrectly — rows come
+      // back permuted (found by PixelKernelFuzzSpec at 28×4). Force
+      // sequential row order; identical for png/bmp, corrective for gif.
+      val param = writer.getDefaultWriteParam
+      if (param.canWriteProgressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(buf, null, null), param)
+      } finally ios.close()
+    } finally writer.dispose()
     bos.toByteArray
   }
 
