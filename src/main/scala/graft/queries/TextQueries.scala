@@ -1446,7 +1446,101 @@ object TextQueries {
        |  FROM (SELECT doc_id, $wordsSqlExpr AS toks FROM documents)
        |  WHERE len(toks) >= 1)""".stripMargin
 
+  /** q155: MEASURED banding recall vs exact ground truth — the answer
+    * to q31's structural watch item (its 8×1 banding misses ~17% of
+    * pairs at J=0.2 on BOTH engines, so its own oracle can never catch
+    * a recall regression). This query builds a banding-INDEPENDENT
+    * truth: exact pairwise trigram Jaccard over every within-source
+    * pair (source-blocking bounds the quadratic; at real scale this
+    * runs on a deterministic sample — q80's sampled-ground-truth
+    * pattern), then reports per-PERCENT-band how many true pairs the
+    * 8-permutation min-hash banding actually detects. The measured
+    * recall curve is a PINNED oracle output — if the banding's
+    * detection predicate ever regresses, these counts change and
+    * parity fails. On this corpus the curve shows the structural
+    * story directly: ~100% at the J≈0.97 true duplicate, 1−(1−J)⁸ ≈
+    * 8-27% on the 1-4% noise floor — the blind spot, measured. */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.SortedLongIntersectCount.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    val tri = Tables.documents(s, d)
+      .withColumn("w", expr(wordsExpr))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("source"),
+        expr("opt_barrier(" +
+          "array_sort(array_distinct(transform(" +
+          "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])), " +
+          "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)))))")
+          .as("tri"))
+      .withColumn("nt", size(col("tri")).cast("long"))
+      .withColumn("ms",
+        expr(s"opt_barrier(${perms.map { case (a, b) =>
+          s"array_min(transform(tri, h -> (h * ${a}L + ${b}L) % $P))"
+        }.mkString("array(", ", ", ")")})"))
+    val a = tri.select(col("source"), col("doc_id").as("doc_a"),
+      col("tri").as("ta"), col("nt").as("na"), col("ms").as("msa"))
+    val b = tri.select(col("source"), col("doc_id").as("doc_b"),
+      col("tri").as("tb"), col("nt").as("nb"), col("ms").as("msb"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", expr("opt_barrier(sorted_long_intersect_count(ta, tb))"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("inter") >= 1)
+      .withColumn("found",
+        expr("exists(zip_with(msa, msb, (x, y) -> x = y), v -> v)"))
+      // percent band floor(100*J) from one double division of the same
+      // integers on both engines — bit-identical, no boundary flips
+      .withColumn("pct_band",
+        floor(lit(100) * col("inter") /
+          (col("na") + col("nb") - col("inter"))).cast("long"))
+      .filter(col("pct_band") >= 1)
+      .groupBy(col("pct_band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall_pct",
+        round(lit(100.0) * col("n_found") / col("n_true"), 2))
+  }
+
+  private val q155Sql = {
+    val mins = perms.map { case (a, b) =>
+      s"list_min(list_transform(tri, h -> (h * $a + $b) % $P))"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH tri0 AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(
+       |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+       |      t -> CAST(('0x' || substr(md5(t),1,8)) AS BIGINT))) AS tri
+       |  FROM (SELECT doc_id, source, $wordsSqlExpr AS w FROM documents)
+       |  WHERE len(w) >= 3),
+       |sig AS (
+       |  SELECT doc_id, source, tri,
+       |    CAST(len(tri) AS BIGINT) AS nt,
+       |    $mins AS ms
+       |  FROM tri0),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.tri, b.tri)) AS BIGINT) AS inter,
+       |    a.nt AS na, b.nt AS nb,
+       |    len(list_filter(range(1, 9),
+       |      i -> a.ms[i] = b.ms[i])) > 0 AS found
+       |  FROM sig a JOIN sig b
+       |    ON a.source = b.source AND a.doc_id < b.doc_id)
+       |SELECT pct_band,
+       |  count(*) AS n_true,
+       |  CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |  round(100.0 * sum(CASE WHEN found THEN 1 ELSE 0 END) / count(*), 2)
+       |    AS recall_pct
+       |FROM (
+       |  SELECT *,
+       |    CAST(floor(100.0 * inter / (na + nb - inter)) AS BIGINT) AS pct_band
+       |  FROM pairs WHERE inter >= 1)
+       |WHERE pct_band >= 1
+       |GROUP BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q155_banding_recall", q155, Some(q155Sql)),
     QueryDef("q154_rag_chunks", q154, Some(q154Sql)),
     QueryDef("q152_bpe_merge_step", q152, Some(q152Sql)),
     QueryDef("q150_dedup_materialize", q150, Some(q150Sql)),
