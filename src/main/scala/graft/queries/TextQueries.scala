@@ -1539,7 +1539,113 @@ object TextQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** q156: PII REDACTION — the scrub pass a training-data pipeline
+    * runs before anything ships: emails and phone numbers replaced
+    * with typed mask tokens, per-doc hit counts for audit. The q116
+    * synthesis-oracle pattern: deterministic PII spans are planted
+    * into each doc (built from doc_id, so the oracle knows them
+    * exactly), the REAL Spark regexes redact, and the oracle
+    * constructs the expected redacted string directly — an over- or
+    * under-match of even one character changes the md5 and fails
+    * parity. Pure per-row projection: zero shuffle, scales as a scan. */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+\\d{1,2}-555-\\d{4}"
+    Tables.documents(s, d)
+      .withColumn("planted",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        regexp_count(col("planted"), lit(emailRe)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("planted"), lit(phoneRe)).cast("long")
+          .as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("planted"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("redacted_fp"),
+        length(regexp_replace(regexp_replace(col("planted"), emailRe,
+          "<EMAIL>"), phoneRe, "<PHONE>")).cast("long").as("n_chars_red"))
+  }
+
+  private val q156Sql =
+    """SELECT doc_id,
+      |  CAST(1 AS BIGINT) AS n_emails,
+      |  CAST(1 AS BIGINT) AS n_phones,
+      |  md5(text || ' contact <EMAIL> or <PHONE>') AS redacted_fp,
+      |  CAST(length(text || ' contact <EMAIL> or <PHONE>') AS BIGINT)
+      |    AS n_chars_red
+      |FROM documents""".stripMargin
+
+  /** q157: the CAPSTONE corpus-build composition — what actually ships
+    * after the whole pipeline runs: the q149 quality gate, then the
+    * q150 global near-dup drop (non-canonical LSH cluster members),
+    * summarized per source as raw → quality-passing → final doc and
+    * char counts. One corpus scan feeds the quality flags (word-stat
+    * shuffle partial-combined), the dup labels come from the
+    * pointer-jump CC over star edges, and both verdict sets join back
+    * by broadcast — the documents table itself is never reshuffled.
+    * The oracle composes the q149 and q150 CTE chains verbatim. */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val keepFlags = q149(s, d).select(col("doc_id"), col("keep"))
+    val (labels, _) =
+      graft.operators.ConnectedComponents.minLabel(lshStarEdges(s, d))
+    val dropped = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(true).as("is_dup"))
+    Tables.documents(s, d)
+      .join(keepFlags, "doc_id")
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .withColumn("ships",
+        col("keep") && !coalesce(col("is_dup"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("ships"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("ships"), col("n_chars")).otherwise(0L))
+          .as("chars_final"))
+  }
+
+  private val q157Sql =
+    s"""WITH RECURSIVE sig AS ($q28Sql),
+       |bandt AS (
+       |  SELECT doc_id, 1 AS bidx,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS bidx,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
+       |  FROM sig),
+       |stars AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(doc_id) OVER (PARTITION BY bidx, band) AS root
+       |  FROM bandt),
+       |edges AS (
+       |  SELECT doc_id AS src, root AS dst FROM stars WHERE doc_id <> root
+       |  UNION ALL
+       |  SELECT root AS src, doc_id AS dst FROM stars WHERE doc_id <> root),
+       |lab AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, lab.label AS label
+       |  FROM lab JOIN edges e ON lab.node = e.src),
+       |cc AS (SELECT node, min(label) AS label FROM lab GROUP BY node),
+       |dropped AS (SELECT node AS doc_id FROM cc WHERE label <> node),
+       |qual AS ($q149Sql)
+       |SELECT d.source,
+       |  count(*) AS n_raw,
+       |  CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quality,
+       |  CAST(sum(CASE WHEN q.keep AND dr.doc_id IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_final,
+       |  CAST(sum(CASE WHEN q.keep AND dr.doc_id IS NULL THEN d.n_chars
+       |    ELSE 0 END) AS BIGINT) AS chars_final
+       |FROM documents d
+       |JOIN qual q ON q.doc_id = d.doc_id
+       |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q157_corpus_build", q157, Some(q157Sql)),
+    QueryDef("q156_pii_redaction", q156, Some(q156Sql)),
     QueryDef("q155_banding_recall", q155, Some(q155Sql)),
     QueryDef("q154_rag_chunks", q154, Some(q154Sql)),
     QueryDef("q152_bpe_merge_step", q152, Some(q152Sql)),

@@ -16,15 +16,16 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   * every job the constructor might have launched has been counted too —
   * the total must then equal the sentinel count exactly.
   *
-  * q78, q150, and q151 are the declared exceptions: their
-  * connected-components fixpoint is a driver-coordinated loop
-  * (documented in PLANS.md) and launches jobs at build time by design.
+  * The CC-fixpoint queries (q78/q150/q151/q157) are the declared
+  * exceptions: their connected-components fixpoint is a
+  * driver-coordinated loop (documented in PLANS.md) and launches jobs
+  * at build time by design.
   */
 class NoEagerActionSpec extends SparkSpec {
 
-  test("query construction launches no Spark jobs (q78/q150/q151 exempted)") {
+  test("query construction launches no Spark jobs (CC-fixpoint queries exempted)") {
     val exempt = Set("q78_dup_clusters", "q150_dedup_materialize",
-      "q151_semantic_dedup")
+      "q151_semantic_dedup", "q157_corpus_build")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {

@@ -15,7 +15,8 @@ class WinScanSpec extends SparkSpec {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if name != "q78_dup_clusters" &&
            name != "q150_dedup_materialize" &&
-           name != "q151_semantic_dedup") { // iterative builds; gated elsewhere
+           name != "q151_semantic_dedup" &&
+           name != "q157_corpus_build") { // iterative builds; gated elsewhere
       val globals = PlanGuards.flatten(
         fn(spark, sf0001).queryExecution.executedPlan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
