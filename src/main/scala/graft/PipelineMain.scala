@@ -16,14 +16,17 @@ import graft.streaming.{EnvelopeValidation, QueueRouter, ResultStore, SessionPro
   *     │    (X3/X4): results → keyed result store (K1), retries
   *     │    demoted+backoff, exhausted → dead letters (K3), malformed
   *     │    → rejected (no-retry nack)
-  *     └─ session path: AudioChunk stream → flatMapGroupsWithState
-  *          sessionizer (W1-W8) → transcript events (K4)
+  *     ├─ session path: AudioChunk stream → flatMapGroupsWithState
+  *     │    sessionizer (W1-W8) → transcript events (K4)
+  *     └─ correlation path: request↔result watermarked range join
+  *          (J1 streaming, RequestResultJoin) — results landing past
+  *          the 30 s poll window never correlate (K2 timeout)
   *
-  * Two streaming queries over the same source — the queue semantics
-  * run in `foreachBatch` (sink fan-out), the stateful sessionizer as
-  * its own append-mode query with a checkpoint. Both use AvailableNow
-  * so the run is bounded and replayable; on a cluster the same code
-  * runs unbounded with ProcessingTime triggers.
+  * Three streaming queries over the same source — the queue semantics
+  * run in `foreachBatch` (sink fan-out), the stateful sessionizer and
+  * the correlator as their own append-mode queries with checkpoints.
+  * All use AvailableNow so the run is bounded and replayable; on a
+  * cluster the same code runs unbounded with ProcessingTime triggers.
   *
   * Usage: runMain graft.PipelineMain [sfDir] [outDir]
   */
@@ -31,7 +34,7 @@ object PipelineMain {
 
   final case class Summary(events: Long, accepted: Long, rejected: Long,
       results: Long, retries: Long, deadLetters: Long, transcripts: Long,
-      sessions: Long)
+      sessions: Long, correlated: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Summary = {
     import spark.implicits._
@@ -113,8 +116,40 @@ object PipelineMain {
       .option("path", s"$outDir/transcripts")
       .start()
 
+    // ---- correlation path: request↔result poll-timeout join (J1
+    // streaming form, RequestResultJoin): every event doubles as a
+    // request at ts and — for the succeeding slice — a result a few
+    // seconds later; the watermarked range join emits only pairs
+    // whose result lands inside the 30 s poll window. 3 % of results
+    // are delayed past the window and must NOT correlate.
+    import graft.streaming.RequestResultJoin
+    val reqs = stream
+      .select(concat(lit("job_"), col("event_id")).as("jobId"),
+        expr("ts div 1000000").as("tsMs"))
+      .as[RequestResultJoin.Request](
+        org.apache.spark.sql.Encoders.product[RequestResultJoin.Request])
+    val ress = stream
+      .filter(col("event_id") % 7 =!= 0) // failures never produce results
+      .select(concat(lit("job_"), col("event_id")).as("jobId"),
+        (expr("ts div 1000000") +
+          when(col("event_id") % 31 === 0, 45000L) // past the window
+            .otherwise(lit(2000L) + col("event_id") % 5000)).as("tsMs"),
+        coalesce(col("event_type"), lit("")).as("payload"))
+      .as[RequestResultJoin.Result](
+        org.apache.spark.sql.Encoders.product[RequestResultJoin.Result])
+    val q3 = RequestResultJoin.attach(reqs, ress)
+      .writeStream
+      .queryName("correlator")
+      .option("checkpointLocation", s"$outDir/ckpt_corr")
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$outDir/correlated")
+      .start()
+
     q1.awaitTermination()
     q2.awaitTermination()
+    q3.awaitTermination()
     // Prometheus-format metrics snapshot (K6/X7): per-stage row counters,
     // action latency histograms, streaming progress gauges
     java.nio.file.Files.writeString(
@@ -133,7 +168,8 @@ object PipelineMain {
       retries = cnt("retries"),
       deadLetters = cnt("dead_letters"),
       transcripts = transcripts.count(),
-      sessions = transcripts.select("sessionId").distinct().count())
+      sessions = transcripts.select("sessionId").distinct().count(),
+      correlated = cnt("correlated"))
   }
 
   /** Static per-user min event time (the session offset base) — read
@@ -159,7 +195,8 @@ object PipelineMain {
     println(s"""{"events":${s.events},"accepted":${s.accepted},""" +
       s""""rejected":${s.rejected},"results":${s.results},""" +
       s""""retries":${s.retries},"dead_letters":${s.deadLetters},""" +
-      s""""transcripts":${s.transcripts},"sessions":${s.sessions}}""")
+      s""""transcripts":${s.transcripts},"sessions":${s.sessions},""" +
+      s""""correlated":${s.correlated}}""")
     spark.stop()
   }
 }

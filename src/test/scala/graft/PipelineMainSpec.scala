@@ -19,6 +19,21 @@ class PipelineMainSpec extends SparkSpec {
     assert(s.deadLetters > 0, s"some failures should dead-letter: $s")
     assert(s.transcripts > 0 && s.sessions > 0, s"sessionizer emitted: $s")
 
+    // correlation path: results exist for the 6/7 succeeding slice and
+    // the %31 slice lands past the 30 s poll window — so correlated is
+    // strictly between "most" and "all", and each jobId pairs at most
+    // once (unique event ids)
+    assert(s.correlated > (s.events * 7) / 10,
+      s"correlator must match most requests: $s")
+    assert(s.correlated < s.events,
+      s"timed-out and failed jobs must not correlate: $s")
+    val corr = spark.read.parquet(s"$out/correlated")
+    assert(corr.select("job_id").distinct().count() == s.correlated,
+      "a job must correlate at most once")
+    assert(corr.filter(org.apache.spark.sql.functions.col("latency_ms")
+      .between(0, 30000)).count() == s.correlated,
+      "every correlated latency sits inside the poll window")
+
     // retried envelopes were demoted and got a backoff
     val retries = spark.read.parquet(s"$out/retries")
     assert(retries.filter(org.apache.spark.sql.functions.col("backoff_s")
