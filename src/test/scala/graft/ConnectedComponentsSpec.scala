@@ -52,6 +52,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(rounds >= 1 && rounds <= 8)
   }
 
+  test("degenerate inputs: empty edge list and self-loops are total") {
+    import spark.implicits._
+    // empty graph → empty labels, terminates
+    val (empty, emptyRounds) = ConnectedComponents.minLabel(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(empty.count() == 0 && emptyRounds >= 1)
+    // self-loops only: every node is its own singleton component
+    val loops = Seq((5L, 5L), (9L, 9L)).toDF("src", "dst")
+    val (labels, _) = ConnectedComponents.minLabel(loops)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 9L -> 9L))
+  }
+
   test("isolated pairs converge in the minimum rounds (1 improve + 1 confirm)") {
     val pairs = Seq.tabulate(10)(i => (2L * i, 2L * i + 1))
     val (labels, rounds) = ConnectedComponents.minLabel(sym(pairs))

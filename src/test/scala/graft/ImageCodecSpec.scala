@@ -27,6 +27,14 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("tiff: 8-bit gray round trip is lossless too (5th JDK container)") {
+    val bytes = ImageCodec.encode(fullRange, "tiff")
+    assert(ImageCodec.sniffFormat(bytes) == "tiff")
+    val dec = ImageCodec.decode(bytes).getOrElse(fail("tiff undecodable"))
+    assert(dec.w == 32 && dec.h == 16)
+    assert(dec.px.sameElements(fullRange.px), "tiff not lossless")
+  }
+
   test("magic-byte sniff identifies each container") {
     assert(ImageCodec.sniffFormat(ImageCodec.encode(fullRange, "png")) == "png")
     assert(ImageCodec.sniffFormat(ImageCodec.encode(fullRange, "bmp")) == "bmp")
