@@ -73,6 +73,38 @@ class RocksDbStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("event-time sessionizer: watermark timeout finalizes under RocksDB") {
+    implicit val sqlCtx = rocks.sqlContext
+    import rocks.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val input = MemoryStream[AudioChunk]
+    val withTime = input.toDS()
+      .withColumn("event_time",
+        timestamp_millis(col("offsetMs") + col("durationMs")))
+      .withWatermark("event_time", "0 seconds")
+      .as[AudioChunk]
+    val q = SessionProcessor.attachEventTime(withTime,
+        graft.streaming.SessionLogic.Config(), idleGapMs = 10000L)
+      .writeStream.format("memory").queryName("rocks_et")
+      .outputMode("append").start()
+    try {
+      def chunk(sid: String, off: Long, dur: Long) =
+        AudioChunk(sid, Array.fill(dur.toInt * 2)(100.toByte), off, dur,
+          isFinal = false)
+      input.addData(chunk("a", 0, 200)) // buffers, below every trigger
+      q.processAllAvailable()
+      assert(rocks.table("rocks_et").count() == 0)
+      input.addData(chunk("b", 60000, 200)) // watermark jumps past a's gap
+      q.processAllAvailable()
+      input.addData(chunk("b", 61000, 100)) // timeout fires next batch
+      q.processAllAvailable()
+      val aOut = rocks.table("rocks_et").as[TranscriptEvent].collect()
+        .filter(_.sessionId == "a")
+      assert(aOut.length == 1 && aOut.head.eventType == "END_OF_UTTERANCE",
+        s"event-time finalization under RocksDB: ${aOut.toSeq}")
+    } finally q.stop()
+  }
+
   test("RocksDB checkpoint recovery: session buffer survives a restart") {
     implicit val sqlCtx = rocks.sqlContext
     import rocks.implicits._
