@@ -22,6 +22,107 @@ object ImageOps {
       if ((b & 0xff) > threshold) 255.toByte else 0.toByte
     })
 
+  /** F16 DEFAULT path: 11-tap Gaussian kernel, σ = 2.0 (OpenCV's
+    * derived sigma for ksize 11: 0.3·((11−1)/2 − 1) + 0.8), quantized
+    * to 1/1024ths like the trig tables — round(1024·exp(−i²/8)) for
+    * i ∈ [−5, 5]. Pinned as integer literals so the DuckDB oracle
+    * embeds the identical weights. */
+  val Gauss11: Array[Int] =
+    Array(45, 139, 332, 621, 904, 1024, 904, 621, 332, 139, 45)
+  val Gauss11Sum: Long = Gauss11.map(_.toLong).sum // 5106
+  /** 2-D normalizer for the separable kernel: (Σw)². */
+  val Gauss11Norm2: Long = Gauss11Sum * Gauss11Sum
+
+  /** F16 DEFAULT: adaptive-Gaussian binarization —
+    * `cv2.adaptiveThreshold(img, 255, ADAPTIVE_THRESH_GAUSSIAN_C,
+    * THRESH_BINARY, 11, 2)` semantics (`image_processor.py:217-222`,
+    * the reference's default `method='adaptive'`): per-pixel threshold
+    * is the Gaussian-weighted 11×11 neighborhood mean minus C, border
+    * replicated (BORDER_REPLICATE), out = 255 iff src > T. All
+    * arithmetic stays integral: the separable weighted sums are exact
+    * longs and the compare is cross-multiplied —
+    * `(px + C) · (Σw)² > Σ_xy w·px` — so no division ever happens and
+    * any engine with 64-bit integers replays it bit-for-bit. */
+  def binarizeAdaptiveGaussian(img: Gray, c: Int = 2): Gray = {
+    val r = Gauss11.length / 2
+    // horizontal pass: h(x,y) = Σ_dx w[dx+r] · px(clamp(x+dx), y)
+    val hp = new Array[Long](img.px.length)
+    var y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        var s = 0L
+        var dx = -r
+        while (dx <= r) {
+          val xx = math.max(0, math.min(img.w - 1, x + dx))
+          s += Gauss11(dx + r) * img(xx, y).toLong
+          dx += 1
+        }
+        hp(y * img.w + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Byte](img.px.length)
+    y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        var s = 0L
+        var dy = -r
+        while (dy <= r) {
+          val yy = math.max(0, math.min(img.h - 1, y + dy))
+          s += Gauss11(dy + r) * hp(yy * img.w + x)
+          dy += 1
+        }
+        val px = img(x, y)
+        out(y * img.w + x) =
+          if ((px + c).toLong * Gauss11Norm2 > s) 255.toByte else 0.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Gray(img.w, img.h, out)
+  }
+
+  /** F16 second path: Otsu's threshold (`image_processor.py:223-226`,
+    * `cv2.threshold(..., THRESH_BINARY + THRESH_OTSU)`): the t ∈
+    * [0, 254] maximizing between-class variance
+    * σ²(t) = (sum0·w1 − sum1·w0)² / (w0·w1) over the 256-bin
+    * histogram. The numerator A = sum0·w1 − sum1·w0 is an exact long
+    * (|A| ≤ 255·n², within double's exact-integer range for any
+    * realistic plane), and the score is the fixed op sequence
+    * `(double)A · (double)A / (double)(w0·w1)` — each step correctly
+    * rounded under IEEE-754, so any engine replaying the same sequence
+    * produces bit-identical scores and the same argmax. First maximum
+    * wins; a constant plane (no valid split)
+    * thresholds at its own value, mapping everything to 0. */
+  def otsuThreshold(img: Gray): Int = {
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < img.px.length) { hist(img.px(i) & 0xff) += 1; i += 1 }
+    val n = img.px.length.toLong
+    var total = 0L
+    i = 0
+    while (i < 256) { total += i * hist(i); i += 1 }
+    var w0 = 0L; var sum0 = 0L
+    var bestT = -1; var bestScore = -1.0
+    var t = 0
+    while (t < 255) {
+      w0 += hist(t); sum0 += t.toLong * hist(t)
+      val w1 = n - w0
+      if (w0 > 0 && w1 > 0) {
+        val a = sum0 * w1 - (total - sum0) * w0
+        val score = a.toDouble * a.toDouble / (w0 * w1).toDouble
+        if (score > bestScore) { bestScore = score; bestT = t }
+      }
+      t += 1
+    }
+    if (bestT < 0) img.px(0) & 0xff else bestT
+  }
+
+  def binarizeOtsu(img: Gray): Gray = binarizeFixed(img, otsuThreshold(img))
+
   /** F13 (surrogate): rotate by quadrant — the deterministic core of
     * deskew/auto-rotate (the Hough/minAreaRect angle estimation stays
     * behind the seam; quadrant rotation is what EXIF auto-rotate needs,

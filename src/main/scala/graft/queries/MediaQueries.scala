@@ -1151,6 +1151,124 @@ object MediaQueries {
        |                        FROM documents WHERE length(text) >= 1))))))))))""".stripMargin
   }
 
+  /** q158 plane: unlike the two-valued q88 plane, every pixel is a full
+    * 0..255 level — v[i] = (cp[(i·7) mod nch] · (i+3)) mod 256 — so the
+    * Otsu histogram has real mass across bins and the adaptive-Gaussian
+    * local mean varies per pixel. Code-point indexed like [[textPlane]]. */
+  private def textPlaneGrad(text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val n = math.max(1, cps.length)
+    Array.tabulate(W * H) { i =>
+      val c = if (cps.isEmpty) 0 else cps((i * 7) % n)
+      ((c * (i + 3)) % 256).toByte
+    }
+  }
+
+  private val gradPlaneSql =
+    s"""[(ascii(substr(text, ((i * 7) % nch) + 1, 1)) * (i + 3)) % 256
+       | for i in range(0, ${W * H})]""".stripMargin
+
+  /** q158: F16 DEFAULT-path probe (adaptive-Gaussian + Otsu binarize,
+    * `image_processor.py:217-231`): the multi-level plane through the
+    * REAL ImageOps.binarizeAdaptiveGaussian (σ=2.0 11-tap kernel in
+    * 1/1024 fixed point, border-replicate, cross-multiplied compare
+    * `(px+C)·(Σw)² > Σw·px` — division-free) and binarizeOtsu
+    * (between-class-variance argmax over the 256-bin histogram, first
+    * max wins). The oracle replays the separable integer convolution
+    * with the identical pinned kernel literals and the Otsu score as
+    * the same `(double)A·(double)A/(double)(w0·w1)` op sequence, so
+    * both engines agree bit-for-bit on thresholds and planes. */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val io = graft.functions.ImageOps
+      val img = io.Gray(W, H, textPlaneGrad(text))
+      def checksum(g: graft.functions.ImageOps.Gray): Long = {
+        var s = 0L
+        var i = 0
+        while (i < g.px.length) { s += (i + 1).toLong * (g.px(i) & 0xff); i += 1 }
+        s
+      }
+      val ad = io.binarizeAdaptiveGaussian(img, c = 2)
+      val t = io.otsuThreshold(img)
+      (checksum(ad), ad.px.count(_ == -1).toLong, t.toLong,
+        checksum(io.binarizeOtsu(img)))
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(col("doc_id"), col("t._1").as("c_adapt"),
+        col("t._2").as("n_white_adapt"), col("t._3").as("t_otsu"),
+        col("t._4").as("c_otsu"))
+  }
+
+  private val q158Sql = {
+    val io = graft.functions.ImageOps
+    val k = io.Gauss11
+    val r = k.length / 2
+    val n = W * H
+    val (x, y) = (xOf("i"), yOf("i"))
+    // separable Gaussian, border-replicate; horizontal sums fit INT32
+    // (≤ 255·Σw = 1.3M), vertical sums need BIGINT (≤ 255·(Σw)² = 6.6e9)
+    val hTerms = (for (dx <- -r to r) yield
+      s"${k(dx + r)} * p[$y * $W + least(${W - 1}, greatest(0, $x + $dx)) + 1]")
+      .mkString(" + ")
+    val vTerms = (for (dy <- -r to r) yield
+      s"CAST(${k(dy + r)} AS BIGINT) * " +
+        s"hp[least(${H - 1}, greatest(0, $y + $dy)) * $W + $x + 1]")
+      .mkString(" + ")
+    val w0 = "w0s[t + 1]"
+    val sum0 = "sum0s[t + 1]"
+    val aExpr = s"($sum0 * ($n - $w0) - (total - $sum0) * $w0)"
+    s"""SELECT doc_id,
+       |  ${checksumSql("ad")} AS c_adapt,
+       |  CAST(len(list_filter(ad, v -> v = 255)) AS BIGINT) AS n_white_adapt,
+       |  CAST(t_otsu AS BIGINT) AS t_otsu,
+       |  ${checksumSql("ob")} AS c_otsu
+       |FROM (
+       |  SELECT doc_id, ad, t_otsu,
+       |    list_transform(p, v -> CASE WHEN v > t_otsu THEN 255 ELSE 0 END) AS ob
+       |  FROM (
+       |    SELECT doc_id, p, ad,
+       |      CASE WHEN list_max(scores) < 0 THEN p[1]
+       |           ELSE list_position(scores, list_max(scores)) - 1 END AS t_otsu
+       |    FROM (
+       |      SELECT doc_id, p, ad,
+       |        list_transform(range(0, 255), t ->
+       |          CASE WHEN $w0 > 0 AND $n - $w0 > 0
+       |            THEN CAST($aExpr AS DOUBLE) * CAST($aExpr AS DOUBLE)
+       |                   / CAST($w0 * ($n - $w0) AS DOUBLE)
+       |            ELSE -1.0 END) AS scores
+       |      FROM (
+       |        SELECT doc_id, p, ad,
+       |          list_transform(range(0, 255), t ->
+       |            list_reduce(hist[1 : t + 1], (a, b) -> a + b)) AS w0s,
+       |          list_transform(range(0, 255), t ->
+       |            list_reduce(list_transform(range(0, t + 1),
+       |              v -> v * hist[v + 1]), (a, b) -> a + b)) AS sum0s,
+       |          list_reduce(list_transform(range(0, 256),
+       |            v -> v * hist[v + 1]), (a, b) -> a + b) AS total
+       |        FROM (
+       |          SELECT doc_id, p, ad,
+       |            list_transform(range(0, 256),
+       |              v -> CAST(len(list_filter(p, q -> q = v)) AS BIGINT)) AS hist
+       |          FROM (
+       |            SELECT doc_id, p,
+       |              list_transform(range(0, $n), i ->
+       |                CASE WHEN CAST(p[i + 1] + 2 AS BIGINT) * ${io.Gauss11Norm2}
+       |                          > vp[i + 1]
+       |                     THEN 255 ELSE 0 END) AS ad
+       |            FROM (
+       |              SELECT doc_id, p,
+       |                list_transform(range(0, $n), i -> $vTerms) AS vp
+       |              FROM (
+       |                SELECT doc_id, p,
+       |                  list_transform(range(0, $n), i -> $hTerms) AS hp
+       |                FROM (
+       |                  SELECT doc_id, $gradPlaneSql AS p
+       |                  FROM (SELECT doc_id, text, length(text) AS nch
+       |                        FROM documents WHERE length(text) >= 1))))))))))""".stripMargin
+  }
+
   /** q114: tempo + beat probe (F10 tail, the last feature of the
     * reference's librosa stack — `audio_processor.py:411-413`
     * `beat_track`): the embedding as an onset-rate signal through the
@@ -1613,6 +1731,7 @@ object MediaQueries {
        |FROM pl""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q158_binarize_probe", q158, Some(q158Sql)),
     QueryDef("q153_imageio_features", q153, Some(q153Sql)),
     QueryDef("q147_resize_probe", q147, Some(q147Sql)),
     QueryDef("q146_deskew_warp", q146, Some(q146Sql)),

@@ -23,6 +23,46 @@ class ImageOpsSpec extends SparkSpec {
     assert(b.px.map(_ & 0xff).toSeq == Seq(0, 0, 255, 255))
   }
 
+  test("F16 adaptive-Gaussian: flat field is all-white, isolated dark pixel survives") {
+    // flat field: weighted local mean == v exactly (quantization cancels:
+    // Σ w·v = v·(Σw)²), so (v+2)·(Σw)² > v·(Σw)² everywhere
+    val flat = Gray(20, 12, Array.fill(240)(90.toByte))
+    assert(ImageOps.binarizeAdaptiveGaussian(flat).px.forall(_ == -1))
+    // one black pixel on white: it stays black (its own value is far
+    // below the local mean), every background pixel stays white
+    val px = Array.fill(20 * 12)(255.toByte); px(6 * 20 + 10) = 0
+    val ad = ImageOps.binarizeAdaptiveGaussian(Gray(20, 12, px))
+    assert((ad.px(6 * 20 + 10) & 0xff) == 0)
+    assert(ad.px.count(_ == 0) == 1)
+  }
+
+  test("F16 adaptive-Gaussian: linear ramp is white where the window is symmetric, dark at the low edge") {
+    // px = 6x on one row: in the interior the symmetric kernel's mean is
+    // exactly px (odd weights cancel), so px+2 > px → white; at x=0
+    // border replication pulls the mean above px+2 → black
+    val ramp = Gray(40, 1, Array.tabulate(40)(x => (x * 6).toByte))
+    val ad = ImageOps.binarizeAdaptiveGaussian(ramp)
+    assert((ad.px(0) & 0xff) == 0)
+    assert((ad.px(20) & 0xff) == 255)
+    assert((ad.px(39) & 0xff) == 255) // high edge: replication lowers the mean
+  }
+
+  test("F16 Otsu: hand-computed argmax on two- and three-level histograms") {
+    // 4×10 + 4×200: every valid t gives the same score, first max → t=10
+    val two = Gray(8, 1, Array[Byte](10, 10, 10, 10, 200.toByte, 200.toByte, 200.toByte, 200.toByte))
+    assert(ImageOps.otsuThreshold(two) == 10)
+    // 3×0 + 2×100 + 3×255: score(t∈[0,99]) = 2895²/15 < score(t∈[100,254])
+    // = 3225²/15 → first max at t=100, so only the 255s go white
+    val three = Gray(8, 1, Array[Byte](0, 0, 0, 100, 100, 255.toByte, 255.toByte, 255.toByte))
+    assert(ImageOps.otsuThreshold(three) == 100)
+    val b = ImageOps.binarizeOtsu(three)
+    assert(b.px.map(_ & 0xff).toSeq == Seq(0, 0, 0, 0, 0, 255, 255, 255))
+    // constant plane: no valid split — thresholds at its own value → all 0
+    val const = Gray(4, 1, Array.fill(4)(80.toByte))
+    assert(ImageOps.otsuThreshold(const) == 80)
+    assert(ImageOps.binarizeOtsu(const).px.forall(_ == 0))
+  }
+
   test("F13 quadrant rotations preserve pixels and swap dims") {
     val img = canvas(300, 200, (10, 20, 30, 40))
     val r90 = ImageOps.rotate90cw(img)
