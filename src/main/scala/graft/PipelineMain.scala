@@ -34,7 +34,7 @@ object PipelineMain {
 
   final case class Summary(events: Long, accepted: Long, rejected: Long,
       results: Long, retries: Long, deadLetters: Long, transcripts: Long,
-      sessions: Long, correlated: Long)
+      sessions: Long, correlated: Long, timedOut: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Summary = {
     import spark.implicits._
@@ -119,9 +119,14 @@ object PipelineMain {
     // ---- correlation path: request↔result poll-timeout join (J1
     // streaming form, RequestResultJoin): every event doubles as a
     // request at ts and — for the succeeding slice — a result a few
-    // seconds later; the watermarked range join emits only pairs
-    // whose result lands inside the 30 s poll window. 3 % of results
-    // are delayed past the window and must NOT correlate.
+    // seconds later; the watermarked LEFT OUTER range join emits pairs
+    // whose result lands inside the 30 s poll window as COMPLETED and
+    // — once the watermark closes a request's window — an explicit
+    // TIMEOUT row for the never-answered slice (event_id % 7 == 0,
+    // which produces no result) and the 3 % delayed past the window,
+    // matching the reference's failed-poll response (server.py TIMEOUT
+    // error detail). Requests whose window is still open when the
+    // bounded run ends stay pending, exactly like an in-flight poll.
     import graft.streaming.RequestResultJoin
     val reqs = stream
       .select(concat(lit("job_"), col("event_id")).as("jobId"),
@@ -137,7 +142,7 @@ object PipelineMain {
         coalesce(col("event_type"), lit("")).as("payload"))
       .as[RequestResultJoin.Result](
         org.apache.spark.sql.Encoders.product[RequestResultJoin.Result])
-    val q3 = RequestResultJoin.attach(reqs, ress)
+    val q3 = RequestResultJoin.attachWithTimeouts(reqs, ress)
       .writeStream
       .queryName("correlator")
       .option("checkpointLocation", s"$outDir/ckpt_corr")
@@ -169,7 +174,14 @@ object PipelineMain {
       deadLetters = cnt("dead_letters"),
       transcripts = transcripts.count(),
       sessions = transcripts.select("sessionId").distinct().count(),
-      correlated = cnt("correlated"))
+      correlated =
+        try spark.read.parquet(s"$outDir/correlated")
+          .filter(col("status") === "COMPLETED").count()
+        catch { case _: Throwable => 0L },
+      timedOut =
+        try spark.read.parquet(s"$outDir/correlated")
+          .filter(col("status") === "TIMEOUT").count()
+        catch { case _: Throwable => 0L })
   }
 
   /** Static per-user min event time (the session offset base) — read
@@ -196,7 +208,7 @@ object PipelineMain {
       s""""rejected":${s.rejected},"results":${s.results},""" +
       s""""retries":${s.retries},"dead_letters":${s.deadLetters},""" +
       s""""transcripts":${s.transcripts},"sessions":${s.sessions},""" +
-      s""""correlated":${s.correlated}}""")
+      s""""correlated":${s.correlated},"timed_out":${s.timedOut}}""")
     spark.stop()
   }
 }

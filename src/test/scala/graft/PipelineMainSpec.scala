@@ -27,12 +27,28 @@ class PipelineMainSpec extends SparkSpec {
       s"correlator must match most requests: $s")
     assert(s.correlated < s.events,
       s"timed-out and failed jobs must not correlate: $s")
+    import org.apache.spark.sql.functions.col
     val corr = spark.read.parquet(s"$out/correlated")
-    assert(corr.select("job_id").distinct().count() == s.correlated,
+    val done = corr.filter(col("status") === "COMPLETED")
+    assert(done.select("job_id").distinct().count() == s.correlated,
       "a job must correlate at most once")
-    assert(corr.filter(org.apache.spark.sql.functions.col("latency_ms")
-      .between(0, 30000)).count() == s.correlated,
+    assert(done.filter(col("latency_ms").between(0, 30000)).count()
+      == s.correlated,
       "every correlated latency sits inside the poll window")
+    // timeout emission (J1, reference's failed-poll TIMEOUT response):
+    // the never-answered %7 slice and the past-window %31 slice whose
+    // poll window the watermark closed emit exactly one TIMEOUT row
+    // with null result fields; no job is both completed and timed out
+    val timedOut = corr.filter(col("status") === "TIMEOUT")
+    assert(s.timedOut > 0, s"closed-window unanswered polls must time out: $s")
+    assert(timedOut.filter(col("res_ms").isNotNull || col("payload").isNotNull
+      || col("latency_ms").isNotNull).count() == 0,
+      "TIMEOUT rows carry null result fields")
+    assert(timedOut.join(done, "job_id").count() == 0,
+      "a job cannot be both COMPLETED and TIMEOUT")
+    assert(corr.groupBy("job_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "exactly one emission per job")
 
     // retried envelopes were demoted and got a backoff
     val retries = spark.read.parquet(s"$out/retries")

@@ -34,6 +34,45 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeout variant: unmatched requests emit TIMEOUT after the window closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val reqs = MemoryStream[Request]
+    val ress = MemoryStream[Result]
+    val q = RequestResultJoin.attachWithTimeouts(reqs.toDS(), ress.toDS())
+      .writeStream.format("memory").queryName("corr_to")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000L
+      // j1 answered inside the poll window; j2 never answered
+      reqs.addData(Request("j1", base), Request("j2", base + 1000))
+      ress.addData(Result("j1", base + 5000, "ok"))
+      q.processAllAvailable()
+      // before the watermark passes j2's window end, NO timeout row may
+      // exist — a poll that could still succeed must not fail early
+      val early = spark.table("corr_to").collect()
+      assert(!early.exists(_.getString(5) == "TIMEOUT"),
+        s"premature timeout: ${early.mkString(";")}")
+      // both watermarks jump past base+31s+delay → j2's window is closed
+      reqs.addData(Request("j9", base + 120000))
+      ress.addData(Result("j9", base + 121000, "late-era"))
+      q.processAllAvailable()
+      reqs.addData(Request("j10", base + 130000)) // one more batch: outer rows flush
+      q.processAllAvailable()
+      val rows = spark.table("corr_to").collect()
+      val byJob = rows.map(r => r.getString(0) -> r.getString(5)).toMap
+      assert(byJob("j1") == "COMPLETED")
+      assert(byJob("j2") == "TIMEOUT", s"rows: ${rows.mkString(";")}")
+      val j2 = rows.find(_.getString(0) == "j2").get
+      assert(j2.isNullAt(2) && j2.isNullAt(3) && j2.isNullAt(4),
+        "TIMEOUT row must carry null result fields")
+      // exactly once: one row per job, no duplicate timeout emission
+      assert(rows.map(_.getString(0)).groupBy(identity).forall(_._2.length == 1))
+      assert(byJob("j9") == "COMPLETED")
+    } finally q.stop()
+  }
+
   test("late results drop behind the watermark and join state evicts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
