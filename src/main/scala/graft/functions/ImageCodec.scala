@@ -70,8 +70,10 @@ object ImageCodec {
     * sources come back bit-exact (single raster band); color sources
     * collapse by integer BT.601 luma (r*299+g*587+b*114+500)/1000 —
     * which is also exact-identity when r==g==b. None on undecodable or
-    * empty bytes (matches the reference's None return on cv2.imdecode
-    * failure, `ocr/service.py:455-458`). */
+    * empty bytes — a deliberate DEVIATION from the reference, whose
+    * `_prepare_image` RAISES ValueError when cv2.imdecode returns None
+    * (`ocr/service.py:455-458`); here undecodable inputs route to the
+    * DLQ-style fallback instead of failing the task. */
   def decode(bytes: Array[Byte]): Option[ImageOps.Gray] = {
     if (bytes == null || bytes.length == 0) return None
     val img =

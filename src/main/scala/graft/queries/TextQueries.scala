@@ -1565,7 +1565,13 @@ object TextQueries {
     * exactly), the REAL Spark regexes redact, and the oracle
     * constructs the expected redacted string directly — an over- or
     * under-match of even one character changes the md5 and fails
-    * parity. Pure per-row projection: zero shuffle, scales as a scan. */
+    * parity. PRECONDITION (corpus-coupled, and detected loudly if it
+    * breaks): the oracle's constructed string assumes the base `text`
+    * itself matches neither regex (no '@tld' emails, no +N-555-NNNN
+    * phones in the synthetic corpus) — if a corpus ever violates that,
+    * Spark redacts the extra span and the hash comparison FAILS rather
+    * than silently passing. Pure per-row projection: zero shuffle,
+    * scales as a scan. */
   private def q156(s: SparkSession, d: String): DataFrame = {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phoneRe = "\\+\\d{1,2}-555-\\d{4}"

@@ -720,7 +720,9 @@ object VectorQueries {
     * clustered and only the minimum id per cluster survives. Composes
     * q62's cell-blocked near-dup pairs (never all-pairs: candidates
     * share an IVF cell) with the pointer-jump CC operator, then
-    * summarizes the keep/drop decision per cell. At 100 TB the pair
+    * summarizes the keep/drop decision per class LABEL (the
+    * embeddings table's `label` column — not the IVF cell id, which
+    * only blocks the candidate join). At 100 TB the pair
     * stage is the cell-bucketed join q62 already is, the CC stage runs
     * on the (small) duplicate population, and the drop list broadcasts
     * onto the corpus — the embedding table itself never reshuffles. */
