@@ -310,6 +310,114 @@ object AudioDsp {
     SpectralFeatures(mfcc, centroid, bandwidth, roll)
   }
 
+  /** F4 REAL path constants: windowed-DFT spectral subtraction at the
+    * library's scaled probe dims — win 64 / hop 16 preserves the
+    * reference's 4:1 overlap (`audio_processor.py:127-129`: win 2048 /
+    * hop 512). Periodic Hann analysis+synthesis window; cos/sin tables
+    * over the 64th roots so any (k·n) product indexes by mod — all
+    * transcendental constants live here so the oracle embeds the
+    * identical round-trip doubles (the [[Spectral]] convention). */
+  object Stft {
+    val Win = 64
+    val Hop = 16
+    val K = Win / 2 + 1 // rfft bins 0..32
+    val hann: Array[Double] =
+      Array.tabulate(Win)(n => 0.5 - 0.5 * math.cos(2.0 * math.Pi * n / Win))
+    val cosT: Array[Double] =
+      Array.tabulate(Win)(m => math.cos(2.0 * math.Pi * m / Win))
+    val sinT: Array[Double] =
+      Array.tabulate(Win)(m => math.sin(2.0 * math.Pi * m / Win))
+  }
+
+  /** F4 REAL: STFT spectral subtraction (`audio_processor.py:116-157`),
+    * the structure the reference runs — noise spectrum = mean |STFT|
+    * over the leading noise segment (first quarter of the signal, the
+    * scaled analogue of "first 0.5 s, at least 1024 samples"; shorter
+    * signals return unchanged exactly like the reference's guard),
+    * over-subtraction α = 2.0, spectral floor β = 0.01·|X|, original
+    * phase kept — implemented as a per-bin magnitude GAIN g = |X|′/|X|
+    * applied to the complex bin (identical to `m′·e^{iφ}` without ever
+    * computing angle/exp, so the whole kernel is +,*,/,sqrt and
+    * replays bit-identically in SQL), then windowed overlap-add with
+    * Σw² normalization (librosa's istft WOLA). Fold orders are fixed
+    * ascending everywhere; [[denoiseSubtract]] remains the documented
+    * fast envelope path. */
+  def denoiseSpectral(x: Array[Double], alpha: Double = 2.0,
+      beta: Double = 0.01): Array[Double] = {
+    import Stft._
+    val n = x.length
+    val noiseLen = n / 4
+    if (noiseLen < Win) return x.clone() // reference: too short to denoise
+    // noise spectrum: mean magnitude per bin over the noise-segment frames
+    val nF = (noiseLen - Win) / Hop + 1
+    val noiseMag = new Array[Double](K)
+    var f = 0
+    while (f < nF) {
+      val off = f * Hop
+      var k = 0
+      while (k < K) {
+        var sr = 0.0; var si = 0.0
+        var i = 0
+        while (i < Win) {
+          val v = hann(i) * x(off + i)
+          val m = (k * i) % Win
+          sr += v * cosT(m); si += v * sinT(m)
+          i += 1
+        }
+        val im = -si
+        noiseMag(k) += math.sqrt(sr * sr + im * im)
+        k += 1
+      }
+      f += 1
+    }
+    var k0 = 0
+    while (k0 < K) { noiseMag(k0) /= nF; k0 += 1 }
+    // analysis → subtract → synthesis, frame by frame, overlap-added
+    val frames = (n - Win) / Hop + 1
+    val y = new Array[Double](n)
+    val den = new Array[Double](n)
+    val re = new Array[Double](K)
+    val im = new Array[Double](K)
+    f = 0
+    while (f < frames) {
+      val off = f * Hop
+      var k = 0
+      while (k < K) {
+        var sr = 0.0; var si = 0.0
+        var i = 0
+        while (i < Win) {
+          val v = hann(i) * x(off + i)
+          val m = (k * i) % Win
+          sr += v * cosT(m); si += v * sinT(m)
+          i += 1
+        }
+        re(k) = sr; im(k) = -si
+        val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+        val cleaned = math.max(beta * mag, mag - alpha * noiseMag(k))
+        val g = if (mag > 0) cleaned / mag else 0.0
+        re(k) = re(k) * g; im(k) = im(k) * g
+        k += 1
+      }
+      var j = 0
+      while (j < Win) {
+        var s = 0.0
+        k = 0
+        while (k < K) {
+          val wk = if (k == 0 || k == K - 1) 1.0 else 2.0
+          val m = (k * j) % Win
+          s += wk * (re(k) * cosT(m) - im(k) * sinT(m))
+          k += 1
+        }
+        val yf = s / Win
+        y(off + j) += hann(j) * yf
+        den(off + j) += hann(j) * hann(j)
+        j += 1
+      }
+      f += 1
+    }
+    Array.tabulate(n)(i => if (den(i) > 1e-8) y(i) / den(i) else 0.0)
+  }
+
   /** F4 (surrogate): noise suppression by envelope subtraction — noise
     * floor estimated from the first `noiseSec` (like the reference's
     * first-0.5 s STFT estimate), over-subtraction α = 2.0, spectral

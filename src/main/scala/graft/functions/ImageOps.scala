@@ -612,6 +612,54 @@ object ImageOps {
     Gray(img.w, img.h, out)
   }
 
+  /** F11 image-side flags (`image_processor.py:18-79` preprocess
+    * signature, proto DocumentConfig:224-231): which stages run, in
+    * the reference's fixed order rotate → deskew → denoise → contrast
+    * → binarize. */
+  final case class PreprocessConfig(
+      autoRotate: Boolean = true,
+      deskew: Boolean = true,
+      denoise: Boolean = true,
+      enhanceContrast: Boolean = true,
+      binarize: Boolean = false)
+
+  /** F11 image-side compose: the reference's `preprocess` chain
+    * (`image_processor.py:18-79`) behind one flag-driven entry over
+    * the library's real kernels. Stage mapping, with declared
+    * deviations:
+    *  - autoRotate: EXIF-quadrant rotation (tag 274: 3→180, 6→90 cw,
+    *    8→90 ccw — `image_processor.py:88-96`). The reference's
+    *    content-angle half runs the SAME estimator the deskew stage
+    *    runs one line later; this compose delegates content
+    *    straightening to deskew instead of estimating twice.
+    *  - deskew: [[deskew]] (Hough estimate → NN counter-warp, q146).
+    *  - denoise: the declared 2×2 morphological-open surrogate of
+    *    fastNlMeans+MORPH_OPEN (`:182-195`, q102 family).
+    *  - enhanceContrast: [[enhanceContrast]] (CLAHE + γ=1.2, q103).
+    *  - binarize: [[binarizeAdaptiveGaussian]] — the reference's
+    *    DEFAULT method (q158).
+    * Returns the processed plane and the deskew angle applied (0 when
+    * the stage is off or no skew detected). */
+  def preprocessImage(img: Gray, cfg: PreprocessConfig,
+      exifOrientation: Int = 1): (Gray, Int) = {
+    var im = img
+    if (cfg.autoRotate) im = exifOrientation match {
+      case 3 => rotate180(im)
+      case 6 => rotate90cw(im)
+      case 8 => rotate90cw(rotate180(im))
+      case _ => im
+    }
+    var applied = 0
+    if (cfg.deskew) {
+      val (g, a) = deskew(im)
+      im = g; applied = a
+    }
+    if (cfg.denoise) im = open(im, 2, 2)
+    if (cfg.enhanceContrast) im = enhanceContrast(im)
+    if (cfg.binarize) im = binarizeAdaptiveGaussian(im)
+    (im, applied)
+  }
+
   /** F13 end-to-end deskew: estimate the skew with [[houghAngle]],
     * round half-up to whole degrees, clamp to the warp band, rotate by
     * the NEGATED angle to correct (`image_processor.py:143-180`:

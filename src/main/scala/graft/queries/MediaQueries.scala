@@ -1151,6 +1151,136 @@ object MediaQueries {
        |                        FROM documents WHERE length(text) >= 1))))))))))""".stripMargin
   }
 
+  /** q159: REAL STFT spectral-subtraction probe (F4 closed,
+    * `audio_processor.py:116-157`): a 256-sample signal per doc —
+    * leading quarter pure deterministic "noise" (text-derived rational
+    * values, the noise-estimation segment), then a 0.8-amplitude
+    * period-32 triangle wave plus the same noise — through the REAL
+    * AudioDsp.denoiseSpectral: Hann-windowed 64-point DFT (hop 16, the
+    * reference's 4:1 overlap), mean-noise-spectrum subtraction with
+    * α=2.0 / β=0.01 floor as a per-bin complex gain, WOLA resynthesis.
+    * The oracle replays every stage — forward DFT, magnitude gain,
+    * inverse DFT, overlap-add — as list comprehensions over the SAME
+    * window/cos/sin literal tables with the same ascending fold
+    * orders, so both engines land on bit-identical doubles; outputs
+    * are total |·| energies in/out plus three probe samples. */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val cps = text.codePoints().toArray
+      val nch = math.max(1, cps.length)
+      val x = Array.tabulate(256) { i =>
+        val cp = if (cps.isEmpty) 0 else cps((i * 11) % nch)
+        val r = ((cp * (i + 7)) % 97) / 97.0 - 0.5
+        val tri = math.abs((i % 32) - 16) / 16.0 - 0.5
+        (if (i < 64) 0.0 else 0.8 * tri) + 0.25 * r
+      }
+      val y = graft.functions.AudioDsp.denoiseSpectral(x)
+      def sumAbs(a: Array[Double]): Double = {
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += math.abs(a(i)); i += 1 }
+        s
+      }
+      (sumAbs(x), sumAbs(y), y(64), y(128), y(200))
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(col("doc_id"),
+        round(col("t._1"), 6).as("e_in"), round(col("t._2"), 6).as("e_out"),
+        round(col("t._3"), 6).as("y64"), round(col("t._4"), 6).as("y128"),
+        round(col("t._5"), 6).as("y200"))
+  }
+
+  private val q159Sql = {
+    val st = graft.functions.AudioDsp.Stft
+    val hn = st.hann.mkString("[", ", ", "]")
+    val ct = st.cosT.mkString("[", ", ", "]")
+    val stb = st.sinT.mkString("[", ", ", "]")
+    // Inner DFT sums as explicit left-associated term chains (ascending
+    // i/k, matching the kernel's fold order): a list_reduce here calls
+    // its lambda once PER ELEMENT on 1-row vectors — measured ~1.4 s/doc
+    // — while one generated 64-term expression vectorizes across the
+    // whole flat list. Window/trig weights embed as per-term literals.
+    def fwdTerms(tbl: String): String = (0 until 64).map { i =>
+      s"(${st.hann(i)} * x[(fk // 33) * 16 + ${i + 1}])" +
+        s" * $tbl[(((fk % 33) * $i) % 64) + 1]"
+    }.mkString(" + ")
+    val reTerms = fwdTerms("ct")
+    val imTerms = fwdTerms("stb")
+    val yfTerms = (0 until 33).map { k =>
+      val wk = if (k == 0 || k == 32) "1.0" else "2.0"
+      s"$wk * ((re[(fj // 64) * 33 + ${k + 1}] * g[(fj // 64) * 33 + ${k + 1}])" +
+        s" * ct[((${k} * (fj % 64)) % 64) + 1]" +
+        s" - (im[(fj // 64) * 33 + ${k + 1}] * g[(fj // 64) * 33 + ${k + 1}])" +
+        s" * stb[((${k} * (fj % 64)) % 64) + 1])"
+    }.mkString(" + ")
+    // FLAT layouts throughout — re/im/mg/g are 13x33 lists indexed
+    // [f*33+k+1], yf is 13x64 indexed [f*64+j+1]: a nested list-of-lists
+    // oracle re-extracts (copies) the inner list on every [f][k] access,
+    // which measured ~1000x slower in DuckDB. Same arithmetic, same
+    // ascending fold orders as the Scala kernel.
+    s"""SELECT doc_id,
+       |  round(list_reduce(list_transform(x, v -> abs(v)), (a, b) -> a + b), 6)
+       |    AS e_in,
+       |  round(list_reduce(list_transform(y, v -> abs(v)), (a, b) -> a + b), 6)
+       |    AS e_out,
+       |  round(y[65], 6) AS y64, round(y[129], 6) AS y128,
+       |  round(y[201], 6) AS y200
+       |FROM (
+       |  SELECT doc_id, x,
+       |    list_transform(range(0, 256), n2 -> CASE
+       |      WHEN yden[n2 + 1] > 1e-8 THEN ynum[n2 + 1] / yden[n2 + 1]
+       |      ELSE 0.0 END) AS y
+       |  FROM (
+       |    SELECT doc_id, x,
+       |      list_transform(range(0, 256), n2 -> list_reduce(
+       |        list_prepend(0.0, list_transform(
+       |          list_filter(range(0, 13),
+       |            f -> n2 - 16 * f >= 0 AND n2 - 16 * f < 64),
+       |          f -> hn[n2 - 16 * f + 1] * yf[f * 64 + n2 - 16 * f + 1])),
+       |        (a, b) -> a + b)) AS ynum,
+       |      list_transform(range(0, 256), n2 -> list_reduce(
+       |        list_prepend(0.0, list_transform(
+       |          list_filter(range(0, 13),
+       |            f -> n2 - 16 * f >= 0 AND n2 - 16 * f < 64),
+       |          f -> hn[n2 - 16 * f + 1] * hn[n2 - 16 * f + 1])),
+       |        (a, b) -> a + b)) AS yden
+       |    FROM (
+       |      SELECT doc_id, hn, ct, stb, x,
+       |        list_transform(range(0, 832), fj -> ($yfTerms) / 64) AS yf
+       |      FROM (
+       |        SELECT doc_id, hn, ct, stb, x, re, im,
+       |          list_transform(range(0, 429), fk -> CASE
+       |            WHEN mg[fk + 1] > 0 THEN
+       |              greatest(0.01 * mg[fk + 1],
+       |                mg[fk + 1] - 2.0 * (mg[(fk % 33) + 1] / 1)) / mg[fk + 1]
+       |            ELSE 0.0 END) AS g
+       |        FROM (
+       |          SELECT doc_id, hn, ct, stb, x, re, im,
+       |            list_transform(range(0, 429), fk ->
+       |              sqrt(re[fk + 1] * re[fk + 1] + im[fk + 1] * im[fk + 1]))
+       |              AS mg
+       |          FROM (
+       |            SELECT doc_id, hn, ct, stb, x,
+       |              list_transform(range(0, 429), fk -> $reTerms) AS re,
+       |              list_transform(range(0, 429), fk -> -($imTerms)) AS im
+       |            FROM (
+       |              SELECT doc_id, hn, ct, stb,
+       |                [(CASE WHEN i < 64 THEN 0.0
+       |                   ELSE 0.8 * (abs((i % 32) - 16)
+       |                     / CAST(16 AS DOUBLE) - 0.5) END)
+       |                 + 0.25 * (((ascii(substr(text, ((i * 11) % nch) + 1, 1))
+       |                     * (i + 7)) % 97) / CAST(97 AS DOUBLE) - 0.5)
+       |                 for i in range(0, 256)] AS x
+       |              FROM (SELECT doc_id, text, length(text) AS nch
+       |                    FROM documents WHERE length(text) >= 1)
+       |                CROSS JOIN (SELECT CAST($hn AS DOUBLE[]) AS hn,
+       |                  CAST($ct AS DOUBLE[]) AS ct,
+       |                  CAST($stb AS DOUBLE[]) AS stb))))))))""".stripMargin
+  }
+
+
   /** q158 plane: unlike the two-valued q88 plane, every pixel is a full
     * 0..255 level — v[i] = (cp[(i·7) mod nch] · (i+3)) mod 256 — so the
     * Otsu histogram has real mass across bins and the adaptive-Gaussian
@@ -1731,6 +1861,7 @@ object MediaQueries {
        |FROM pl""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q159_stft_denoise_probe", q159, Some(q159Sql)),
     QueryDef("q158_binarize_probe", q158, Some(q158Sql)),
     QueryDef("q153_imageio_features", q153, Some(q153Sql)),
     QueryDef("q147_resize_probe", q147, Some(q147Sql)),

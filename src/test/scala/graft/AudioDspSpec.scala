@@ -84,6 +84,36 @@ class AudioDspSpec extends SparkSpec {
     assert(rms(y.drop(16000)) > 0.8 * rms(x.drop(16000)))
   }
 
+  test("F4 spectral denoise: noise suppressed, signal band kept, guards intact") {
+    // deterministic "noise" (LCG-ish rational) + a strong period-8
+    // tone after the noise-estimation quarter
+    def noise(i: Int): Double = ((i * 31 + 17) % 97) / 97.0 - 0.5
+    val n = 512
+    val x = Array.tabulate(n) { i =>
+      val tone = if (i >= n / 4) math.sin(2 * math.Pi * i / 8.0) else 0.0
+      0.9 * tone + 0.2 * noise(i)
+    }
+    val y = AudioDsp.denoiseSpectral(x)
+    assert(y.length == n)
+    // the noise-only leading quarter is strongly attenuated
+    def energy(a: Array[Double], from: Int, until: Int): Double =
+      (from until until).map(i => a(i) * a(i)).sum
+    val headIn = energy(x, 8, n / 4) // skip the zero-weight window edge
+    val headOut = energy(y, 8, n / 4)
+    assert(headOut < 0.35 * headIn,
+      s"noise not suppressed: $headOut vs $headIn")
+    // the tone region keeps most of its energy (alpha-oversubtraction
+    // costs some, but the tone bin is far above the noise floor)
+    val toneIn = energy(x, n / 2, n - 8)
+    val toneOut = energy(y, n / 2, n - 8)
+    assert(toneOut > 0.5 * toneIn, s"signal destroyed: $toneOut vs $toneIn")
+    // reference guard: too short for denoising -> returned unchanged
+    val short = Array.tabulate(200)(i => noise(i))
+    assert(AudioDsp.denoiseSpectral(short).toSeq == short.toSeq)
+    // silence in, silence out
+    assert(AudioDsp.denoiseSpectral(new Array[Double](256)).forall(_ == 0.0))
+  }
+
   test("F7 frame VAD: 30 ms frames with padded last frame") {
     val fs = 16000
     val loud = Array.fill(fs / 2)(0.5)
