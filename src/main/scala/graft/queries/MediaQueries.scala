@@ -1399,6 +1399,222 @@ object MediaQueries {
        |                        FROM documents WHERE length(text) >= 1))))))))))""".stripMargin
   }
 
+  // ---- q160 helpers: parameterized SQL replays of the compose stages ----
+
+  /** CLAHE + γ-LUT chain (q103's replay, parameterized): consumes a
+    * two-valued {40,255} plane column `src` from `inner`, emits `enh`.
+    * (The q88-family planes stay two-valued through warp/morphology —
+    * warp fills white, min/max preserve the value set — so the
+    * histogram is always the {40, 255} count pair.) */
+  private def claheChainSql(inner: String, carry: Seq[String]): String = {
+    val gamma = graft.functions.ImageOps.GammaLut.mkString("[", ", ", "]")
+    val n = W * H
+    val clip = math.max(1.0, 2.0 * n / 256.0)
+    val cy = if (carry.isEmpty) "" else carry.mkString(", ", ", ", "")
+    s"""SELECT doc_id$cy,
+       |  list_transform(src, v -> $gamma[lut[v + 1] + 1]) AS enh
+       |FROM (
+       |  SELECT doc_id$cy, src,
+       |    list_transform(range(0, 256), v -> CAST(least(255, greatest(0,
+       |      round(list_reduce(
+       |        list_transform(cl[1 : v + 1], c -> c + share),
+       |        (a, b) -> a + b) * 255.0 / $n))) AS INT)) AS lut
+       |  FROM (
+       |    SELECT doc_id$cy, src, cl,
+       |      list_reduce(list_transform(hist, c -> greatest(0.0, c - $clip)),
+       |        (a, b) -> a + b) / 256.0 AS share
+       |    FROM (
+       |      SELECT doc_id$cy, src, hist,
+       |        list_transform(hist, c -> CASE WHEN c > $clip THEN $clip
+       |          ELSE CAST(c AS DOUBLE) END) AS cl
+       |      FROM (
+       |        SELECT doc_id$cy, src,
+       |          list_transform(range(0, 256), v -> CASE
+       |            WHEN v = 40 THEN n40
+       |            WHEN v = 255 THEN $n - n40
+       |            ELSE 0 END) AS hist
+       |        FROM (
+       |          SELECT doc_id$cy, src,
+       |            len(list_filter(src, v -> v = 40)) AS n40
+       |          FROM ($inner))))))""".stripMargin
+  }
+
+  /** Adaptive-Gaussian binarize chain (q158's replay, parameterized):
+    * separable integer convolution of `src` from `inner`, emits the
+    * thresholded plane `fin`. */
+  private def gaussAdaptSql(src: String, inner: String,
+      carry: Seq[String]): String = {
+    val io = graft.functions.ImageOps
+    val k = io.Gauss11
+    val r = k.length / 2
+    val (x, y) = (xOf("i"), yOf("i"))
+    val hT = (for (dx <- -r to r) yield
+      s"${k(dx + r)} * $src[$y * $W + least(${W - 1}, greatest(0, $x + $dx)) + 1]")
+      .mkString(" + ")
+    val vT = (for (dy <- -r to r) yield
+      s"CAST(${k(dy + r)} AS BIGINT) * " +
+        s"gh[least(${H - 1}, greatest(0, $y + $dy)) * $W + $x + 1]")
+      .mkString(" + ")
+    val cy = if (carry.isEmpty) "" else carry.mkString(", ", ", ", "")
+    s"""SELECT doc_id$cy,
+       |  list_transform(range(0, ${W * H}), i ->
+       |    CASE WHEN CAST($src[i + 1] + 2 AS BIGINT) * ${io.Gauss11Norm2}
+       |              > gv[i + 1]
+       |         THEN 255 ELSE 0 END) AS fin
+       |FROM (
+       |  SELECT doc_id$cy, $src, gh,
+       |    list_transform(range(0, ${W * H}), i -> $vT) AS gv
+       |  FROM (
+       |    SELECT doc_id$cy, $src,
+       |      list_transform(range(0, ${W * H}), i -> $hT) AS gh
+       |    FROM ($inner)))""".stripMargin
+  }
+
+  /** q160: F11 image-side COMPOSE end-to-end
+    * (`image_processor.py:18-79`): the flag-driven preprocess chain
+    * behind one [[graft.functions.ImageOps.preprocessImage]] entry,
+    * exercised over three flag combinations round-robined by doc_id —
+    *   m=0 `open_clahe`: denoise + contrast only;
+    *   m=1 `deskew_open_clahe_bin`: deskew → denoise → contrast →
+    *       adaptive binarize (every non-rotate stage on);
+    *   m=2 `rot180_deskew_bin`: EXIF-180 autoRotate → deskew →
+    *       adaptive binarize (geometry path with stages off).
+    * The oracle UNIONs three replay chains assembled from the pinned
+    * q146 (Hough+warp), q102 (2×2 open), q103 (CLAHE+γ), and q158
+    * (adaptive) machinery — each combo hash-pins the FINAL plane, so
+    * any stage-ordering or composition bug fails parity even though
+    * every stage is individually green. */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((docId: Long, text: String) => {
+      val io = graft.functions.ImageOps
+      val img = io.Gray(W, H, textPlane(text))
+      val m = (docId % 3).toInt
+      val (cfg, orient) = m match {
+        case 0 => (io.PreprocessConfig(autoRotate = false, deskew = false,
+          denoise = true, enhanceContrast = true, binarize = false), 1)
+        case 1 => (io.PreprocessConfig(autoRotate = false, deskew = true,
+          denoise = true, enhanceContrast = true, binarize = true), 1)
+        case _ => (io.PreprocessConfig(autoRotate = true, deskew = true,
+          denoise = false, enhanceContrast = false, binarize = true), 3)
+      }
+      val (fin, applied) = io.preprocessImage(img, cfg, orient)
+      val combo = m match {
+        case 0 => "open_clahe"
+        case 1 => "deskew_open_clahe_bin"
+        case _ => "rot180_deskew_bin"
+      }
+      var cs = 0L
+      var i = 0
+      while (i < fin.px.length) { cs += (i + 1).toLong * (fin.px(i) & 0xff); i += 1 }
+      (combo, applied.toLong, cs,
+        fin.px.count(p => (p & 0xff) <= 127).toLong)
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("doc_id"), col("text")).as("t"))
+      .select(col("doc_id"),
+        col("t._1").as("combo"), col("t._2").as("applied_deg"),
+        col("t._3").as("checksum"), col("t._4").as("n_dark"))
+  }
+
+  private val q160Sql = {
+    val hg = graft.functions.ImageOps.Hough
+    val wp = graft.functions.ImageOps.Warp
+    val hCos = hg.cosQ.mkString("[", ", ", "]")
+    val hSin = hg.sinQ.mkString("[", ", ", "]")
+    val wCos = wp.cosQ.mkString("[", ", ", "]")
+    val wSin = wp.sinQ.mkString("[", ", ", "]")
+    val sc = wp.Scale
+    val offX = sc * W + wp.OffsetQ
+    val offY = sc * H + wp.OffsetQ
+    def darkLen(src: String) =
+      s"CAST(len(list_filter($src, v -> v <= 127)) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+       |    text, length(text) AS nch
+       |  FROM documents WHERE length(text) >= 1),
+       |pl AS (SELECT doc_id, m, $planeSql AS p FROM base),
+       |geo AS (
+       |  SELECT doc_id, m,
+       |    CASE WHEN m = 1 THEN p ELSE list_reverse(p) END AS hp
+       |  FROM pl WHERE m IN (1, 2)),
+       |edge AS (
+       |  SELECT doc_id, CAST(i % ${W} AS INT) AS x,
+       |         CAST(i // ${W} AS INT) AS y
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(range(0, ${W * H}),
+       |            i -> hp[i + 1] < 128)) AS i
+       |        FROM geo)),
+       |hcs AS (
+       |  SELECT t, cosl[t + 1] AS c, sinl[t + 1] AS sn
+       |  FROM (SELECT CAST(unnest(range(0, ${hg.cosQ.length})) AS INT) AS t,
+       |          $hCos AS cosl, $hSin AS sinl)),
+       |acc AS (
+       |  SELECT doc_id, t,
+       |    (e.x * c.c + e.y * c.sn + ${hg.OffsetQ}) // ${hg.Scale} AS bin,
+       |    count(*) AS v
+       |  FROM edge e CROSS JOIN hcs c
+       |  GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT doc_id, median(t + ${hg.ThetaMinDeg} - 90) + 0.0 AS med
+       |  FROM acc WHERE v >= 3 GROUP BY 1),
+       |ang AS (
+       |  SELECT g.doc_id, g.m, g.hp,
+       |    CAST(-greatest(-${wp.MaxDeg}, least(${wp.MaxDeg},
+       |      CAST(floor(coalesce(a.med, 0.0) + 0.5) AS INT))) AS INT) AS applied
+       |  FROM geo g LEFT JOIN agg a ON a.doc_id = g.doc_id),
+       |trig AS (
+       |  SELECT doc_id, m, hp, applied,
+       |    wcl[applied + ${wp.MaxDeg + 1}] AS c,
+       |    wsl[applied + ${wp.MaxDeg + 1}] AS sn
+       |  FROM ang CROSS JOIN (SELECT $wCos AS wcl, $wSin AS wsl)),
+       |wsrc AS (
+       |  SELECT doc_id, m, hp, applied,
+       |    list_transform(range(0, ${W * H}), i ->
+       |      [ ( c * (2 * (i % ${W}) - ${W - 1})
+       |          + sn * (2 * (i // ${W}) - ${H - 1}) + $offX) // ${2 * sc} - 64,
+       |        (-sn * (2 * (i % ${W}) - ${W - 1})
+       |          + c * (2 * (i // ${W}) - ${H - 1}) + $offY) // ${2 * sc} - 64 ])
+       |      AS sxy
+       |  FROM trig),
+       |warped AS (
+       |  SELECT doc_id, m, applied,
+       |    list_transform(sxy, q ->
+       |      CASE WHEN q[1] >= 0 AND q[1] < ${W} AND q[2] >= 0 AND q[2] < ${H}
+       |        THEN hp[q[2] * ${W} + q[1] + 1] ELSE 255 END) AS wpx
+       |  FROM wsrc),
+       |a1 AS (SELECT doc_id, ${morph2x2Sql("p", min = true)} AS e1
+       |       FROM pl WHERE m = 0),
+       |a2 AS (SELECT doc_id, ${morph2x2Sql("e1", min = false)} AS src FROM a1),
+       |aF AS (${claheChainSql("SELECT * FROM a2", Seq.empty)}),
+       |b1 AS (SELECT doc_id, applied, ${morph2x2Sql("wpx", min = true)} AS e1
+       |       FROM warped WHERE m = 1),
+       |b2 AS (SELECT doc_id, applied, ${morph2x2Sql("e1", min = false)} AS src
+       |       FROM b1),
+       |bC AS (${claheChainSql("SELECT * FROM b2", Seq("applied"))}),
+       |bF AS (${gaussAdaptSql("enh", "SELECT * FROM bC", Seq("applied"))}),
+       |cF AS (${gaussAdaptSql("wpx",
+              "SELECT doc_id, applied, wpx FROM warped WHERE m = 2",
+              Seq("applied"))})
+       |SELECT doc_id, 'open_clahe' AS combo,
+       |  CAST(0 AS BIGINT) AS applied_deg,
+       |  ${checksumSql("enh")} AS checksum,
+       |  ${darkLen("enh")} AS n_dark
+       |FROM aF
+       |UNION ALL
+       |SELECT doc_id, 'deskew_open_clahe_bin' AS combo,
+       |  CAST(applied AS BIGINT) AS applied_deg,
+       |  ${checksumSql("fin")} AS checksum,
+       |  ${darkLen("fin")} AS n_dark
+       |FROM bF
+       |UNION ALL
+       |SELECT doc_id, 'rot180_deskew_bin' AS combo,
+       |  CAST(applied AS BIGINT) AS applied_deg,
+       |  ${checksumSql("fin")} AS checksum,
+       |  ${darkLen("fin")} AS n_dark
+       |FROM cF""".stripMargin
+  }
+
   /** q114: tempo + beat probe (F10 tail, the last feature of the
     * reference's librosa stack — `audio_processor.py:411-413`
     * `beat_track`): the embedding as an onset-rate signal through the
@@ -1861,6 +2077,7 @@ object MediaQueries {
        |FROM pl""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q160_preprocess_compose", q160, Some(q160Sql)),
     QueryDef("q159_stft_denoise_probe", q159, Some(q159Sql)),
     QueryDef("q158_binarize_probe", q158, Some(q158Sql)),
     QueryDef("q153_imageio_features", q153, Some(q153Sql)),

@@ -63,6 +63,38 @@ class ImageOpsSpec extends SparkSpec {
     assert(ImageOps.binarizeOtsu(const).px.forall(_ == 0))
   }
 
+  test("F11 preprocessImage: flag composition matches the stage chain") {
+    val img = canvas(32, 16, (4, 4, 12, 6))
+    val allOff = ImageOps.PreprocessConfig(autoRotate = false,
+      deskew = false, denoise = false, enhanceContrast = false,
+      binarize = false)
+    // every flag off -> identity, applied angle 0
+    val (id, a0) = ImageOps.preprocessImage(img, allOff)
+    assert(id.px.sameElements(img.px) && a0 == 0)
+    // binarize-only: exactly the adaptive kernel, domain {0, 255}
+    val (bin, _) = ImageOps.preprocessImage(img,
+      allOff.copy(binarize = true))
+    assert(bin.px.sameElements(ImageOps.binarizeAdaptiveGaussian(img).px))
+    assert(bin.px.forall(p => p == 0 || p == -1))
+    // autoRotate honors EXIF quadrants: 6 -> 90 cw (dims swap),
+    // 3 -> 180 (dims kept, plane reversed)
+    val (r90, _) = ImageOps.preprocessImage(img,
+      allOff.copy(autoRotate = true), exifOrientation = 6)
+    assert(r90.w == 16 && r90.h == 32)
+    val (r180, _) = ImageOps.preprocessImage(img,
+      allOff.copy(autoRotate = true), exifOrientation = 3)
+    assert(r180.px.sameElements(img.px.reverse))
+    // full default chain runs every stage in order and reports the
+    // deskew angle it applied (here 0: axis-aligned content)
+    val (full, af) = ImageOps.preprocessImage(img,
+      ImageOps.PreprocessConfig(binarize = true))
+    assert(af == 0)
+    assert(full.px.sameElements(
+      ImageOps.binarizeAdaptiveGaussian(
+        ImageOps.enhanceContrast(
+          ImageOps.open(ImageOps.deskew(img)._1, 2, 2))).px))
+  }
+
   test("F13 quadrant rotations preserve pixels and swap dims") {
     val img = canvas(300, 200, (10, 20, 30, 40))
     val r90 = ImageOps.rotate90cw(img)
