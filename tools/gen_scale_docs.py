@@ -23,6 +23,7 @@ VOCAB = ['the', 'query', 'row', 'stream', 'spark', 'fast', 'customer',
          'key', 'window', 'table', 'merge', 'join', 'line', 'small', 'group']
 LANGS = ['en', 'en', 'en', 'zh', 'es', 'de', 'fr']  # en-heavy like sf0.1
 BASE_ROWS = 5000  # sf0.1's documents row count
+BASE_VECS = 2000  # sf0.1's embeddings row count
 
 
 def gen(out_dir: str, rows: int, seed: int) -> None:
@@ -46,7 +47,37 @@ def gen(out_dir: str, rows: int, seed: int) -> None:
     print(f'{out_dir}: {rows} docs')
 
 
+def gen_emb(out_dir: str, rows: int, seed: int) -> None:
+    """embeddings.parquet at the same multiplier: 10 label clusters with
+    FIXED centers across scales (seeded separately) so the cell/cosine
+    structure the ANN/semantic-dedup queries exploit is self-similar;
+    every 50th vector is a near-duplicate of its predecessor so the
+    SemDeDup population also scales with the corpus."""
+    crnd = random.Random(777)
+    centers = [[crnd.gauss(0.0, 0.25) for _ in range(64)] for _ in range(10)]
+    rnd = random.Random(seed)
+    vec_id, emb, label = [], [], []
+    prev = None
+    for i in range(rows):
+        lab = rnd.randint(0, 9)
+        if i % 50 == 49 and prev is not None:
+            v = [x + rnd.gauss(0.0, 0.005) for x in prev]
+            lab = label[-1]
+        else:
+            v = [c + rnd.gauss(0.0, 0.08) for c in centers[lab]]
+        prev = v
+        vec_id.append(i)
+        emb.append([float(x) for x in v])
+        label.append(lab)
+    table = pa.table({'vec_id': pa.array(vec_id, pa.int64()),
+                      'embedding': pa.array(emb, pa.list_(pa.float32())),
+                      'label': pa.array(label, pa.int32())})
+    pq.write_table(table, os.path.join(out_dir, 'embeddings.parquet'))
+    print(f'{out_dir}: {rows} vecs')
+
+
 if __name__ == '__main__':
     root = sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_scale'
     for mult in (1, 2, 4):
         gen(os.path.join(root, f'x{mult}'), BASE_ROWS * mult, seed=1234)
+        gen_emb(os.path.join(root, f'x{mult}'), BASE_VECS * mult, seed=4321)
