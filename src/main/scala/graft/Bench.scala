@@ -50,14 +50,24 @@ object Bench {
     // only variable is machine load: drift across the three checkpoints,
     // or inflation vs prior rounds' cal_ms, quantifies ambient load for
     // any run, so a per-query regression is separable from a loaded box.
-    def calibrate(): Long = {
+    // id is reduced mod p BEFORE the multiply so the product tops out at
+    // ~2.65e18 < Long.MaxValue for ANY core count (the raw id*constant
+    // form overflows — an ANSI ArithmeticException — once range end
+    // exceeds ~3.47e9, i.e. >=55 cores). A probe failure reports -1
+    // rather than killing the bench before any query is timed.
+    def calibrate(): Long = try {
+      val n = math.max(1, cpus.toInt)
       def once(): Long = {
         val t0 = System.nanoTime()
-        spark.range(0L, 64000000L * cpus.toInt, 1L, cpus.toInt)
-          .selectExpr("sum((id * 2654435761) % 1000000007)").collect()
+        spark.range(0L, 64000000L * n, 1L, n)
+          .selectExpr("sum(((id % 1000000007) * 2654435761) % 1000000007)")
+          .collect()
         (System.nanoTime() - t0) / 1000000
       }
       math.min(once(), once())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] calibrate failed: ${e.getMessage}")
+      -1L
     }
     // noop sink: forces full computation of every output column (count()
     // would let Catalyst prune the per-row work for select-only queries).

@@ -165,6 +165,17 @@ object PipelineMain {
       try spark.read.parquet(s"$outDir/$p").count()
       catch { case _: Throwable => 0L }
     val transcripts = spark.read.parquet(s"$outDir/transcripts")
+    // One scan of the correlated sink for both status counts (count of a
+    // CASE is 0 on an empty sink, so no null handling needed).
+    val (nCompleted, nTimedOut) =
+      try {
+        val r = spark.read.parquet(s"$outDir/correlated")
+          .agg(
+            count(when(col("status") === "COMPLETED", 1)).as("c"),
+            count(when(col("status") === "TIMEOUT", 1)).as("t"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      } catch { case _: Throwable => (0L, 0L) }
     Summary(
       events = spark.read.parquet(s"$outDir/ingest").count(),
       accepted = cnt("results") + cnt("retries") + cnt("dead_letters"),
@@ -174,14 +185,8 @@ object PipelineMain {
       deadLetters = cnt("dead_letters"),
       transcripts = transcripts.count(),
       sessions = transcripts.select("sessionId").distinct().count(),
-      correlated =
-        try spark.read.parquet(s"$outDir/correlated")
-          .filter(col("status") === "COMPLETED").count()
-        catch { case _: Throwable => 0L },
-      timedOut =
-        try spark.read.parquet(s"$outDir/correlated")
-          .filter(col("status") === "TIMEOUT").count()
-        catch { case _: Throwable => 0L })
+      correlated = nCompleted,
+      timedOut = nTimedOut)
   }
 
   /** Static per-user min event time (the session offset base) — read

@@ -415,7 +415,16 @@ object AudioDsp {
       }
       f += 1
     }
-    Array.tabulate(n)(i => if (den(i) > 1e-8) y(i) / den(i) else 0.0)
+    // Samples past the last full analysis frame ((n-Win) % Hop != 0 tail)
+    // are never windowed in: pass them through unchanged rather than
+    // emitting silence — the reference's istft keeps full length too.
+    // (For frame-aligned lengths, covered == n and nothing changes.)
+    val covered = (frames - 1) * Hop + Win
+    Array.tabulate(n) { i =>
+      if (i >= covered) x(i)
+      else if (den(i) > 1e-8) y(i) / den(i)
+      else 0.0
+    }
   }
 
   /** F4 (surrogate): noise suppression by envelope subtraction — noise

@@ -1159,11 +1159,15 @@ object MediaQueries {
     * AudioDsp.denoiseSpectral: Hann-windowed 64-point DFT (hop 16, the
     * reference's 4:1 overlap), mean-noise-spectrum subtraction with
     * α=2.0 / β=0.01 floor as a per-bin complex gain, WOLA resynthesis.
-    * The oracle replays every stage — forward DFT, magnitude gain,
-    * inverse DFT, overlap-add — as list comprehensions over the SAME
-    * window/cos/sin literal tables with the same ascending fold
-    * orders, so both engines land on bit-identical doubles; outputs
-    * are total |·| energies in/out plus three probe samples. */
+    * The oracle replays every stage — forward DFT, mean noise spectrum
+    * over the nF noise frames (generated as an explicit sum/nF, not
+    * specialized to any frame), magnitude gain, inverse DFT,
+    * overlap-add — as list comprehensions over the SAME window/cos/sin
+    * literal tables with the same ascending fold orders, so both
+    * engines land on bit-identical doubles; every structural constant
+    * (frames=13, bins=33, nF=1) is derived in the SQL generator from
+    * Stft and the probe length N=256 via the kernel's own formulas.
+    * Outputs are total |·| energies in/out plus three probe samples. */
   private def q159(s: SparkSession, d: String): DataFrame = {
     val probe = udf((text: String) => {
       val cps = text.codePoints().toArray
@@ -1197,24 +1201,42 @@ object MediaQueries {
     val hn = st.hann.mkString("[", ", ", "]")
     val ct = st.cosT.mkString("[", ", ", "]")
     val stb = st.sinT.mkString("[", ", ", "]")
+    // Every structural constant below is DERIVED from the Stft object
+    // and the probe length via the kernel's own formulas — scaling the
+    // probe (e.g. N=256 -> 512) regenerates a consistent oracle instead
+    // of silently keeping 13/33/429-shaped literals.
+    val N = 256                       // probe signal length
+    val W = st.Win                    // 64: analysis window
+    val H = st.Hop                    // 16: hop (4:1 overlap)
+    val B = st.K                      // 33: rfft bins
+    val frames = (N - W) / H + 1      // 13 analysis frames
+    val nF = (N / 4 - W) / H + 1      // noise-segment frames (1 at N=256)
+    val FK = frames * B               // 429: flat (frame,bin) index space
+    val FJ = frames * W               // 832: flat (frame,sample) space
     // Inner DFT sums as explicit left-associated term chains (ascending
     // i/k, matching the kernel's fold order): a list_reduce here calls
     // its lambda once PER ELEMENT on 1-row vectors — measured ~1.4 s/doc
     // — while one generated 64-term expression vectorizes across the
     // whole flat list. Window/trig weights embed as per-term literals.
-    def fwdTerms(tbl: String): String = (0 until 64).map { i =>
-      s"(${st.hann(i)} * x[(fk // 33) * 16 + ${i + 1}])" +
-        s" * $tbl[(((fk % 33) * $i) % 64) + 1]"
+    def fwdTerms(tbl: String): String = (0 until W).map { i =>
+      s"(${st.hann(i)} * x[(fk // $B) * $H + ${i + 1}])" +
+        s" * $tbl[(((fk % $B) * $i) % $W) + 1]"
     }.mkString(" + ")
     val reTerms = fwdTerms("ct")
     val imTerms = fwdTerms("stb")
-    val yfTerms = (0 until 33).map { k =>
-      val wk = if (k == 0 || k == 32) "1.0" else "2.0"
-      s"$wk * ((re[(fj // 64) * 33 + ${k + 1}] * g[(fj // 64) * 33 + ${k + 1}])" +
-        s" * ct[((${k} * (fj % 64)) % 64) + 1]" +
-        s" - (im[(fj // 64) * 33 + ${k + 1}] * g[(fj // 64) * 33 + ${k + 1}])" +
-        s" * stb[((${k} * (fj % 64)) % 64) + 1])"
+    val yfTerms = (0 until B).map { k =>
+      val wk = if (k == 0 || k == B - 1) "1.0" else "2.0"
+      s"$wk * ((re[(fj // $W) * $B + ${k + 1}] * g[(fj // $W) * $B + ${k + 1}])" +
+        s" * ct[((${k} * (fj % $W)) % $W) + 1]" +
+        s" - (im[(fj // $W) * $B + ${k + 1}] * g[(fj // $W) * $B + ${k + 1}])" +
+        s" * stb[((${k} * (fj % $W)) % $W) + 1])"
     }.mkString(" + ")
+    // Mean noise spectrum per bin over the nF noise frames — replayed as
+    // a generated sum/nF (the kernel's noiseMag fold), NOT specialized
+    // to frame 0, so a probe rescale that makes nF > 1 stays correct.
+    val noiseMean = (0 until nF)
+      .map(f => s"mg[${f * B} + (fk % $B) + 1]")
+      .mkString("(", " + ", s") / $nF")
     // FLAT layouts throughout — re/im/mg/g are 13x33 lists indexed
     // [f*33+k+1], yf is 13x64 indexed [f*64+j+1]: a nested list-of-lists
     // oracle re-extracts (copies) the inner list on every [f][k] access,
@@ -1229,50 +1251,50 @@ object MediaQueries {
        |  round(y[201], 6) AS y200
        |FROM (
        |  SELECT doc_id, x,
-       |    list_transform(range(0, 256), n2 -> CASE
+       |    list_transform(range(0, $N), n2 -> CASE
        |      WHEN yden[n2 + 1] > 1e-8 THEN ynum[n2 + 1] / yden[n2 + 1]
        |      ELSE 0.0 END) AS y
        |  FROM (
        |    SELECT doc_id, x,
-       |      list_transform(range(0, 256), n2 -> list_reduce(
+       |      list_transform(range(0, $N), n2 -> list_reduce(
        |        list_prepend(0.0, list_transform(
-       |          list_filter(range(0, 13),
-       |            f -> n2 - 16 * f >= 0 AND n2 - 16 * f < 64),
-       |          f -> hn[n2 - 16 * f + 1] * yf[f * 64 + n2 - 16 * f + 1])),
+       |          list_filter(range(0, $frames),
+       |            f -> n2 - $H * f >= 0 AND n2 - $H * f < $W),
+       |          f -> hn[n2 - $H * f + 1] * yf[f * $W + n2 - $H * f + 1])),
        |        (a, b) -> a + b)) AS ynum,
-       |      list_transform(range(0, 256), n2 -> list_reduce(
+       |      list_transform(range(0, $N), n2 -> list_reduce(
        |        list_prepend(0.0, list_transform(
-       |          list_filter(range(0, 13),
-       |            f -> n2 - 16 * f >= 0 AND n2 - 16 * f < 64),
-       |          f -> hn[n2 - 16 * f + 1] * hn[n2 - 16 * f + 1])),
+       |          list_filter(range(0, $frames),
+       |            f -> n2 - $H * f >= 0 AND n2 - $H * f < $W),
+       |          f -> hn[n2 - $H * f + 1] * hn[n2 - $H * f + 1])),
        |        (a, b) -> a + b)) AS yden
        |    FROM (
        |      SELECT doc_id, hn, ct, stb, x,
-       |        list_transform(range(0, 832), fj -> ($yfTerms) / 64) AS yf
+       |        list_transform(range(0, $FJ), fj -> ($yfTerms) / $W) AS yf
        |      FROM (
        |        SELECT doc_id, hn, ct, stb, x, re, im,
-       |          list_transform(range(0, 429), fk -> CASE
+       |          list_transform(range(0, $FK), fk -> CASE
        |            WHEN mg[fk + 1] > 0 THEN
        |              greatest(0.01 * mg[fk + 1],
-       |                mg[fk + 1] - 2.0 * (mg[(fk % 33) + 1] / 1)) / mg[fk + 1]
+       |                mg[fk + 1] - 2.0 * ($noiseMean)) / mg[fk + 1]
        |            ELSE 0.0 END) AS g
        |        FROM (
        |          SELECT doc_id, hn, ct, stb, x, re, im,
-       |            list_transform(range(0, 429), fk ->
+       |            list_transform(range(0, $FK), fk ->
        |              sqrt(re[fk + 1] * re[fk + 1] + im[fk + 1] * im[fk + 1]))
        |              AS mg
        |          FROM (
        |            SELECT doc_id, hn, ct, stb, x,
-       |              list_transform(range(0, 429), fk -> $reTerms) AS re,
-       |              list_transform(range(0, 429), fk -> -($imTerms)) AS im
+       |              list_transform(range(0, $FK), fk -> $reTerms) AS re,
+       |              list_transform(range(0, $FK), fk -> -($imTerms)) AS im
        |            FROM (
        |              SELECT doc_id, hn, ct, stb,
-       |                [(CASE WHEN i < 64 THEN 0.0
+       |                [(CASE WHEN i < ${N / 4} THEN 0.0
        |                   ELSE 0.8 * (abs((i % 32) - 16)
        |                     / CAST(16 AS DOUBLE) - 0.5) END)
        |                 + 0.25 * (((ascii(substr(text, ((i * 11) % nch) + 1, 1))
        |                     * (i + 7)) % 97) / CAST(97 AS DOUBLE) - 0.5)
-       |                 for i in range(0, 256)] AS x
+       |                 for i in range(0, $N)] AS x
        |              FROM (SELECT doc_id, text, length(text) AS nch
        |                    FROM documents WHERE length(text) >= 1)
        |                CROSS JOIN (SELECT CAST($hn AS DOUBLE[]) AS hn,

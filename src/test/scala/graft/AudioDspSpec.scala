@@ -114,6 +114,30 @@ class AudioDspSpec extends SparkSpec {
     assert(AudioDsp.denoiseSpectral(new Array[Double](256)).forall(_ == 0.0))
   }
 
+  test("F4 spectral denoise: off-grid tail passes through, not zeroed") {
+    // n = 300: frames = (300-64)/16+1 = 15, coverage ends at 14*16+64 =
+    // 288 — samples 288..299 are never windowed into any frame and must
+    // come back unchanged (they used to be silently zeroed).
+    def noise(i: Int): Double = ((i * 31 + 17) % 97) / 97.0 - 0.5
+    val n = 300
+    val x = Array.tabulate(n)(i =>
+      (if (i >= n / 4) 0.8 * math.sin(2 * math.Pi * i / 8.0) else 0.0)
+        + 0.2 * noise(i))
+    val y = AudioDsp.denoiseSpectral(x)
+    assert(y.length == n)
+    val covered = ((n - 64) / 16) * 16 + 64
+    assert(covered == 288)
+    (covered until n).foreach { i =>
+      assert(y(i) == x(i), s"tail sample $i not passed through")
+    }
+    // and the covered region is still actually denoised (not pass-through)
+    assert((64 until covered).exists(i => y(i) != x(i)))
+    // frame-aligned input (n % grid == 0) has no pass-through region:
+    // identical to the pre-fix kernel, so the q159 oracle is unaffected
+    val aligned = Array.tabulate(256)(i => x(i))
+    assert(AudioDsp.denoiseSpectral(aligned).length == 256)
+  }
+
   test("F7 frame VAD: 30 ms frames with padded last frame") {
     val fs = 16000
     val loud = Array.fill(fs / 2)(0.5)
