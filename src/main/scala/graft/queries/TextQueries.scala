@@ -1667,7 +1667,119 @@ object TextQueries {
        |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
        |GROUP BY 1""".stripMargin
 
+  /** q161: trained-LM quality filter (CCNet-style) — the perplexity
+    * bucketing step a crawl pipeline runs AFTER a trusted reference
+    * corpus exists: an add-one-smoothed bigram LM is trained on the
+    * trusted slice (`source = 'src0'`, standing in for CCNet's
+    * Wikipedia), every document is scored by its mean per-bigram
+    * surprisal against that model, and the corpus splits into
+    * head/middle/tail quality buckets (CCNet keeps head+middle for
+    * pretraining). Differs from q124 (self-trained unigram rarity —
+    * no reference corpus) and q113 (corpus-uniqueness — no LM at
+    * all): here the model is an EXTERNAL artifact and out-of-domain
+    * text scores high no matter how common its tokens are corpus-wide.
+    *
+    * Integer-exact surprisal (the q113/q124 rule — no log/exp libm
+    * parity traps): per bigram, bits = bit_length((c1 + V) div
+    * (c12 + 1)) via `length(bin(...))` — the integer ⌈log2⌉ of the
+    * inverse smoothed conditional probability (c12+1)/(c1+V). OOV
+    * bigrams (c12 = 0) land at bit_length(c1 + V) — the LM's maximum
+    * surprisal for that context — exactly the open-vocabulary penalty
+    * a real CCNet run assigns unseen continuations. Bucket thresholds
+    * (mean bits ≤ 5.60 head, ≤ 5.70 middle, else tail — corpus
+    * tertiles, fixed calibration constants like q149's rule bounds)
+    * compare as integer cross-products: sum_bits·100 vs T·n_bigrams.
+    *
+    * Scale shape: the LM tables (c1, c12, V) are TRUSTED-SLICE-vocab-
+    * sized — a bounded model artifact (CCNet ships a fixed KenLM
+    * file), so both join BROADCAST onto the corpus gram stream; the
+    * corpus itself never shuffles until the final groupBy doc_id,
+    * whose map-side partials collapse each document to one row before
+    * the exchange. Gram hashing happens before any join (the q113
+    * rule: the key is never the string). V rides along as a 1-row
+    * broadcast scalar (plan-guard-proved pattern). */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val gramsOf = (df: DataFrame) => df
+      .withColumn("w", expr(wordsExpr))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(" +
+          "cast(conv(substring(md5(w[i]), 1, 15), 16, 10) as bigint) as h1, " +
+          "cast(conv(substring(md5(concat(w[i], ' ', w[i+1])), 1, 15), 16, 10) as bigint) as h12))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.h1"), col("g.h12"))
+    val docs = Tables.documents(s, d)
+    val trusted = docs.filter(col("source") === "src0")
+    val train = gramsOf(trusted)
+    val c1 = train.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val c12 = train.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
+    val vdf = trusted
+      .select(explode(expr(
+        s"transform($wordsExpr, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .as("th"))
+      .agg(countDistinct(col("th")).as("v"))
+    gramsOf(docs)
+      .join(broadcast(c1), Seq("h1"), "left")
+      .join(broadcast(c12), Seq("h12"), "left")
+      .crossJoin(broadcast(vdf))
+      .withColumn("c1f", coalesce(col("c1"), lit(0L)))
+      .withColumn("c12f", coalesce(col("c12"), lit(0L)))
+      .withColumn("bits",
+        length(bin(expr("(c1f + v) div (c12f + 1)"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("c12f") === 0L).cast("long")).as("n_oov"),
+        sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        col("sum_bits"),
+        round(col("sum_bits").cast("double") / col("n_bigrams"), 6)
+          .as("mean_bits"),
+        when(col("sum_bits") * 100 <= col("n_bigrams") * 560, "head")
+          .when(col("sum_bits") * 100 <= col("n_bigrams") * 570, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  private val q161Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, $wordsSqlExpr AS w FROM documents
+       |  WHERE len($wordsSqlExpr) >= 2),
+       |grams AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15))
+       |      AS BIGINT) AS h12
+       |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+       |        FROM docs)),
+       |c1 AS (SELECT h1, count(*) AS c1 FROM grams
+       |       WHERE source = 'src0' GROUP BY 1),
+       |c12 AS (SELECT h12, count(*) AS c12 FROM grams
+       |        WHERE source = 'src0' GROUP BY 1),
+       |v AS (
+       |  SELECT count(DISTINCT CAST(('0x' || substr(md5(t), 1, 15))
+       |    AS BIGINT)) AS v
+       |  FROM (SELECT unnest($wordsSqlExpr) AS t FROM documents
+       |        WHERE source = 'src0')),
+       |sc AS (
+       |  SELECT g.doc_id, coalesce(c1.c1, 0) AS c1f,
+       |    coalesce(c12.c12, 0) AS c12f, v.v
+       |  FROM grams g
+       |  LEFT JOIN c1 ON g.h1 = c1.h1
+       |  LEFT JOIN c12 ON g.h12 = c12.h12, v),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CAST(c12f = 0 AS BIGINT)) AS BIGINT) AS n_oov,
+       |    CAST(sum(length(bin((c1f + v) // (c12f + 1)))) AS BIGINT)
+       |      AS sum_bits
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_oov, sum_bits,
+       |  round(CAST(sum_bits AS DOUBLE) / n_bigrams, 6) AS mean_bits,
+       |  CASE WHEN sum_bits * 100 <= n_bigrams * 560 THEN 'head'
+       |       WHEN sum_bits * 100 <= n_bigrams * 570 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM per""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q161_lm_quality_filter", q161, Some(q161Sql)),
     QueryDef("q157_corpus_build", q157, Some(q157Sql)),
     QueryDef("q156_pii_redaction", q156, Some(q156Sql)),
     QueryDef("q155_banding_recall", q155, Some(q155Sql)),
