@@ -1778,7 +1778,116 @@ object TextQueries {
        |       ELSE 'tail' END AS ppl_bucket
        |FROM per""".stripMargin
 
+  /** q162: BPE TRAINER, three merge rounds end-to-end — the outer loop
+    * q152 is the inner step of, fully declarative: each round counts
+    * adjacent-symbol pairs over the distinct-word table, picks the
+    * best merge by (count desc, pair asc), APPLIES it to every word's
+    * symbol sequence, and the next round trains on the merged state.
+    * Unlike the q78/q150 fixpoints there is ZERO driver coordination:
+    * each round's argmax is a global `min_by` aggregate — a 1-row
+    * broadcast scalar (plan-guard-proved) — so all three rounds live
+    * in ONE Spark job graph.
+    *
+    * Merge application is the subtle part: BPE replaces adjacent
+    * symbol pairs left-to-right, non-overlapping ("aaaa" + merge
+    * (a,a) → [aa, aa]; "aaa" → [aa, a]). Both engines get this from
+    * `replace()` over a wrapped-symbol string encoding — every symbol
+    * carries its own chr(1) fences (`·a··a··a·`), so the pattern
+    * `·p1··p2·` consumes whole symbols only and the engines' shared
+    * left-to-right non-overlap replace semantics IS the BPE rule
+    * (verified identical on aaaa/aaa/abab probes). chr(1) never
+    * occurs in corpus text.
+    *
+    * Scale shape: the corpus is touched ONCE — the word-frequency
+    * shuffle; its exchange is REUSED by every downstream branch
+    * (ReuseExchange). Everything after is vocab-sized (Heaps' law):
+    * pair counts, argmax scalars, merge applications. Emits one row
+    * per round: the chosen pair, its weighted count, and the corpus
+    * symbol total after the merge (which must fall by exactly cnt —
+    * an internal conservation the oracle re-derives independently). */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(expr(wordsExpr)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("s", expr(
+        "concat_ws('', transform(sequence(1, length(w)), " +
+          "i -> concat(chr(1), substring(w, i, 1), chr(1))))"))
+    val symsOf = "split(substring(s, 2, length(s) - 2), chr(1)||chr(1))"
+    def best(df: DataFrame): DataFrame = df
+      .withColumn("syms", expr(symsOf))
+      .filter(size(col("syms")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum(col("f")).as("cnt"))
+      .agg(min_by(struct(col("a"), col("b"), col("cnt")),
+        struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("bst"))
+      .select(col("bst.a").as("bp1"), col("bst.b").as("bp2"),
+        col("bst.cnt").as("bcnt"))
+    def applyMerge(df: DataFrame, b: DataFrame): DataFrame = df
+      .crossJoin(broadcast(b))
+      .withColumn("s", expr(
+        "replace(s, chr(1)||bp1||chr(1)||chr(1)||bp2||chr(1), " +
+          "chr(1)||bp1||bp2||chr(1))"))
+      .select(col("w"), col("f"), col("s"))
+    def totalSyms(df: DataFrame): DataFrame = df
+      .agg(sum(col("f") * expr(s"size($symsOf)")).as("total_syms"))
+    def row(r: Int, b: DataFrame, merged: DataFrame): DataFrame = b
+      .crossJoin(broadcast(totalSyms(merged)))
+      .select(lit(r.toLong).as("round"),
+        col("bp1").as("p1"), col("bp2").as("p2"),
+        concat(col("bp1"), col("bp2")).as("merged"),
+        col("bcnt").as("cnt"), col("total_syms"))
+    val b1 = best(wf);  val s1 = applyMerge(wf, b1)
+    val b2 = best(s1);  val s2 = applyMerge(s1, b2)
+    val b3 = best(s2);  val s3 = applyMerge(s2, b3)
+    row(1, b1, s1).unionAll(row(2, b2, s2)).unionAll(row(3, b3, s3))
+  }
+
+  private val q162Sql = {
+    val syms = s"str_split(substr(s, 2, length(s) - 2), chr(1)||chr(1))"
+    def round(r: Int, prev: String) =
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b,
+         |    CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i
+         |        FROM (SELECT f, $syms AS syms FROM $prev)
+         |        WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT w, f, replace(s,
+         |    chr(1) || x.a || chr(1) || chr(1) || x.b || chr(1),
+         |    chr(1) || x.a || x.b || chr(1)) AS s
+         |  FROM $prev, b$r x),
+         |t$r AS (
+         |  SELECT CAST(sum(f * len($syms)) AS BIGINT) AS total_syms
+         |  FROM s$r)"""
+    def out(r: Int) =
+      s"""SELECT CAST($r AS BIGINT) AS round, x.a AS p1, x.b AS p2,
+         |  x.a || x.b AS merged, x.cnt, t.total_syms
+         |FROM b$r x, t$r t"""
+    s"""WITH wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest($wordsSqlExpr) AS w FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT w, f, chr(1) || array_to_string(str_split(w, ''),
+       |    chr(1) || chr(1)) || chr(1) AS s
+       |  FROM wf),
+       |${round(1, "s0")},
+       |${round(2, "s1")},
+       |${round(3, "s2")}
+       |${out(1)}
+       |UNION ALL
+       |${out(2)}
+       |UNION ALL
+       |${out(3)}""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q162_bpe_train_rounds", q162, Some(q162Sql)),
     QueryDef("q161_lm_quality_filter", q161, Some(q161Sql)),
     QueryDef("q157_corpus_build", q157, Some(q157Sql)),
     QueryDef("q156_pii_redaction", q156, Some(q156Sql)),
