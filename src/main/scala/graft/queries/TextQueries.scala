@@ -1805,54 +1805,66 @@ object TextQueries {
     * per round: the chosen pair, its weighted count, and the corpus
     * symbol total after the merge (which must fall by exactly cnt —
     * an internal conservation the oracle re-derives independently). */
-  private def q162(s: SparkSession, d: String): DataFrame = {
-    val wf = Tables.documents(s, d)
+  /** The shared BPE machinery of q162 (trainer) and q163 (encoder):
+    * word-frequency table with wrapped-symbol state, per-round argmax
+    * merge as a 1-row broadcast scalar, and the left-to-right
+    * non-overlapping merge application via `replace` over the chr(1)
+    * fences. The SQL twin is [[bpeSqlChain]] — change either side in
+    * lockstep or q162 AND q163 break together (the tokenHashes
+    * discipline: one place per engine). */
+  private val bpeSymsOf =
+    "split(substring(s, 2, length(s) - 2), chr(1)||chr(1))"
+
+  private def bpeWordFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(explode(expr(wordsExpr)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .withColumn("s", expr(
         "concat_ws('', transform(sequence(1, length(w)), " +
           "i -> concat(chr(1), substring(w, i, 1), chr(1))))"))
-    val symsOf = "split(substring(s, 2, length(s) - 2), chr(1)||chr(1))"
-    def best(df: DataFrame): DataFrame = df
-      .withColumn("syms", expr(symsOf))
-      .filter(size(col("syms")) >= 2)
-      .select(col("f"), explode(expr(
-        "transform(sequence(1, size(syms) - 1), " +
-          "i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("pr"))
-      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-      .agg(sum(col("f")).as("cnt"))
-      .agg(min_by(struct(col("a"), col("b"), col("cnt")),
-        struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("bst"))
-      .select(col("bst.a").as("bp1"), col("bst.b").as("bp2"),
-        col("bst.cnt").as("bcnt"))
-    def applyMerge(df: DataFrame, b: DataFrame): DataFrame = df
-      .crossJoin(broadcast(b))
-      .withColumn("s", expr(
-        "replace(s, chr(1)||bp1||chr(1)||chr(1)||bp2||chr(1), " +
-          "chr(1)||bp1||bp2||chr(1))"))
-      .select(col("w"), col("f"), col("s"))
-    def totalSyms(df: DataFrame): DataFrame = df
-      .agg(sum(col("f") * expr(s"size($symsOf)")).as("total_syms"))
-    def row(r: Int, b: DataFrame, merged: DataFrame): DataFrame = b
-      .crossJoin(broadcast(totalSyms(merged)))
-      .select(lit(r.toLong).as("round"),
-        col("bp1").as("p1"), col("bp2").as("p2"),
-        concat(col("bp1"), col("bp2")).as("merged"),
-        col("bcnt").as("cnt"), col("total_syms"))
-    val b1 = best(wf);  val s1 = applyMerge(wf, b1)
-    val b2 = best(s1);  val s2 = applyMerge(s1, b2)
-    val b3 = best(s2);  val s3 = applyMerge(s2, b3)
-    row(1, b1, s1).unionAll(row(2, b2, s2)).unionAll(row(3, b3, s3))
+
+  private def bpeBest(df: DataFrame): DataFrame = df
+    .withColumn("syms", expr(bpeSymsOf))
+    .filter(size(col("syms")) >= 2)
+    .select(col("f"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), " +
+        "i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("pr"))
+    .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+    .agg(sum(col("f")).as("cnt"))
+    .agg(min_by(struct(col("a"), col("b"), col("cnt")),
+      struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("bst"))
+    .select(col("bst.a").as("bp1"), col("bst.b").as("bp2"),
+      col("bst.cnt").as("bcnt"))
+
+  private def bpeApply(df: DataFrame, b: DataFrame): DataFrame = df
+    .crossJoin(broadcast(b))
+    .withColumn("s", expr(
+      "replace(s, chr(1)||bp1||chr(1)||chr(1)||bp2||chr(1), " +
+        "chr(1)||bp1||bp2||chr(1))"))
+    .select(col("w"), col("f"), col("s"))
+
+  /** (per-round argmax, state-after-merge) for three trained rounds. */
+  private def bpeRounds3(s: SparkSession, d: String)
+      : Seq[(DataFrame, DataFrame)] = {
+    val wf = bpeWordFreq(s, d)
+    val b1 = bpeBest(wf); val s1 = bpeApply(wf, b1)
+    val b2 = bpeBest(s1); val s2 = bpeApply(s1, b2)
+    val b3 = bpeBest(s2); val s3 = bpeApply(s2, b3)
+    Seq((b1, s1), (b2, s2), (b3, s3))
   }
 
-  private val q162Sql = {
-    val syms = s"str_split(substr(s, 2, length(s) - 2), chr(1)||chr(1))"
+  /** SQL twin of the trainer chain: CTEs wf, s0, p1/b1/s1 … p3/b3/s3
+    * (callers append t-totals or downstream CTEs as needed). */
+  private val bpeSqlSyms =
+    "str_split(substr(s, 2, length(s) - 2), chr(1)||chr(1))"
+
+  private val bpeSqlChain: String = {
     def round(r: Int, prev: String) =
       s"""p$r AS (
          |  SELECT syms[i] AS a, syms[i + 1] AS b,
          |    CAST(sum(f) AS BIGINT) AS cnt
          |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i
-         |        FROM (SELECT f, $syms AS syms FROM $prev)
+         |        FROM (SELECT f, $bpeSqlSyms AS syms FROM $prev)
          |        WHERE len(syms) >= 2)
          |  GROUP BY 1, 2),
          |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
@@ -1860,15 +1872,8 @@ object TextQueries {
          |  SELECT w, f, replace(s,
          |    chr(1) || x.a || chr(1) || chr(1) || x.b || chr(1),
          |    chr(1) || x.a || x.b || chr(1)) AS s
-         |  FROM $prev, b$r x),
-         |t$r AS (
-         |  SELECT CAST(sum(f * len($syms)) AS BIGINT) AS total_syms
-         |  FROM s$r)"""
-    def out(r: Int) =
-      s"""SELECT CAST($r AS BIGINT) AS round, x.a AS p1, x.b AS p2,
-         |  x.a || x.b AS merged, x.cnt, t.total_syms
-         |FROM b$r x, t$r t"""
-    s"""WITH wf AS (
+         |  FROM $prev, b$r x)"""
+    s"""wf AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f
        |  FROM (SELECT unnest($wordsSqlExpr) AS w FROM documents)
        |  GROUP BY 1),
@@ -1878,7 +1883,36 @@ object TextQueries {
        |  FROM wf),
        |${round(1, "s0")},
        |${round(2, "s1")},
-       |${round(3, "s2")}
+       |${round(3, "s2")}"""
+  }
+
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    def totalSyms(df: DataFrame): DataFrame = df
+      .agg(sum(col("f") * expr(s"size($bpeSymsOf)")).as("total_syms"))
+    def row(r: Int, b: DataFrame, merged: DataFrame): DataFrame = b
+      .crossJoin(broadcast(totalSyms(merged)))
+      .select(lit(r.toLong).as("round"),
+        col("bp1").as("p1"), col("bp2").as("p2"),
+        concat(col("bp1"), col("bp2")).as("merged"),
+        col("bcnt").as("cnt"), col("total_syms"))
+    val rounds = bpeRounds3(s, d)
+    rounds.zipWithIndex.map { case ((b, st), i) => row(i + 1, b, st) }
+      .reduce(_ unionAll _)
+  }
+
+  private val q162Sql = {
+    def out(r: Int) =
+      s"""SELECT CAST($r AS BIGINT) AS round, x.a AS p1, x.b AS p2,
+         |  x.a || x.b AS merged, x.cnt, t.total_syms
+         |FROM b$r x, t$r t"""
+    def tot(r: Int) =
+      s"""t$r AS (
+         |  SELECT CAST(sum(f * len($bpeSqlSyms)) AS BIGINT) AS total_syms
+         |  FROM s$r)"""
+    s"""WITH $bpeSqlChain,
+       |${tot(1)},
+       |${tot(2)},
+       |${tot(3)}
        |${out(1)}
        |UNION ALL
        |${out(2)}
@@ -1886,7 +1920,54 @@ object TextQueries {
        |${out(3)}""".stripMargin
   }
 
+  /** q163: BPE ENCODER — the deploy half of the q162 trainer: the
+    * three trained merges are applied to EVERY document and each doc
+    * reports its word, char-token, and BPE-token counts plus the
+    * compression ratio — the tokens-per-doc accounting a pretraining
+    * pipeline runs to budget sequence packing (q76) and per-source
+    * quotas (q94) under the real tokenizer rather than the whitespace
+    * proxy.
+    *
+    * Scale shape: encoding is PER-WORD, so the corpus never carries
+    * merge state — the trained vocabulary (word → symbol count after
+    * merge 3, Heaps-bounded) BROADCASTS onto the corpus token stream
+    * and the only corpus-scale shuffles are the word-frequency
+    * aggregate the trainer already owns and the final groupBy doc_id
+    * (map-side partials, one row per doc). Every corpus word is in
+    * the vocabulary by construction, so the join is inner and
+    * lossless. */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val vocab = bpeRounds3(s, d).last._2
+      .select(col("w"), expr(s"size($bpeSymsOf)").cast("long").as("n_syms"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_char_tokens"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_char_tokens"),
+        col("n_bpe_tokens"),
+        round(col("n_char_tokens").cast("double") / col("n_bpe_tokens"), 6)
+          .as("compression"))
+  }
+
+  private val q163Sql =
+    s"""WITH $bpeSqlChain,
+       |vocab AS (
+       |  SELECT w, CAST(len($bpeSqlSyms) AS BIGINT) AS n_syms FROM s3),
+       |tok AS (
+       |  SELECT doc_id, unnest($wordsSqlExpr) AS w FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(t.w)) AS BIGINT) AS n_char_tokens,
+       |  CAST(sum(v.n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(length(t.w)) AS DOUBLE) / sum(v.n_syms), 6)
+       |    AS compression
+       |FROM tok t JOIN vocab v ON t.w = v.w
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q163_bpe_encode", q163, Some(q163Sql)),
     QueryDef("q162_bpe_train_rounds", q162, Some(q162Sql)),
     QueryDef("q161_lm_quality_filter", q161, Some(q161Sql)),
     QueryDef("q157_corpus_build", q157, Some(q157Sql)),
