@@ -1966,7 +1966,68 @@ object TextQueries {
        |FROM tok t JOIN vocab v ON t.w = v.w
        |GROUP BY 1""".stripMargin
 
+  /** q164: temperature-based domain MIXTURE WEIGHTS — the sampling
+    * schedule a multi-domain pretraining run computes before the first
+    * batch (the α-temperature rule from multilingual/multi-corpus
+    * training: sample domain i ∝ n_i^α with α = 0.5, which upsamples
+    * small domains and damps head domains relative to their natural
+    * token share). Emits per source: doc/token counts, natural share,
+    * the α=0.5 mixture weight, and the resulting upsample factor a
+    * quota enforcer (q94) or packer (q76) consumes.
+    *
+    * Exactness: n^0.5 is the ONE libm-adjacent op — `sqrt` is IEEE-754
+    * correctly-rounded in both engines (unlike ln/pow), and it is
+    * immediately quantized to integer micro-units (floor(√n·10⁶+0.5)),
+    * so every downstream share is a ratio of order-independent INTEGER
+    * sums, rounded once at 6 — the q149 integer-cross-product
+    * discipline applied to a necessarily-irrational weight.
+    *
+    * Scale shape: one corpus scan → per-source partial aggregates
+    * (20-ish rows at any corpus size), totals as a 1-row broadcast
+    * scalar (plan-guard pattern); nothing downstream of the first
+    * aggregate is corpus-sized. */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(expr(wordsExpr)).cast("long")).as("n_tokens"))
+      .withColumn("m",
+        expr("cast(floor(sqrt(cast(n_tokens as double)) * 1000000 + 0.5) as bigint)"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("m")).as("tot_m"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("natural_share"),
+        round(col("m").cast("double") / col("tot_m"), 6)
+          .as("mixture_weight"),
+        round((col("m").cast("double") / col("tot_m")) /
+          (col("n_tokens").cast("double") / col("tot_tokens")), 6)
+          .as("upsample"))
+  }
+
+  private val q164Sql =
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($wordsSqlExpr)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |m AS (
+       |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000
+       |    + 0.5) AS BIGINT) AS m
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |    CAST(sum(m) AS BIGINT) AS tot_m
+       |  FROM m)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS natural_share,
+       |  round(CAST(m AS DOUBLE) / tot_m, 6) AS mixture_weight,
+       |  round((CAST(m AS DOUBLE) / tot_m)
+       |    / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS upsample
+       |FROM m, tot""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q164_mixture_weights", q164, Some(q164Sql)),
     QueryDef("q163_bpe_encode", q163, Some(q163Sql)),
     QueryDef("q162_bpe_train_rounds", q162, Some(q162Sql)),
     QueryDef("q161_lm_quality_filter", q161, Some(q161Sql)),
