@@ -28,6 +28,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.logEventTsSchema(spark, sfDir, "bench")
     // q11 ranks the ≤100 survivors of a TakeOrderedAndProject with an
     // unpartitioned window — a gated exception (WinScanSpec) that is
     // scale-safe by construction, but WindowExec logs "No Partition
@@ -108,7 +109,7 @@ object Bench {
     // flagship throughput: events/sec through the sessionize+transcript
     // path (q15), the reference's streaming STT shape (§3.1); min-of-3.
     val flagshipEps = try {
-      val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+      val n = Tables.events(spark, sfDir).count()
       results.get("q15_transcript_assembly")
         .map(_._1).filter(_ > 0).map(t => n / t).getOrElse(0.0)
     } catch { case _: Throwable => 0.0 }

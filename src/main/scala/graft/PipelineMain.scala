@@ -48,7 +48,7 @@ object PipelineMain {
       rm(fs)
     }
     // stage the ingest directory (the reference's upload/queue inbox)
-    spark.read.parquet(s"$sfDir/events.parquet")
+    Tables.events(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/ingest")
     val schema = spark.read.parquet(s"$outDir/ingest").schema
     val stream = spark.readStream.schema(schema).parquet(s"$outDir/ingest")

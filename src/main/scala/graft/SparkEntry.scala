@@ -28,6 +28,7 @@ object SparkEntry {
     * SQLConf, so set it here defensively. */
   def entry(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     queries("q15_transcript_assembly")(spark, "/root/testdata/sf0.001")
   }
 

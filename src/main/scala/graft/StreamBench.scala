@@ -92,7 +92,7 @@ object StreamBench {
 
     // batch pre-pass: events → AudioChunk rows (PipelineMain's session-
     // path mapping), staged as `stageFiles` files to bound trigger size
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = Tables.events(spark, sfDir)
     val base = events.groupBy(col("user_id"))
       .agg(min(expr("ts div 1000")).as("base_us"))
     events

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -13,6 +15,34 @@ object Tables {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize `events.ts` to the engine's internal convention — epoch
+    * NANOS as LONG — regardless of how the parquet writer stored it.
+    * Generations of the driver testdata have used parquet
+    * TIMESTAMP(NANOS) (read as LONG under
+    * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ); the engine must not
+    * hardcode either. The DuckDB oracle side is unaffected: `epoch_us(ts)`
+    * yields the same micros for both physical types.
+    *
+    * TIMESTAMP_NTZ carries no zone; all entry points pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast below is the
+    * identity mapping the oracle uses. Pure codegen'd arithmetic on the
+    * scan output — no UDF, stays inside WholeStageCodegen, and at 100 TB
+    * min/max row-group stats on `ts` still prune because the multiply is
+    * monotonic (Spark won't push the derived filter, but every downstream
+    * query filters on derived session windows anyway).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(t) =>
+        val asLtz: Column = t match {
+          case TimestampNTZType => col("ts").cast(TimestampType)
+          case _                => col("ts")
+        }
+        df.withColumn("ts", unix_micros(asLtz) * lit(1000L))
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = tbl(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = tbl(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = tbl(s, d, "customer")
@@ -20,7 +50,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = tbl(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = tbl(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(tbl(s, d, "events"))
+
+  /** Fail-fast visibility at Verify/Bench startup: one stderr line naming
+    * the physical `ts` type the testdata ships and what it normalizes to,
+    * so a future generation flip is legible in the round log instead of
+    * surfacing as 29 opaque oracle absences (VERDICT r9 #2). */
+  def logEventTsSchema(s: SparkSession, d: String, who: String): Unit =
+    try {
+      val raw = tbl(s, d, "events").schema("ts").dataType.simpleString
+      System.err.println(
+        s"[$who] events.ts physical type at $d: $raw -> normalized long nanos")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[$who] events.ts schema probe failed: $e")
+    }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }

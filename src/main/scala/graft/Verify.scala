@@ -22,12 +22,14 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS): read as LONG nanos
-      // (oracle convention: compare on `ts div 1000` = epoch micros).
+      // events.ts physical type varies by testdata generation; nanosAsLong
+      // only matters for the TIMESTAMP(NANOS) generation — Tables.events
+      // normalizes every variant to LONG epoch-nanos (EventTsNormalizeSpec).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.logEventTsSchema(spark, sfDir, "verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

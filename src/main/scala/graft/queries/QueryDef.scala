@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * Oracle conventions (see tools/check_parity.py, TESTDATA.md):
   *   - the driver compares column-name-sorted, row-sorted values, so every
   *     computed column is aliased identically on both sides (lowercase);
-  *   - `events.ts` is parquet TIMESTAMP(NANOS): Spark reads a LONG of
-  *     nanos (spark.sql.legacy.parquet.nanosAsLong), DuckDB a micros
-  *     TIMESTAMP — both sides normalize to epoch MICROS (`ts div 1000` /
-  *     `epoch_us(ts)`);
+  *   - `events.ts` physical type varies by testdata generation
+  *     (TIMESTAMP(NANOS) read as LONG nanos, or TIMESTAMP(MICROS) NTZ);
+  *     [[graft.Tables.events]] normalizes to LONG epoch-nanos at load,
+  *     so the engine always sees nanos — both sides then normalize to
+  *     epoch MICROS (`ts div 1000` / `epoch_us(ts)`);
   *   - money-like double sums go through DECIMAL so the accumulation is
   *     exact and order-independent (a plain double sum over a shuffled
   *     100 TB dataset is nondeterministic), then cast back to double;

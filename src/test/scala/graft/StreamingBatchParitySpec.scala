@@ -27,7 +27,7 @@ class StreamingBatchParitySpec extends SparkSpec {
 
     // the q45 chunk construction over sf0.001 events
     val byUser = Window.partitionBy(col("user_id"))
-    val chunks = spark.read.parquet(s"$sf0001/events.parquet")
+    val chunks = graft.Tables.events(spark, sf0001)
       .withColumn("t_us", expr("ts div 1000"))
       .withColumn("base_us", min(col("t_us")).over(byUser))
       .select(
