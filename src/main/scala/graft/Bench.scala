@@ -153,6 +153,17 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Path.of(p), detail + "\n")
       catch { case _: Throwable => () }
+    // BENCH_DETAIL.json is overwritten per run, so each round's commit
+    // used to lose the prior round's detail (ADVICE r9). Append every
+    // run to a history log too — one line per run, timestamped — so the
+    // full per-query series survives in-repo.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_HISTORY.jsonl"),
+      s"""{"at_epoch_s":${System.currentTimeMillis() / 1000},""" +
+        s""""sf":"$sfName","detail":$detail}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
     println(detail)
     // Compact headline line LAST: the driver keeps only the final 2000
     // stdout chars, and this line (~700 chars: totals, calibration, the

@@ -164,14 +164,35 @@ object MediaQueries {
        |        FROM events))
        |WHERE rn <= 5""".stripMargin
 
-  /** q43: approx-distinct sketch (engine extension; HLL is not
-    * oracle-comparable → rows-only check, exact bounds tested in the
-    * suite). */
-  private def q43(s: SparkSession, d: String): DataFrame =
+  /** q43: approx-distinct sketch. The raw HLL++ estimate is not
+    * oracle-reproducible (DuckDB's approx_count_distinct is a different
+    * sketch), so the query emits what IS exactly checkable: the exact
+    * distinct count alongside a deterministic bounded-error VERDICT on
+    * the estimate (HLL++ is deterministic on fixed data, so the boolean
+    * is stable; default rsd=0.05, asserted within ±15% = 3σ). The oracle
+    * states `true` literally — if Spark's sketch ever drifted outside
+    * the band, the hash comparison fails. This upgrades q43 from a
+    * rows-only check to a full rows+schema+hash oracle while still
+    * exercising the sketch on the 100 TB path (the exact distinct is
+    * the expensive half at scale; the HLL column is the one a real
+    * pipeline would keep). */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val exact = countDistinct(col("l_partkey"))
+    val est = approx_count_distinct(col("l_partkey"))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(exact.as("n_parts_exact"),
+        (abs(est - exact).cast("double") / exact <= lit(0.15))
+          .as("hll_within_15pct"),
         count(lit(1)).as("n"))
+  }
+
+  private val q43Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts_exact,
+      |  true AS hll_within_15pct,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** q44: multimodal decode features through the mapPartitions codec
     * seam. The decode STAGE stays a stub (this container has no codecs)
@@ -2128,7 +2149,7 @@ object MediaQueries {
     QueryDef("q39_validate_predicate", q39, Some(q39Sql)),
     QueryDef("q40_job_envelope", q40, Some(q40Sql)),
     QueryDef("q41_last_n_context", q41, Some(q41Sql)),
-    QueryDef("q43_approx_distinct", q43, None),
+    QueryDef("q43_approx_distinct", q43, Some(q43Sql)),
     QueryDef("q44_multimodal_features", q44, Some(q44Sql)),
     QueryDef("q45_streaming_sessionize", q45, Some(q45Sql)))
 }

@@ -2026,7 +2026,105 @@ object TextQueries {
        |    / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS upsample
        |FROM m, tot""".stripMargin
 
+  /** q165: TRAINING-MIX PLAN capstone — the last composition a
+    * pretraining-data pipeline runs before sampling begins: take the
+    * corpus that actually ships (q157's quality gate ∧ not a dropped
+    * LSH-cluster member), recompute the α=0.5 temperature mixture
+    * weights OVER THE SURVIVORS (q164's formula — post-dedup token
+    * masses differ from raw ones, so weights must be re-derived), and
+    * emit the per-source token quotas that realize the largest
+    * mixture-faithful dataset (q94's binding-source rule): the source
+    * with the smallest tokens/weight ratio binds, quota_s =
+    * floor(min_r(tokens_r/m_r) · m_s) — tot_m cancels out of the
+    * quota algebra, so the scalar that broadcasts is just the min
+    * ratio plus tot_m for the reported weight.
+    *
+    * Scale shape: one corpus scan feeds quality flags and token
+    * counts (map-side partials collapse each doc before the per-source
+    * exchange), dup labels come from the pointer-jump CC over star
+    * edges, the drop set broadcasts onto the corpus, and the two
+    * cross-source scalars ride back as a 1-row broadcast — the
+    * documents table never reshuffles, and nothing here grows with
+    * corpus size except the first scan. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val keepFlags = q149(s, d).select(col("doc_id"), col("keep"))
+    val (labels, _) =
+      graft.operators.ConnectedComponents.minLabel(lshStarEdges(s, d))
+    val dropped = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(true).as("is_dup"))
+    val per = Tables.documents(s, d)
+      .join(keepFlags, "doc_id")
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .filter(col("keep") && !coalesce(col("is_dup"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_final"),
+        sum(size(expr(wordsExpr)).cast("long")).as("tokens_final"))
+      .withColumn("m",
+        expr("cast(floor(sqrt(cast(tokens_final as double)) * 1000000" +
+          " + 0.5) as bigint)"))
+    val tot = per.agg(sum(col("m")).as("tot_m"),
+      min(col("tokens_final").cast("double") / col("m")).as("minratio"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_final"), col("tokens_final"),
+        round(col("m").cast("double") / col("tot_m"), 6)
+          .as("mixture_weight"),
+        floor(col("minratio") * col("m")).cast("long").as("token_quota"),
+        round(floor(col("minratio") * col("m")) /
+          col("tokens_final").cast("double"), 6).as("utilization"))
+  }
+
+  private val q165Sql =
+    s"""WITH RECURSIVE sig AS ($q28Sql),
+       |bandt AS (
+       |  SELECT doc_id, 1 AS bidx,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS bidx,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
+       |  FROM sig),
+       |stars AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(doc_id) OVER (PARTITION BY bidx, band) AS root
+       |  FROM bandt),
+       |edges AS (
+       |  SELECT doc_id AS src, root AS dst FROM stars WHERE doc_id <> root
+       |  UNION ALL
+       |  SELECT root AS src, doc_id AS dst FROM stars WHERE doc_id <> root),
+       |lab AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, lab.label AS label
+       |  FROM lab JOIN edges e ON lab.node = e.src),
+       |cc AS (SELECT node, min(label) AS label FROM lab GROUP BY node),
+       |dropped AS (SELECT node AS doc_id FROM cc WHERE label <> node),
+       |qual AS ($q149Sql),
+       |per AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_final,
+       |    CAST(sum(len($wordsSqlExpr))
+       |      AS BIGINT) AS tokens_final
+       |  FROM documents d
+       |  JOIN qual q ON q.doc_id = d.doc_id
+       |  LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+       |  WHERE q.keep AND dr.doc_id IS NULL
+       |  GROUP BY 1),
+       |mm AS (
+       |  SELECT *, CAST(floor(sqrt(CAST(tokens_final AS DOUBLE)) * 1000000
+       |    + 0.5) AS BIGINT) AS m
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(sum(m) AS BIGINT) AS tot_m,
+       |    min(CAST(tokens_final AS DOUBLE) / m) AS minratio
+       |  FROM mm)
+       |SELECT source, n_final, tokens_final,
+       |  round(CAST(m AS DOUBLE) / tot_m, 6) AS mixture_weight,
+       |  CAST(floor(minratio * m) AS BIGINT) AS token_quota,
+       |  round(floor(minratio * m) / CAST(tokens_final AS DOUBLE), 6)
+       |    AS utilization
+       |FROM mm, tot""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q165_training_mix_plan", q165, Some(q165Sql)),
     QueryDef("q164_mixture_weights", q164, Some(q164Sql)),
     QueryDef("q163_bpe_encode", q163, Some(q163Sql)),
     QueryDef("q162_bpe_train_rounds", q162, Some(q162Sql)),

