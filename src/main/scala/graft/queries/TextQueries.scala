@@ -2123,7 +2123,281 @@ object TextQueries {
        |    AS utilization
        |FROM mm, tot""".stripMargin
 
+  /** q166: EVAL-SET DECONTAMINATION — the n-gram-overlap audit every
+    * serious pretraining run performs (GPT-3 appendix C / PaLM style):
+    * any training document sharing at least one 13-token gram with the
+    * held-out eval slice (`source = 'src0'`, the same trusted slice
+    * q161 trains on) is flagged before it can leak test data into the
+    * model. Gram identity travels as the rolling polynomial window
+    * hash (the q115 machinery, k=13) — collisions are possible at P =
+    * 2^31-1 but both engines hash identically, and a production run
+    * would re-verify flagged docs on raw grams (a per-doc rescan of
+    * only the flagged population).
+    *
+    * Scale shape: eval sets are benchmark-sized by nature, so the
+    * distinct eval-gram set BROADCASTS (the asymmetry is the whole
+    * design: never shuffle the corpus against the eval set); the
+    * training gram stream is scanned once, map-side partials collapse
+    * each doc before the doc_id exchange. Docs under 13 tokens have no
+    * grams and report 0/false via explode_outer. */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.TokenWindowHashes.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("token_window_hashes(" + wordsExpr + ", 13)").as("grams"))
+    val evalGrams = docs.filter(col("source") === "src0")
+      .select(explode(col("grams")).as("h")).distinct()
+      .withColumn("hit", lit(true))
+    docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"),
+        explode_outer(col("grams")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(col("h")).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") >= 1)
+  }
+
+  private val q166Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, $wordsSqlExpr AS w,
+       |    CAST(len($wordsSqlExpr) AS INT) AS n
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, source, n,
+       |    list_transform(w, t -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> (a * 131 + c) % 2147483647)) AS th
+       |  FROM docs),
+       |wins AS (
+       |  SELECT doc_id, source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 12]),
+       |      (a, t) -> (a * 1000003 + t) % 2147483647) AS h
+       |  FROM (SELECT doc_id, source, th, unnest(range(1, n - 13 + 2)) AS i
+       |        FROM th WHERE n >= 13)),
+       |ev AS (SELECT DISTINCT h FROM wins WHERE source = 'src0'),
+       |agg AS (
+       |  SELECT t.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_contaminated
+       |  FROM wins t LEFT JOIN ev e ON e.h = t.h
+       |  WHERE t.source <> 'src0'
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.source,
+       |  coalesce(a.n_grams, 0) AS n_grams,
+       |  coalesce(a.n_contaminated, 0) AS n_contaminated,
+       |  coalesce(a.n_contaminated, 0) >= 1 AS contaminated
+       |FROM docs d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |WHERE d.source <> 'src0'""".stripMargin
+
+  /** q167: INTRA-document repeated-span removal — the self-dedup half
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): spans whose k-token window repeats EARLIER IN THE
+    * SAME DOCUMENT are cut, keeping the first occurrence. Identical
+    * machinery to q115 (rolling window hashes → later-occurrence
+    * islands → disjoint-interval rewrite via per-row HOFs) with the
+    * dup partition keyed by (doc_id, h) instead of h. Window k=3 here:
+    * the synthetic corpus draws uniform tokens from a 31-word
+    * vocabulary, so 50-token intra-doc repeats never occur — k=3
+    * exercises the full cut-and-rewrite path on naturally-colliding
+    * trigrams (production uses 50, one constant).
+    *
+    * Scale shape: strictly BETTER than q115 — every shuffle is keyed
+    * by doc_id (the dup window partitions by (doc_id, h), the island
+    * pass by doc_id), so the operator is embarrassingly parallel over
+    * documents with no cross-doc state at all. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.TokenWindowHashes.register(s)
+    val k = 3
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(wordsExpr).as("w"))
+      .withColumn("n", size(col("w")))
+    val wins = docs
+      .select(col("doc_id"), expr(s"token_window_hashes(w, $k)").as("wh"))
+      .select(col("doc_id"), posexplode(col("wh")).as(Seq("widx", "h")))
+    val dup = wins
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"), col("h"))
+          .orderBy(col("widx").asc)))
+      .filter(col("rk") > 1)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("widx").asc)
+    val islands = dup
+      .withColumn("prev", lag(col("widx"), 1).over(byDoc))
+      .withColumn("brk",
+        (col("prev").isNull || col("widx") - col("prev") > k - 1).cast("int"))
+      .withColumn("isl", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("widx")).as("s"), (max(col("widx")) + lit(k - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    docs.join(islands, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        """CASE WHEN ivs IS NULL THEN w
+          |ELSE transform(filter(sequence(0, n - 1),
+          |  i -> NOT exists(ivs, v -> i >= v.s AND i <= v.e)),
+          |  i -> element_at(w, i + 1)) END""".stripMargin))
+      .select(col("doc_id"),
+        col("n").as("n_tokens"),
+        (col("n") - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  private val q167Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, $wordsSqlExpr AS w,
+       |    CAST(len($wordsSqlExpr) AS INT) AS n
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, n, w,
+       |    list_transform(w, t -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> (a * 131 + c) % 2147483647)) AS th
+       |  FROM docs),
+       |wins AS (
+       |  SELECT doc_id, i - 1 AS widx,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 2]),
+       |      (a, t) -> (a * 1000003 + t) % 2147483647) AS h
+       |  FROM (SELECT doc_id, th, unnest(range(1, n - 3 + 2)) AS i
+       |        FROM th WHERE n >= 3)),
+       |dup AS (
+       |  SELECT doc_id, widx FROM (
+       |    SELECT doc_id, widx,
+       |      row_number() OVER (PARTITION BY doc_id, h ORDER BY widx) AS rk
+       |    FROM wins)
+       |  WHERE rk > 1),
+       |isl AS (
+       |  SELECT doc_id, widx,
+       |    sum(CASE WHEN prev IS NULL OR widx - prev > 2
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY widx
+       |            ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM (SELECT doc_id, widx,
+       |          lag(widx) OVER (PARTITION BY doc_id ORDER BY widx) AS prev
+       |        FROM dup)),
+       |iv AS (
+       |  SELECT doc_id, min(widx) AS s, max(widx) + 2 AS e
+       |  FROM isl GROUP BY doc_id, g),
+       |cov AS (
+       |  SELECT doc_id, unnest(range(s, e + 1)) AS tidx FROM iv),
+       |tok AS (
+       |  SELECT doc_id, tidx, w[CAST(tidx AS INT) + 1] AS tk
+       |  FROM (SELECT doc_id, w,
+       |          CAST(unnest(range(0, n)) AS BIGINT) AS tidx
+       |        FROM docs)),
+       |kept AS (
+       |  SELECT t.doc_id, t.tidx, t.tk
+       |  FROM tok t LEFT JOIN cov c
+       |    ON c.doc_id = t.doc_id AND c.tidx = t.tidx
+       |  WHERE c.tidx IS NULL)
+       |SELECT d.doc_id,
+       |  d.n AS n_tokens,
+       |  CAST(d.n - count(k.tidx) AS INT) AS n_removed,
+       |  coalesce(string_agg(k.tk, ' ' ORDER BY k.tidx), '') AS clean_text
+       |FROM docs d LEFT JOIN kept k ON k.doc_id = d.doc_id
+       |GROUP BY d.doc_id, d.n""".stripMargin
+
+  /** q168: CONTAINMENT near-dup scoring — the asymmetric complement of
+    * q29's Jaccard: C = |A∩B| / min(|A|,|B|) catches a short document
+    * swallowed whole by a long one (quote-and-extend plagiarism, page
+    * + boilerplate wrapper), which symmetric Jaccard misses precisely
+    * BECAUSE the length-ratio prune that makes q29 cheap discards
+    * those pairs. So this query drops both the length prune and the
+    * Jaccard floor: candidates are the same first-matching-band LSH
+    * pairs (no new shuffle shape), each verified by the codegen'd
+    * sorted-merge intersect, and a pair ships when the smaller side is
+    * ≥90% contained. MinHash banding is Jaccard-biased, so recall on
+    * extreme-asymmetry pairs is structurally limited — the honest
+    * production fix is a containment-native sketch; on this corpus the
+    * bands surface plenty (documented bias, same rule as q166's hash
+    * collisions). */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.SortedLongIntersectCount.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    val sig = q28(s, d)
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("opt_barrier(array_sort(array_distinct(transform(" +
+          wordsExpr +
+          ", w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)))))")
+          .as("wset"))
+      .withColumn("nw", size(col("wset")).cast("long"))
+    def fold(seed: Long, ms: Seq[String]): Column =
+      ms.foldLeft(lit(seed))((acc, m) => (acc * 127 + col(m)) % P)
+    val bandRows = sig
+      .select(col("doc_id"),
+        fold(1L, Seq("m0", "m1", "m2", "m3")).as("band1"),
+        fold(2L, Seq("m4", "m5", "m6", "m7")).as("band2"))
+      .select(col("doc_id"), col("band1"),
+        explode(array(
+          struct(lit(1).as("bidx"), col("band1").as("band")),
+          struct(lit(2).as("bidx"), col("band2").as("band")))).as("e"))
+      .select(col("doc_id"), col("band1"),
+        col("e.bidx").as("bidx"), col("e.band").as("band"))
+      .join(words, "doc_id")
+    val x = bandRows.select(col("bidx"), col("band"),
+      col("doc_id").as("doc_a"), col("band1").as("b1a"),
+      col("wset").as("wa"), col("nw").as("na"))
+    val y = bandRows.select(col("bidx"), col("band"),
+      col("doc_id").as("doc_b"), col("band1").as("b1b"),
+      col("wset").as("wb"), col("nw").as("nb"))
+    x.join(y, Seq("bidx", "band"))
+      .filter(col("doc_a") < col("doc_b") &&
+        (col("bidx") === 1 || col("b1a") =!= col("b1b")))
+      .withColumn("inter",
+        expr("opt_barrier(sorted_long_intersect_count(wa, wb))"))
+      .withColumn("containment", round(
+        col("inter").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("inter"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"),
+        col("containment"))
+  }
+
+  private val q168Sql =
+    s"""WITH sig AS ($q28Sql),
+       |bands AS (
+       |  SELECT doc_id, 1 AS bidx,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS bidx,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
+       |  FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |  ON x.bidx = y.bidx AND x.band = y.band AND x.doc_id < y.doc_id),
+       |wsets AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform($wordsSqlExpr,
+       |      w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT))) AS wset,
+       |    CAST(len(list_distinct(list_transform($wordsSqlExpr,
+       |      w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT)))) AS BIGINT) AS nw
+       |  FROM documents)
+       |SELECT doc_a, doc_b, wa.nw AS na, wb.nw AS nb,
+       |  CAST(len(list_intersect(wa.wset, wb.wset)) AS BIGINT) AS inter,
+       |  round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
+       |    / (wa.nw + wb.nw - len(list_intersect(wa.wset, wb.wset))), 6)
+       |    AS jaccard,
+       |  round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
+       |    / least(wa.nw, wb.nw), 6) AS containment
+       |FROM pairs
+       |JOIN wsets wa ON wa.doc_id = doc_a
+       |JOIN wsets wb ON wb.doc_id = doc_b
+       |WHERE round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
+       |    / least(wa.nw, wb.nw), 6) >= 0.9""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q168_containment_neardup", q168, Some(q168Sql)),
+    QueryDef("q167_intradoc_dedup", q167, Some(q167Sql)),
+    QueryDef("q166_decontamination", q166, Some(q166Sql)),
     QueryDef("q165_training_mix_plan", q165, Some(q165Sql)),
     QueryDef("q164_mixture_weights", q164, Some(q164Sql)),
     QueryDef("q163_bpe_encode", q163, Some(q163Sql)),
