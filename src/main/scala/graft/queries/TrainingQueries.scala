@@ -311,6 +311,48 @@ object TrainingQueries {
           .as("utilization"))
   }
 
+  /** q169: OUTPUT-SHARD PLAN — the last hop before a training corpus
+    * hits disk: deterministic hash assignment of documents to a fixed
+    * shard count (the 100 TB-honest strategy — greedy bin-packing is
+    * inherently sequential; hash sharding is what webdataset/tfrecord
+    * writers actually do), with the per-shard doc/token/byte loads and
+    * each shard's balance factor vs the mean so a skewed shard layout
+    * is visible BEFORE the write job runs. The shard key is an md5
+    * slice of doc_id (content-independent, reproducible in both
+    * engines), so re-running the plan is idempotent. One corpus scan,
+    * one 32-group aggregate, a 1-row broadcast total — nothing scales
+    * with anything but the scan. */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val nShards = 32
+    val per = Tables.documents(s, d)
+      .select(col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        (expr("cast(conv(substring(md5(cast(cast(doc_id as string) as " +
+          "binary)), 1, 8), 16, 10) as bigint)") % nShards).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+        round(col("n_tokens").cast("double") * nShards /
+          col("tot_tokens"), 6).as("balance"))
+  }
+
+  private val q169Sql =
+    """WITH per AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 32 AS shard,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_bytes
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per)
+      |SELECT shard, n_docs, n_tokens, n_bytes,
+      |  round(CAST(n_tokens AS DOUBLE) * 32 / tot_tokens, 6) AS balance
+      |FROM per, tot""".stripMargin
+
   private val q94Sql =
     """SELECT source, n, w,
       |  CAST(floor(scale * w) AS BIGINT) AS quota,
@@ -436,6 +478,7 @@ object TrainingQueries {
     QueryDef("q133_priority_sample", q133, Some(q133Sql)),
     QueryDef("q42_asof_join", q42, Some(q42Sql)),
     QueryDef("q94_mixture_quota", q94, Some(q94Sql)),
+    QueryDef("q169_shard_plan", q169, Some(q169Sql)),
     QueryDef("q81_drift_psi", q81, Some(q81Sql)),
     QueryDef("q66_full_outer_counts", q66, Some(q66Sql)),
     QueryDef("q73_interval_flag_join", q73, Some(q73Sql)),
