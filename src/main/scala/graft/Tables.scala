@@ -56,8 +56,11 @@ object Tables {
   /** Fail-fast visibility at Verify/Bench startup: one stderr line naming
     * the physical `ts` type the testdata ships and what it normalizes to,
     * so a future generation flip is legible in the round log instead of
-    * surfacing as 29 opaque oracle absences (VERDICT r9 #2). */
-  def logEventTsSchema(s: SparkSession, d: String, who: String): Unit =
+    * surfacing as 29 opaque oracle absences (VERDICT r9 #2) — plus one
+    * compact schema line per table, so ANY regenerated-testdata type
+    * flip (the events.ts lesson applied forward: embeddings FLOAT[]→
+    * DOUBLE[], doc_id widening, …) is diffable across round logs. */
+  def logEventTsSchema(s: SparkSession, d: String, who: String): Unit = {
     try {
       val raw = tbl(s, d, "events").schema("ts").dataType.simpleString
       System.err.println(
@@ -66,6 +69,17 @@ object Tables {
       case e: Throwable =>
         System.err.println(s"[$who] events.ts schema probe failed: $e")
     }
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try {
+        val cols = tbl(s, d, t).schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        System.err.println(s"[$who] schema $t: $cols")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[$who] schema probe $t failed: $e")
+      }
+  }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }
