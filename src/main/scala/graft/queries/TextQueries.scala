@@ -2208,11 +2208,17 @@ object TextQueries {
     * by doc_id (the dup window partitions by (doc_id, h), the island
     * pass by doc_id), so the operator is embarrassingly parallel over
     * documents with no cross-doc state at all. */
-  private def q167(s: SparkSession, d: String): DataFrame = {
+  private def q167(s: SparkSession, d: String): DataFrame =
+    intraDocDedup(s, Tables.documents(s, d), k = 3)
+
+  /** The q167 kernel over ANY (`doc_id`, `text`) frame — factored so
+    * IntraDocDedupFuzzSpec can drive it on random corpora against an
+    * independent naive reference. */
+  def intraDocDedup(s: SparkSession,
+      documents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.TokenWindowHashes.register(s)
-    val k = 3
-    val docs = Tables.documents(s, d)
+    val docs = documents
       .select(col("doc_id"), expr(wordsExpr).as("w"))
       .withColumn("n", size(col("w")))
     val wins = docs
