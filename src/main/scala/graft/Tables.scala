@@ -35,12 +35,18 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => df
-      case Some(t) =>
-        val asLtz: Column = t match {
-          case TimestampNTZType => col("ts").cast(TimestampType)
-          case _                => col("ts")
-        }
-        df.withColumn("ts", unix_micros(asLtz) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(other) =>
+        // A THIRD generation variant must fail with a named message at
+        // load, not as an opaque analysis error 29 queries deep.
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported physical type ${other.simpleString};" +
+            " teach Tables.normalizeEventTs (and EventTsNormalizeSpec)" +
+            " the new testdata generation")
     }
 
   def region(s: SparkSession, d: String): DataFrame    = tbl(s, d, "region")

@@ -50,6 +50,15 @@ class EventTsNormalizeSpec extends SparkSpec {
     assert(roundTrip(s"$base/ltz") == expected, "TIMESTAMP_LTZ generation")
   }
 
+  test("an unknown ts physical type fails loudly with a named message") {
+    import spark.implicits._
+    val weird = Seq(("2026-08-13", 1)).toDF("ts", "id")
+    val e = intercept[IllegalArgumentException] {
+      Tables.normalizeEventTs(weird)
+    }
+    assert(e.getMessage.contains("unsupported physical type string"))
+  }
+
   test("normalized sf0.001 events.ts is LONG nanos regardless of generation") {
     val df = Tables.events(spark, sf0001)
     assert(df.schema("ts").dataType ==
