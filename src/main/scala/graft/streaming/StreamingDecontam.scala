@@ -2,20 +2,29 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Stream-static eval-set decontamination — q166's audit as a LIVE gate
   * on an ingest stream: every arriving document is checked against the
   * STATIC held-out eval-gram set and flagged before it can enter a
   * training corpus. The eval side is a batch artifact by nature (a
   * fixed benchmark suite), so the join is the stream-static broadcast
-  * shape Structured Streaming handles natively: no stream-side state,
-  * no watermark, each micro-batch scans its own rows once against the
-  * broadcast gram set.
+  * shape Structured Streaming handles natively.
   *
-  * At 100 TB-scale ingest the properties carry: the eval-gram set is
-  * benchmark-sized (broadcastable) and per-batch work is one pass over
-  * the batch's grams plus a doc-key partial-combined aggregate — the
-  * stream never shuffles against the eval set.
+  * State discipline (the 100 TB-ingest contract): documents are assumed
+  * to arrive WHOLE — one row per document, never chunked across
+  * micro-batches (a chunked-upload front would pre-assemble,
+  * reference-style, before this gate). That assumption makes the
+  * per-doc gram aggregate BATCH-LOCAL: `start` runs it inside
+  * `foreachBatch` on each micro-batch's static frame, so the streaming
+  * query itself carries ZERO cross-batch state — no watermark, no
+  * state store, no complete-mode re-emission. Each document's verdict
+  * is emitted exactly once, in the batch it arrived in, and state-store
+  * rows stay at zero no matter how long the stream runs. Per-batch
+  * work is one pass over the batch's grams plus a partial-combined
+  * doc-key aggregate; the eval-gram set is benchmark-sized
+  * (broadcastable, persisted once) and the stream never shuffles
+  * against it.
   */
 object StreamingDecontam {
 
@@ -29,14 +38,12 @@ object StreamingDecontam {
       .distinct()
   }
 
-  /** Attach the decontamination audit to a streaming `docs` frame
-    * (`doc_id`, `source`, `text`): per document, total gram count,
-    * eval-overlapping gram count, and the contaminated flag — the same
-    * contract as batch q166. Aggregation groups by doc_id, so run the
-    * sink in complete/update mode (documents are assumed to arrive
-    * whole; a chunked-upload front would pre-assemble, reference-style,
-    * before this gate). */
-  def attach(docs: DataFrame, evalGrams: DataFrame,
+  /** The q166 audit contract on a STATIC `docs` frame (`doc_id`,
+    * `source`, `text`): per document, total gram count,
+    * eval-overlapping gram count, and the contaminated flag. This is
+    * the batch kernel `start` applies per micro-batch; it is also
+    * directly usable on any batch corpus. */
+  def auditBatch(docs: DataFrame, evalGrams: DataFrame,
       k: Int = 13): DataFrame = {
     graft.expressions.TokenWindowHashes.register(docs.sparkSession)
     docs
@@ -49,5 +56,28 @@ object StreamingDecontam {
       .agg(count(col("h")).as("n_grams"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_contaminated"))
       .withColumn("contaminated", col("n_contaminated") >= 1)
+  }
+
+  /** Start the gate on a streaming `docs` frame (`doc_id`, `source`,
+    * `text`): each micro-batch is audited batch-locally and the per-doc
+    * verdict frame handed to `emit` with the batch id. No streaming
+    * aggregation is registered, so the query holds no state-store rows
+    * and every verdict is appended exactly once (docs arrive whole).
+    * The eval-gram set is persisted once so repeated micro-batches
+    * don't recompute it. */
+  def start(docs: DataFrame, evalGrams: DataFrame, k: Int = 13,
+      checkpointDir: Option[String] = None,
+      queryName: String = "decontam-gate")(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    val grams = evalGrams.persist()
+    grams.count() // materialize before the first batch needs it
+    val writer = docs.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        emit(auditBatch(batch, grams, k), id)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 }
