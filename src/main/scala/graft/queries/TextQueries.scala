@@ -2313,15 +2313,38 @@ object TextQueries {
     * + boilerplate wrapper), which symmetric Jaccard misses precisely
     * BECAUSE the length-ratio prune that makes q29 cheap discards
     * those pairs. So this query drops both the length prune and the
-    * Jaccard floor: candidates are the same first-matching-band LSH
-    * pairs (no new shuffle shape), each verified by the codegen'd
-    * sorted-merge intersect, and a pair ships when the smaller side is
-    * ≥90% contained. MinHash banding is Jaccard-biased, so recall on
-    * extreme-asymmetry pairs is structurally limited — the honest
-    * production fix is a containment-native sketch; on this corpus the
-    * bands surface plenty (documented bias, same rule as q166's hash
-    * collisions). */
+    * Jaccard floor, and candidates come from TWO generators, each
+    * catching what the other is blind to:
+    *
+    * 1. the same first-matching-band LSH pairs as q29 (no new shuffle
+    *    shape) — finds high-Jaccard pairs, but MinHash band collision
+    *    probability is governed by Jaccard, which is exactly what's
+    *    SMALL for a short doc swallowed by a long one (q170 measures
+    *    the collapse: ≈ 2·J⁴ as asymmetry grows);
+    * 2. a containment-native RARE-SHINGLE PROBE — each doc probes its
+    *    per-permutation argmin trigram hashes (4 perms; per-perm hit
+    *    probability equals CONTAINMENT, not Jaccard — q170 pins the
+    *    ≈ 1−(1−C)⁴ recall) against a document-frequency-capped
+    *    inverted shingle index. The df cap ([[Q168DfCap]]) is the
+    *    scale contract: probe join fan-out is ≤ cap per probed
+    *    shingle, so candidates are LINEAR in corpus size, and at
+    *    100 TB the cap is what keeps stop-shingles from ever fanning
+    *    out (standard prefix-filter discipline; rare shingles are the
+    *    only workable probes at scale). Probe pairs whose bands
+    *    already match are excluded via the band folds
+    *    (generator-level first-match dedup), so the union with the
+    *    band path is exact without any distinct over it.
+    *
+    * Every candidate from either path is verified by the codegen'd
+    * sorted-merge intersect; a pair ships when the smaller side is
+    * ≥90% contained. New shuffles vs q29's shape: one trigram-keyed
+    * window (the df count) and one trigram-keyed probe join — both
+    * linear in corpus trigram occurrences, same class as q28's
+    * explode. */
+  private val Q168DfCap = 16L
+
   private def q168(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     graft.expressions.SortedLongIntersectCount.register(s)
     graft.expressions.OptimizerBarrier.register(s)
     val sig = q28(s, d)
@@ -2351,9 +2374,7 @@ object TextQueries {
     val y = bandRows.select(col("bidx"), col("band"),
       col("doc_id").as("doc_b"), col("band1").as("b1b"),
       col("wset").as("wb"), col("nw").as("nb"))
-    x.join(y, Seq("bidx", "band"))
-      .filter(col("doc_a") < col("doc_b") &&
-        (col("bidx") === 1 || col("b1a") =!= col("b1b")))
+    def verified(cand: DataFrame): DataFrame = cand
       .withColumn("inter",
         expr("opt_barrier(sorted_long_intersect_count(wa, wb))"))
       .withColumn("containment", round(
@@ -2364,9 +2385,54 @@ object TextQueries {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"),
         col("containment"))
+    val bandOut = verified(x.join(y, Seq("bidx", "band"))
+      .filter(col("doc_a") < col("doc_b") &&
+        (col("bidx") === 1 || col("b1a") =!= col("b1b"))))
+    // containment-native probe path: rare-shingle argmin probes against
+    // a df-capped inverted trigram index
+    val triDocs = Tables.documents(s, d)
+      .filter(size(expr(wordsExpr)) >= 3)
+      .select(col("doc_id"), expr(wordsExpr).as("w"))
+      .select(col("doc_id"), expr(triHashSetExpr("w")).as("tri"))
+    val probes = triDocs
+      .select(col("doc_id"), explode(expr(
+        perms.take(4).map { case (a, b) =>
+          s"filter(tri, t -> (t * ${a}L + ${b}L) % $P = " +
+            s"array_min(transform(tri, h -> (h * ${a}L + ${b}L) % $P)))"
+        }.mkString("flatten(array(", ", ", "))"))).as("th"))
+      .distinct()
+    val idx = triDocs
+      .select(col("doc_id").as("doc_i"), explode(col("tri")).as("th"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("th"))))
+      .filter(col("df") <= Q168DfCap)
+      .select(col("doc_i"), col("th"))
+    val bandFolds = sig.select(col("doc_id"),
+      fold(1L, Seq("m0", "m1", "m2", "m3")).as("bf1"),
+      fold(2L, Seq("m4", "m5", "m6", "m7")).as("bf2"))
+    val probeOut = verified(probes.join(idx, "th")
+      .filter(col("doc_id") =!= col("doc_i"))
+      .select(least(col("doc_id"), col("doc_i")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_i")).as("doc_b"))
+      .distinct()
+      .join(bandFolds.select(col("doc_id").as("doc_a"),
+        col("bf1").as("b1a"), col("bf2").as("b2a")), "doc_a")
+      .join(bandFolds.select(col("doc_id").as("doc_b"),
+        col("bf1").as("b1b"), col("bf2").as("b2b")), "doc_b")
+      .filter(col("b1a") =!= col("b1b") && col("b2a") =!= col("b2b"))
+      .join(words.select(col("doc_id").as("doc_a"),
+        col("wset").as("wa"), col("nw").as("na")), "doc_a")
+      .join(words.select(col("doc_id").as("doc_b"),
+        col("wset").as("wb"), col("nw").as("nb")), "doc_b"))
+    bandOut.unionByName(probeOut)
   }
 
-  private val q168Sql =
+  private val q168Sql = {
+    val probeUnion = perms.take(4).map { case (a, b) =>
+      s"""SELECT doc_id, unnest(list_filter(tri,
+         |      t -> (t * $a + $b) % $P =
+         |        list_min(list_transform(tri, h -> (h * $a + $b) % $P)))) AS th
+         |    FROM tris""".stripMargin
+    }.mkString("\n    UNION ALL\n    ")
     s"""WITH sig AS ($q28Sql),
        |bands AS (
        |  SELECT doc_id, 1 AS bidx,
@@ -2380,6 +2446,36 @@ object TextQueries {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |  ON x.bidx = y.bidx AND x.band = y.band AND x.doc_id < y.doc_id),
+       |bf AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN bidx = 1 THEN band END) AS bf1,
+       |    max(CASE WHEN bidx = 2 THEN band END) AS bf2
+       |  FROM bands GROUP BY doc_id),
+       |tris AS (
+       |  SELECT doc_id, ${triHashSetSql("w")} AS tri
+       |  FROM (SELECT doc_id, $wordsSqlExpr AS w FROM documents
+       |        WHERE len($wordsSqlExpr) >= 3)),
+       |probes AS (
+       |  SELECT DISTINCT doc_id, th FROM (
+       |    $probeUnion)),
+       |idx AS (
+       |  SELECT doc_id AS doc_i, th FROM (
+       |    SELECT doc_id, th, count(*) OVER (PARTITION BY th) AS df
+       |    FROM (SELECT doc_id, unnest(tri) AS th FROM tris))
+       |  WHERE df <= $Q168DfCap),
+       |ppairs AS (
+       |  SELECT DISTINCT least(p.doc_id, i.doc_i) AS doc_a,
+       |    greatest(p.doc_id, i.doc_i) AS doc_b
+       |  FROM probes p JOIN idx i ON i.th = p.th AND i.doc_i <> p.doc_id),
+       |ppairs2 AS (
+       |  SELECT doc_a, doc_b FROM ppairs
+       |  JOIN bf a ON a.doc_id = doc_a
+       |  JOIN bf b ON b.doc_id = doc_b
+       |  WHERE a.bf1 <> b.bf1 AND a.bf2 <> b.bf2),
+       |allpairs AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_a, doc_b FROM ppairs2),
        |wsets AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform($wordsSqlExpr,
@@ -2394,13 +2490,180 @@ object TextQueries {
        |    AS jaccard,
        |  round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
        |    / least(wa.nw, wb.nw), 6) AS containment
-       |FROM pairs
+       |FROM allpairs
        |JOIN wsets wa ON wa.doc_id = doc_a
        |JOIN wsets wb ON wb.doc_id = doc_b
        |WHERE round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
        |    / least(wa.nw, wb.nw), 6) >= 0.9""".stripMargin
+  }
+
+  /** q170: MEASURED containment recall vs asymmetry — q155's discipline
+    * applied to q168's structural weakness. The corpus has essentially
+    * no natural short-in-long pairs (uniform random text), so truth is
+    * SYNTHESIZED with the q156/q116 pattern: from each source's first
+    * [[Q170SamplePerSource]] docs in content-addressed (md5(text),
+    * doc_id) order, build quote-and-extend pairs — A = sampled doc i,
+    * B = docs i..i+m concatenated — so A's trigram windows are exactly
+    * a prefix-subset of B's (containment ≡ 1 by construction, pinned by
+    * sum_inter = sum_na in the output) while Jaccard shrinks like
+    * 1/(m+1). Per asymmetry level m ∈ {0,1,3,7} the query scores every
+    * pair under BOTH detectors: the SHIPPING q168 scheme (8-perm
+    * trigram MinHash, 2 bands of 4, identical fold constants) and the
+    * containment-native short-side probe (does perm i's minimum over A
+    * fall in A∩B — per-perm hit probability = containment itself,
+    * 4 perms). The per-m recall curve is a pinned oracle output: the
+    * expected shape is band recall collapsing ≈ 2·J⁴ with asymmetry
+    * while probe recall stays ≈ 1−(1−C)⁴ ≈ 100%, and any regression in
+    * either detector's constants flips integer counts and fails parity.
+    *
+    * Scale shape: the evaluator is a fixed-cost probe — ≤ 24 docs/source
+    * regardless of corpus size (content-addressed sample, stable across
+    * runs and growth), pair construction is per-source-local, and no
+    * shuffle exceeds the sample. The detectors under test run exactly
+    * the arithmetic q168 ships. */
+  private val Q170SamplePerSource = 24
+  private val Q170Exts = Seq(0, 1, 3, 7)
+
+  /** Distinct 32-bit md5 trigram hashes of a token-array column —
+    * the shingle universe shared by q170 (containment truth + both
+    * detectors) and q168's probe path. Caller guarantees size ≥ 3
+    * (Spark's sequence() runs DESCENDING for stop < start, so an
+    * unguarded short doc would produce null shingles, not none). */
+  private def triHashSetExpr(c: String): String =
+    s"opt_barrier(array_distinct(transform(transform(sequence(0, size($c) - 3), " +
+      s"j -> concat($c[j], ' ', $c[j+1], ' ', $c[j+2])), " +
+      "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))))"
+
+  private def triHashSetSql(c: String): String =
+    s"list_distinct(list_transform([$c[j] || ' ' || $c[j+1] || ' ' || $c[j+2] " +
+      s"for j in range(1, len($c) - 1)], " +
+      "t -> CAST(('0x' || substr(md5(t),1,8)) AS BIGINT)))"
+
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.OptimizerBarrier.register(s)
+    def tri(c: String) = triHashSetExpr(c)
+    def minsExpr(c: String, k: Int) =
+      perms.take(k).map { case (a, b) =>
+        s"array_min(transform($c, h -> (h * ${a}L + ${b}L) % $P))"
+      }.mkString("array(", ", ", ")")
+    def fold(seed: Long, ms: Column, idxs: Range): Column =
+      idxs.foldLeft(lit(seed): Column)((acc, i) =>
+        (acc * 127 + element_at(ms, i + 1)) % P)
+    val sw = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text").cast("binary")).asc, col("doc_id").asc)
+    val flags = Tables.documents(s, d)
+      .filter(size(expr(wordsExpr)) >= 3)
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= Q170SamplePerSource)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("text")))).as("ds"))
+      .select(col("source"),
+        expr("transform(ds, v -> v.text)").as("texts"),
+        size(col("ds")).as("n"))
+      .select(col("source"), col("texts"),
+        explode(expr(s"filter(flatten(transform(array(${Q170Exts.mkString(", ")}), " +
+          "m -> transform(sequence(1, n), i -> struct(i as i, m as m)))), " +
+          "p -> p.i + p.m <= n)")).as("pm"))
+      .select(col("pm.m").as("m"),
+        expr("split(element_at(texts, pm.i), ' ')").as("wa"),
+        expr("split(array_join(slice(texts, pm.i, pm.m + 1), ' '), ' ')").as("wb"))
+      .select(col("m"), expr(tri("wa")).as("ta"), expr(tri("wb")).as("tb"))
+      .withColumn("il", expr("opt_barrier(array_intersect(ta, tb))"))
+      .withColumn("na", size(col("ta")).cast("long"))
+      .withColumn("nb", size(col("tb")).cast("long"))
+      .withColumn("inter", size(col("il")).cast("long"))
+      .withColumn("msa", expr(s"opt_barrier(${minsExpr("ta", 8)})"))
+      .withColumn("msb", expr(s"opt_barrier(${minsExpr("tb", 8)})"))
+      .withColumn("msi", expr(s"opt_barrier(${minsExpr("il", 4)})"))
+      .withColumn("found_band",
+        fold(1L, col("msa"), 0 until 4) === fold(1L, col("msb"), 0 until 4) ||
+          fold(2L, col("msa"), 4 until 8) === fold(2L, col("msb"), 4 until 8))
+      .withColumn("found_probe",
+        coalesce((0 until 4).map(i =>
+            element_at(col("msa"), i + 1) === element_at(col("msi"), i + 1))
+          .reduce(_ || _), lit(false)))
+    flags.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("na")).as("sum_na"),
+        sum(col("nb")).as("sum_nb"),
+        sum(col("inter")).as("sum_inter"),
+        sum(when(col("found_band"), 1L).otherwise(0L)).as("n_found_band"),
+        sum(when(col("found_probe"), 1L).otherwise(0L)).as("n_found_probe"))
+      .withColumn("pooled_jaccard", round(col("sum_inter").cast("double") /
+        (col("sum_na") + col("sum_nb") - col("sum_inter")), 4))
+      .withColumn("recall_band_pct",
+        round(lit(100.0) * col("n_found_band") / col("n_pairs"), 2))
+      .withColumn("recall_probe_pct",
+        round(lit(100.0) * col("n_found_probe") / col("n_pairs"), 2))
+  }
+
+  private val q170Sql = {
+    def triSql(c: String) = triHashSetSql(c)
+    def minsSql(c: String, k: Int) =
+      perms.take(k).map { case (a, b) =>
+        s"list_min(list_transform($c, h -> (h * $a + $b) % $P))"
+      }.mkString("[", ",\n      ", "]")
+    def foldSql(seed: Int, ms: String, lo: Int): String =
+      (lo until lo + 4).foldLeft(seed.toString)((acc, i) =>
+        s"($acc * 127 + $ms[${i + 1}]) % $P")
+    s"""WITH sampled AS (
+       |  SELECT source, rn, text FROM (
+       |    SELECT source, text,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY md5(text), doc_id) AS rn
+       |    FROM documents
+       |    WHERE len(str_split(text, ' ')) >= 3)
+       |  WHERE rn <= $Q170SamplePerSource),
+       |src AS (
+       |  SELECT source, list(text ORDER BY rn) AS texts, count(*) AS n
+       |  FROM sampled GROUP BY source),
+       |combos AS (
+       |  SELECT source, texts, CAST(i AS INT) AS i, m
+       |  FROM (SELECT source, texts, n, unnest(range(1, n + 1)) AS i FROM src)
+       |  CROSS JOIN (SELECT unnest([${Q170Exts.mkString(", ")}]) AS m) ms
+       |  WHERE i + m <= n),
+       |ab AS (
+       |  SELECT m,
+       |    str_split(texts[i], ' ') AS wa,
+       |    str_split(array_to_string(texts[i : i + m], ' '), ' ') AS wb
+       |  FROM combos),
+       |tri AS (
+       |  SELECT m, ${triSql("wa")} AS ta, ${triSql("wb")} AS tb
+       |  FROM ab),
+       |sc AS (
+       |  SELECT m,
+       |    CAST(len(ta) AS BIGINT) AS na,
+       |    CAST(len(tb) AS BIGINT) AS nb,
+       |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+       |    ${minsSql("ta", 8)} AS msa,
+       |    ${minsSql("tb", 8)} AS msb,
+       |    ${minsSql("list_intersect(ta, tb)", 4)} AS msi
+       |  FROM tri),
+       |flags AS (
+       |  SELECT m, na, nb, inter,
+       |    (${foldSql(1, "msa", 0)}) = (${foldSql(1, "msb", 0)})
+       |      OR (${foldSql(2, "msa", 4)}) = (${foldSql(2, "msb", 4)}) AS found_band,
+       |    coalesce(msa[1] = msi[1] OR msa[2] = msi[2]
+       |      OR msa[3] = msi[3] OR msa[4] = msi[4], false) AS found_probe
+       |  FROM sc)
+       |SELECT m, count(*) AS n_pairs,
+       |  sum(na) AS sum_na, sum(nb) AS sum_nb, sum(inter) AS sum_inter,
+       |  CAST(sum(CASE WHEN found_band THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_found_band,
+       |  CAST(sum(CASE WHEN found_probe THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_found_probe,
+       |  round(CAST(sum(inter) AS DOUBLE)
+       |    / (sum(na) + sum(nb) - sum(inter)), 4) AS pooled_jaccard,
+       |  round(100.0 * sum(CASE WHEN found_band THEN 1 ELSE 0 END)
+       |    / count(*), 2) AS recall_band_pct,
+       |  round(100.0 * sum(CASE WHEN found_probe THEN 1 ELSE 0 END)
+       |    / count(*), 2) AS recall_probe_pct
+       |FROM flags GROUP BY m""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q170_containment_recall", q170, Some(q170Sql)),
     QueryDef("q168_containment_neardup", q168, Some(q168Sql)),
     QueryDef("q167_intradoc_dedup", q167, Some(q167Sql)),
     QueryDef("q166_decontamination", q166, Some(q166Sql)),
