@@ -2130,16 +2130,24 @@ object TextQueries {
     * q161 trains on) is flagged before it can leak test data into the
     * model. Gram identity travels as the rolling polynomial window
     * hash (the q115 machinery, k=13) — collisions are possible at P =
-    * 2^31-1 but both engines hash identically, and a production run
-    * would re-verify flagged docs on raw grams (a per-doc rescan of
-    * only the flagged population).
+    * 2^31-1, so a hash flag alone would drop real training data. The
+    * CONFIRM pass closes that channel: flagged docs (small by
+    * construction) are rescanned on their raw 13-token gram STRINGS
+    * against the eval set's exact gram strings, and the query ships
+    * `n_confirmed`/`confirmed` alongside the hash verdict — a
+    * collision FP shows up as contaminated=true, confirmed=false.
     *
-    * Scale shape: eval sets are benchmark-sized by nature, so the
-    * distinct eval-gram set BROADCASTS (the asymmetry is the whole
-    * design: never shuffle the corpus against the eval set); the
-    * training gram stream is scanned once, map-side partials collapse
-    * each doc before the doc_id exchange. Docs under 13 tokens have no
-    * grams and report 0/false via explode_outer. */
+    * Scale shape: eval sets are benchmark-sized by nature, so both
+    * eval-side artifacts BROADCAST — the distinct gram-hash set and
+    * the exact gram-string set (the asymmetry is the whole design:
+    * never shuffle the corpus against the eval set). The training gram
+    * stream is scanned once for the hash verdict (map-side partials
+    * collapse each doc before the doc_id exchange); the confirm pass
+    * rescans ONLY the flagged population (broadcast semi-join on the
+    * flagged ids), and the per-doc confirm counts broadcast back onto
+    * the verdict — the corpus never shuffles in either pass. Docs
+    * under 13 tokens have no grams and report 0/false via
+    * explode_outer. */
   private def q166(s: SparkSession, d: String): DataFrame = {
     graft.expressions.TokenWindowHashes.register(s)
     val docs = Tables.documents(s, d)
@@ -2148,7 +2156,7 @@ object TextQueries {
     val evalGrams = docs.filter(col("source") === "src0")
       .select(explode(col("grams")).as("h")).distinct()
       .withColumn("hit", lit(true))
-    docs.filter(col("source") =!= "src0")
+    val verdict = docs.filter(col("source") =!= "src0")
       .select(col("doc_id"), col("source"),
         explode_outer(col("grams")).as("h"))
       .join(broadcast(evalGrams), Seq("h"), "left")
@@ -2156,6 +2164,30 @@ object TextQueries {
       .agg(count(col("h")).as("n_grams"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_contaminated"))
       .withColumn("contaminated", col("n_contaminated") >= 1)
+    // exact-string confirm over the flagged population only
+    val gramStrExpr =
+      "transform(sequence(0, size(w) - 13), i -> array_join(slice(w, i + 1, 13), ' '))"
+    val evalStrs = Tables.documents(s, d)
+      .filter(col("source") === "src0")
+      .select(expr(wordsExpr).as("w"))
+      .filter(size(col("w")) >= 13)
+      .select(explode(expr(gramStrExpr)).as("gs")).distinct()
+      .withColumn("sconf", lit(true))
+    val confirm = Tables.documents(s, d)
+      .filter(col("source") =!= "src0")
+      .join(broadcast(verdict.filter(col("contaminated"))
+        .select(col("doc_id"))), "doc_id")
+      .select(col("doc_id"), expr(wordsExpr).as("w"))
+      .filter(size(col("w")) >= 13)
+      .select(col("doc_id"), explode(expr(gramStrExpr)).as("gs"))
+      .join(broadcast(evalStrs), Seq("gs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sconf"), 1L).otherwise(0L)).as("n_confirmed"))
+    verdict.join(broadcast(confirm), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("n_contaminated"), col("contaminated"),
+        coalesce(col("n_confirmed"), lit(0L)).as("n_confirmed"),
+        (coalesce(col("n_confirmed"), lit(0L)) >= 1).as("confirmed"))
   }
 
   private val q166Sql =
@@ -2184,12 +2216,29 @@ object TextQueries {
        |      AS BIGINT) AS n_contaminated
        |  FROM wins t LEFT JOIN ev e ON e.h = t.h
        |  WHERE t.source <> 'src0'
+       |  GROUP BY 1),
+       |gs AS (
+       |  SELECT doc_id, source, array_to_string(w[i : i + 12], ' ') AS g
+       |  FROM (SELECT doc_id, source, w, unnest(range(1, n - 13 + 2)) AS i
+       |        FROM docs WHERE n >= 13)),
+       |evs AS (SELECT DISTINCT g FROM gs WHERE source = 'src0'),
+       |conf AS (
+       |  SELECT t.doc_id,
+       |    CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_confirmed
+       |  FROM gs t LEFT JOIN evs e ON e.g = t.g
+       |  WHERE t.source <> 'src0'
        |  GROUP BY 1)
        |SELECT d.doc_id, d.source,
        |  coalesce(a.n_grams, 0) AS n_grams,
        |  coalesce(a.n_contaminated, 0) AS n_contaminated,
-       |  coalesce(a.n_contaminated, 0) >= 1 AS contaminated
+       |  coalesce(a.n_contaminated, 0) >= 1 AS contaminated,
+       |  CASE WHEN coalesce(a.n_contaminated, 0) >= 1
+       |       THEN coalesce(c.n_confirmed, 0) ELSE 0 END AS n_confirmed,
+       |  coalesce(a.n_contaminated, 0) >= 1
+       |    AND coalesce(c.n_confirmed, 0) >= 1 AS confirmed
        |FROM docs d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |  LEFT JOIN conf c ON c.doc_id = d.doc_id
        |WHERE d.source <> 'src0'""".stripMargin
 
   /** q167: INTRA-document repeated-span removal — the self-dedup half
