@@ -134,7 +134,10 @@ object Bench {
       s"""{"pt":"$n","eps":${"%.0f".format(r.epsSustained)},"p50_ms":${r.p50Ms},"p99_ms":${r.p99Ms},"batches":${r.batches}}"""
     }.mkString("[", ",", "]")
     val cal2 = calibrate()
+    // sfName is interpolated into JSON lines — strip anything that could
+    // break the encoding (it comes from a CLI/env path segment)
     val sfName = new java.io.File(sfDir).getName
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     val calArr = s"[$cal0,$cal1,$cal2]"
     val failedArr = failed.keys.toSeq.sorted
       .map("\"" + short(_) + "\"").mkString("[", ",", "]")
@@ -163,7 +166,11 @@ object Bench {
         s""""sf":"$sfName","detail":$detail}""" + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARN: BENCH_HISTORY.jsonl append " +
+          s"failed (cwd ${System.getProperty("user.dir")}): $e")
+    }
     println(detail)
     // Compact headline line LAST: the driver keeps only the final 2000
     // stdout chars, and this line (~700 chars: totals, calibration, the

@@ -36,6 +36,15 @@ object Tables {
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) | None => df
       case Some(TimestampNTZType) =>
+        // NTZ→LTZ cast interprets the wall-clock in the SESSION zone; a
+        // non-UTC session would silently shift every epoch-nano (and the
+        // round-trip spec can't catch it — write and read under the same
+        // zone cancel out), so assert rather than trust the caller.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC")
+          throw new IllegalArgumentException(
+            "Tables.normalizeEventTs requires spark.sql.session.timeZone" +
+              s"=UTC to normalize TIMESTAMP_NTZ events.ts (session has $tz)")
         df.withColumn("ts",
           unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case Some(TimestampType) =>

@@ -182,7 +182,9 @@ object MediaQueries {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(exact.as("n_parts_exact"),
-        (abs(est - exact).cast("double") / exact <= lit(0.15))
+        // exact > 0 guard: an all-null key group would make the relative
+        // error NaN and spuriously fail parity against the pinned `true`
+        (exact > 0 && abs(est - exact).cast("double") / exact <= lit(0.15))
           .as("hll_within_15pct"),
         count(lit(1)).as("n"))
   }

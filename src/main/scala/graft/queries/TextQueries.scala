@@ -1615,9 +1615,13 @@ object TextQueries {
       graft.operators.ConnectedComponents.minLabel(lshStarEdges(s, d))
     val dropped = labels.filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"), lit(true).as("is_dup"))
+    // no broadcast hint on the drop set: non-root cluster members are a
+    // corpus-growing fraction of docs, so force-broadcasting them would
+    // OOM at real scale — the doc_id-keyed shuffle join is the 100 TB
+    // shape (AQE may still broadcast when the set happens to be small)
     Tables.documents(s, d)
       .join(keepFlags, "doc_id")
-      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
       .withColumn("ships",
         col("keep") && !coalesce(col("is_dup"), lit(false)))
       .groupBy(col("source"))
@@ -2042,20 +2046,23 @@ object TextQueries {
     * Scale shape: one corpus scan feeds quality flags and token
     * counts (map-side partials collapse each doc before the per-source
     * exchange), dup labels come from the pointer-jump CC over star
-    * edges, the drop set broadcasts onto the corpus, and the two
-    * cross-source scalars ride back as a 1-row broadcast — the
-    * documents table never reshuffles, and nothing here grows with
-    * corpus size except the first scan. */
+    * edges, the corpus-growing drop set is removed by a doc_id-keyed
+    * left-anti shuffle join (never force-broadcast — it's a large
+    * fraction of docs at scale), and the two cross-source scalars ride
+    * back as a 1-row broadcast. */
   private def q165(s: SparkSession, d: String): DataFrame = {
     val keepFlags = q149(s, d).select(col("doc_id"), col("keep"))
     val (labels, _) =
       graft.operators.ConnectedComponents.minLabel(lshStarEdges(s, d))
     val dropped = labels.filter(col("node") =!= col("label"))
-      .select(col("node").as("doc_id"), lit(true).as("is_dup"))
+      .select(col("node").as("doc_id"))
+    // the drop set grows with the corpus (it's the non-root cluster
+    // members), so it must NOT be force-broadcast: the left-anti join
+    // shuffles both sides on doc_id — the shape that survives 100 TB
     val per = Tables.documents(s, d)
       .join(keepFlags, "doc_id")
-      .join(broadcast(dropped), Seq("doc_id"), "left")
-      .filter(col("keep") && !coalesce(col("is_dup"), lit(false)))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .filter(col("keep"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_final"),
         sum(size(expr(wordsExpr)).cast("long")).as("tokens_final"))
