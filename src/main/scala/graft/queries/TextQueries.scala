@@ -2718,7 +2718,147 @@ object TextQueries {
        |FROM flags GROUP BY m""".stripMargin
   }
 
+  /** q171: SHIPPING MANIFEST — the last unclosed composition in the
+    * training-data story (VERDICT r10 #8): everything upstream of the
+    * writer in ONE plan. The shipped corpus is quality-passing (q149
+    * rules), near-dup-free (q150's CC drop set), and DECONTAMINATED
+    * (q166's 13-gram hash gate vs the held-out src0 eval slice, which
+    * itself never ships); each surviving doc is assigned its
+    * reproducible split (q74's md5-byte rule) and output shard (q169's
+    * md5-slice mod 32), and the manifest reports per (split, shard,
+    * source) doc/token/byte loads plus each row's token share of its
+    * split — the writer's work order, auditable before any write job
+    * runs.
+    *
+    * Scale shape: the manifest aggregation path scans `documents`
+    * once — split and shard are per-row md5 arithmetic on that scan,
+    * the per-(split,shard,source) group-by is ≤ 2·32·sources rows, and
+    * the split totals ride back as a 2-row broadcast. Gate sets join
+    * the same way they do in their home queries: the corpus-growing
+    * drop set by doc_id-keyed left-anti shuffle (never broadcast), the
+    * small contaminated set by left-anti (AQE broadcasts it when
+    * small), quality flags by doc_id join. The documents table itself
+    * never reshuffles. */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.TokenWindowHashes.register(s)
+    val nShards = 32
+    val keepFlags = q149(s, d).select(col("doc_id"), col("keep"))
+    val (labels, _) =
+      graft.operators.ConnectedComponents.minLabel(lshStarEdges(s, d))
+    val dropped = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    // decontamination gate: q166's hash verdict, flag-only (a doc is
+    // out as soon as one 13-gram hash hits the eval set)
+    val docsG = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("token_window_hashes(" + wordsExpr + ", 13)").as("grams"))
+    val evalGrams = docsG.filter(col("source") === "src0")
+      .select(explode(col("grams")).as("h")).distinct()
+    val contam = docsG.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("grams")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"))
+      .select(col("doc_id")).distinct()
+    val ship = Tables.documents(s, d)
+      .filter(col("source") =!= "src0")
+      .join(keepFlags, "doc_id").filter(col("keep"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 2) <= "e5", "train").otherwise("holdout"))
+      .withColumn("shard",
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as " +
+          "binary)), 1, 8), 16, 10) as bigint)") % nShards)
+    val per = ship.groupBy(col("split"), col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(expr(wordsExpr)).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"))
+    val splitTot = per.groupBy(col("split"))
+      .agg(sum(col("n_tokens")).as("split_tokens"))
+    per.join(broadcast(splitTot), "split")
+      .select(col("split"), col("shard"), col("source"), col("n_docs"),
+        col("n_tokens"), col("n_bytes"),
+        round(col("n_tokens").cast("double") / col("split_tokens"), 6)
+          .as("token_share"))
+  }
+
+  private val q171Sql =
+    s"""WITH RECURSIVE sig AS ($q28Sql),
+       |bandt AS (
+       |  SELECT doc_id, 1 AS bidx,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS bidx,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
+       |  FROM sig),
+       |stars AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(doc_id) OVER (PARTITION BY bidx, band) AS root
+       |  FROM bandt),
+       |edges AS (
+       |  SELECT doc_id AS src, root AS dst FROM stars WHERE doc_id <> root
+       |  UNION ALL
+       |  SELECT root AS src, doc_id AS dst FROM stars WHERE doc_id <> root),
+       |lab AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, lab.label AS label
+       |  FROM lab JOIN edges e ON lab.node = e.src),
+       |cc AS (SELECT node, min(label) AS label FROM lab GROUP BY node),
+       |dropped AS (SELECT node AS doc_id FROM cc WHERE label <> node),
+       |qual AS ($q149Sql),
+       |cdocs AS (
+       |  SELECT doc_id, source, $wordsSqlExpr AS w,
+       |    CAST(len($wordsSqlExpr) AS INT) AS n
+       |  FROM documents),
+       |cth AS (
+       |  SELECT doc_id, source, n,
+       |    list_transform(w, t -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> (a * 131 + c) % 2147483647)) AS th
+       |  FROM cdocs),
+       |cwins AS (
+       |  SELECT doc_id, source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 12]),
+       |      (a, t) -> (a * 1000003 + t) % 2147483647) AS h
+       |  FROM (SELECT doc_id, source, th, unnest(range(1, n - 13 + 2)) AS i
+       |        FROM cth WHERE n >= 13)),
+       |cev AS (SELECT DISTINCT h FROM cwins WHERE source = 'src0'),
+       |contam AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM cwins t JOIN cev e ON e.h = t.h
+       |  WHERE t.source <> 'src0'),
+       |ship AS (
+       |  SELECT d.doc_id, d.source, d.n_chars,
+       |    CAST(len($wordsSqlExpr) AS BIGINT) AS toks,
+       |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <= 'e5'
+       |      THEN 'train' ELSE 'holdout' END AS split,
+       |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 32 AS shard
+       |  FROM documents d
+       |  JOIN qual q ON q.doc_id = d.doc_id
+       |  LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+       |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+       |  WHERE d.source <> 'src0' AND q.keep
+       |    AND dr.doc_id IS NULL AND ct.doc_id IS NULL),
+       |per AS (
+       |  SELECT split, shard, source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_bytes
+       |  FROM ship GROUP BY 1, 2, 3),
+       |stot AS (
+       |  SELECT split, CAST(sum(n_tokens) AS BIGINT) AS split_tokens
+       |  FROM per GROUP BY 1)
+       |SELECT p.split, p.shard, p.source, p.n_docs, p.n_tokens, p.n_bytes,
+       |  round(CAST(p.n_tokens AS DOUBLE) / s.split_tokens, 6)
+       |    AS token_share
+       |FROM per p JOIN stot s ON s.split = p.split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q171_shipping_manifest", q171, Some(q171Sql)),
     QueryDef("q170_containment_recall", q170, Some(q170Sql)),
     QueryDef("q168_containment_neardup", q168, Some(q168Sql)),
     QueryDef("q167_intradoc_dedup", q167, Some(q167Sql)),

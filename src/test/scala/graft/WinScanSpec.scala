@@ -17,7 +17,8 @@ class WinScanSpec extends SparkSpec {
            name != "q150_dedup_materialize" &&
            name != "q151_semantic_dedup" &&
            name != "q157_corpus_build" &&
-           name != "q165_training_mix_plan") { // iterative builds; gated elsewhere
+           name != "q165_training_mix_plan" &&
+           name != "q171_shipping_manifest") { // iterative builds; gated elsewhere
       val globals = PlanGuards.flatten(
         fn(spark, sf0001).queryExecution.executedPlan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
