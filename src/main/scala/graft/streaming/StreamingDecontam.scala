@@ -38,6 +38,18 @@ object StreamingDecontam {
       .distinct()
   }
 
+  /** Distinct EXACT k-token gram strings of the eval corpus — the
+    * second broadcastable eval artifact, used by the confirm pass to
+    * close the rolling-hash collision channel (batch q166's rule). */
+  def evalStrSet(evalDocs: DataFrame, k: Int = 13): DataFrame =
+    evalDocs
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(explode(expr(
+        s"transform(sequence(0, size(w) - $k), " +
+          s"i -> array_join(slice(w, i + 1, $k), ' '))")).as("gs"))
+      .distinct()
+
   /** The q166 audit contract on a STATIC `docs` frame (`doc_id`,
     * `source`, `text`): per document, total gram count,
     * eval-overlapping gram count, and the contaminated flag. This is
@@ -58,24 +70,60 @@ object StreamingDecontam {
       .withColumn("contaminated", col("n_contaminated") >= 1)
   }
 
+  /** [[auditBatch]] plus the exact-string confirm pass — the full batch
+    * q166 contract (`n_confirmed`/`confirmed` alongside the hash
+    * verdict; contaminated=true, confirmed=false IS a collision).
+    * Still batch-local: the flagged slice of THIS batch is rescanned on
+    * raw gram strings against the broadcast eval string set, so the
+    * streaming query carries no state for this either. */
+  def auditBatchConfirmed(docs: DataFrame, evalGrams: DataFrame,
+      evalStrs: DataFrame, k: Int = 13): DataFrame = {
+    val verdict = auditBatch(docs, evalGrams, k)
+    val gramStrExpr =
+      s"transform(sequence(0, size(w) - $k), " +
+        s"i -> array_join(slice(w, i + 1, $k), ' '))"
+    val confirm = docs
+      .join(broadcast(verdict.filter(col("contaminated"))
+        .select(col("doc_id"))), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(gramStrExpr)).as("gs"))
+      .join(broadcast(evalStrs.withColumn("sconf", lit(true))),
+        Seq("gs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sconf"), 1L).otherwise(0L)).as("n_confirmed"))
+    verdict.join(broadcast(confirm), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("n_contaminated"), col("contaminated"),
+        coalesce(col("n_confirmed"), lit(0L)).as("n_confirmed"),
+        (coalesce(col("n_confirmed"), lit(0L)) >= 1).as("confirmed"))
+  }
+
   /** Start the gate on a streaming `docs` frame (`doc_id`, `source`,
     * `text`): each micro-batch is audited batch-locally and the per-doc
     * verdict frame handed to `emit` with the batch id. No streaming
     * aggregation is registered, so the query holds no state-store rows
     * and every verdict is appended exactly once (docs arrive whole).
-    * The eval-gram set is persisted once so repeated micro-batches
-    * don't recompute it. */
+    * Pass `evalStrs` (from [[evalStrSet]]) to run the exact-string
+    * confirm pass per batch too — the full q166 contract. The eval
+    * artifacts are persisted once so repeated micro-batches don't
+    * recompute them. */
   def start(docs: DataFrame, evalGrams: DataFrame, k: Int = 13,
       checkpointDir: Option[String] = None,
-      queryName: String = "decontam-gate")(
+      queryName: String = "decontam-gate",
+      evalStrs: Option[DataFrame] = None)(
       emit: (DataFrame, Long) => Unit): StreamingQuery = {
     val grams = evalGrams.persist()
     grams.count() // materialize before the first batch needs it
+    val strs = evalStrs.map { s => val p = s.persist(); p.count(); p }
     val writer = docs.writeStream
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        emit(auditBatch(batch, grams, k), id)
+        emit(strs match {
+          case Some(ss) => auditBatchConfirmed(batch, grams, ss, k)
+          case None => auditBatch(batch, grams, k)
+        }, id)
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()

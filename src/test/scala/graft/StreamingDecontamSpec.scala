@@ -22,25 +22,30 @@ class StreamingDecontamSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)].collect()
-    val evalGrams = StreamingDecontam.evalGramSet(
-      Tables.documents(spark, sf0001).filter(col("source") === "src0"))
+    val evalSlice =
+      Tables.documents(spark, sf0001).filter(col("source") === "src0")
+    val evalGrams = StreamingDecontam.evalGramSet(evalSlice)
+    val evalStrs = StreamingDecontam.evalStrSet(evalSlice)
 
-    val verdicts = mutable.Map.empty[Long, (Long, Long, Boolean)]
+    val verdicts =
+      mutable.Map.empty[Long, (Long, Long, Boolean, Long, Boolean)]
     val batchIds = mutable.Set.empty[Long]
     val input = MemoryStream[(Long, String, String)]
     val query = StreamingDecontam.start(
       input.toDF().toDF("doc_id", "source", "text")
         .filter(col("source") =!= "src0"),
-      evalGrams) { (verdictDf, id) =>
+      evalGrams, evalStrs = Some(evalStrs)) { (verdictDf, id) =>
       verdicts.synchronized {
         batchIds += id
-        verdictDf.select("doc_id", "n_grams", "n_contaminated", "contaminated")
+        verdictDf.select("doc_id", "n_grams", "n_contaminated",
+            "contaminated", "n_confirmed", "confirmed")
           .collect()
           .foreach { r =>
             val docId = r.getLong(0)
             // docs arrive whole: a doc_id must never span two batches
             assert(!verdicts.contains(docId), s"doc $docId emitted twice")
-            verdicts(docId) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+            verdicts(docId) = (r.getLong(1), r.getLong(2), r.getBoolean(3),
+              r.getLong(4), r.getBoolean(5))
           }
       }
     }
@@ -63,9 +68,11 @@ class StreamingDecontamSpec extends SparkSpec {
       assert(batchIds.size >= 2, s"expected >=2 micro-batches, got $batchIds")
 
       val batch = SparkEntry.queries("q166_decontamination")(spark, sf0001)
-        .select("doc_id", "n_grams", "n_contaminated", "contaminated")
+        .select("doc_id", "n_grams", "n_contaminated", "contaminated",
+          "n_confirmed", "confirmed")
         .collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4), r.getBoolean(5)))
         .toMap
       assert(verdicts.size == batch.size,
         s"row counts differ: ${verdicts.size} vs ${batch.size}")
