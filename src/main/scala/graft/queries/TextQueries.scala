@@ -2462,23 +2462,24 @@ object TextQueries {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("th"))))
       .filter(col("df") <= Q168DfCap)
       .select(col("doc_i"), col("th"))
-    val bandFolds = sig.select(col("doc_id"),
+    // one doc-keyed payload frame (band folds + word set) so candidate
+    // pair rows pay TWO shuffle joins, not four
+    val docSide = sig.select(col("doc_id"),
       fold(1L, Seq("m0", "m1", "m2", "m3")).as("bf1"),
       fold(2L, Seq("m4", "m5", "m6", "m7")).as("bf2"))
+      .join(words, "doc_id")
     val probeOut = verified(probes.join(idx, "th")
       .filter(col("doc_id") =!= col("doc_i"))
       .select(least(col("doc_id"), col("doc_i")).as("doc_a"),
         greatest(col("doc_id"), col("doc_i")).as("doc_b"))
       .distinct()
-      .join(bandFolds.select(col("doc_id").as("doc_a"),
-        col("bf1").as("b1a"), col("bf2").as("b2a")), "doc_a")
-      .join(bandFolds.select(col("doc_id").as("doc_b"),
-        col("bf1").as("b1b"), col("bf2").as("b2b")), "doc_b")
-      .filter(col("b1a") =!= col("b1b") && col("b2a") =!= col("b2b"))
-      .join(words.select(col("doc_id").as("doc_a"),
+      .join(docSide.select(col("doc_id").as("doc_a"),
+        col("bf1").as("b1a"), col("bf2").as("b2a"),
         col("wset").as("wa"), col("nw").as("na")), "doc_a")
-      .join(words.select(col("doc_id").as("doc_b"),
-        col("wset").as("wb"), col("nw").as("nb")), "doc_b"))
+      .join(docSide.select(col("doc_id").as("doc_b"),
+        col("bf1").as("b1b"), col("bf2").as("b2b"),
+        col("wset").as("wb"), col("nw").as("nb")), "doc_b")
+      .filter(col("b1a") =!= col("b1b") && col("b2a") =!= col("b2b")))
     bandOut.unionByName(probeOut)
   }
 
