@@ -15,7 +15,10 @@ object Bench {
     "q102_morphology_probe", "q109_passage_dedup",
     "q115_exact_substring_dedup", "q144_similarity_histogram",
     "q148_ivfpq_rerank", "q150_dedup_materialize", "q151_semantic_dedup",
-    "q155_banding_recall", "q157_corpus_build")
+    "q155_banding_recall", "q157_corpus_build",
+    // round-11: the suite's most expensive query (two-generator
+    // containment) and the shipping-manifest capstone
+    "q168_containment_neardup", "q171_shipping_manifest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
