@@ -2399,12 +2399,19 @@ object TextQueries {
     * explode. */
   private val Q168DfCap = 16L
 
-  private def q168(s: SparkSession, d: String): DataFrame = {
+  private def q168(s: SparkSession, d: String): DataFrame =
+    containmentNearDup(s, Tables.documents(s, d))
+
+  /** The q168 kernel over ANY (`doc_id`, `text`) frame — factored so
+    * ContainmentFuzzSpec can drive it on random corpora with planted
+    * quote-and-extend pairs against an independent naive reference. */
+  def containmentNearDup(s: SparkSession, documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.SortedLongIntersectCount.register(s)
     graft.expressions.OptimizerBarrier.register(s)
-    val sig = q28(s, d)
-    val words = Tables.documents(s, d)
+    val sig = minhashAgg(documents
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w")))
+    val words = documents
       .select(col("doc_id"),
         expr("opt_barrier(array_sort(array_distinct(transform(" +
           wordsExpr +
@@ -2446,7 +2453,7 @@ object TextQueries {
         (col("bidx") === 1 || col("b1a") =!= col("b1b"))))
     // containment-native probe path: rare-shingle argmin probes against
     // a df-capped inverted trigram index
-    val triDocs = Tables.documents(s, d)
+    val triDocs = documents
       .filter(size(expr(wordsExpr)) >= 3)
       .select(col("doc_id"), expr(wordsExpr).as("w"))
       .select(col("doc_id"), expr(triHashSetExpr("w")).as("tri"))
