@@ -1316,16 +1316,17 @@ object TextQueries {
     * minimum survives, and the write is summarized per source. The
     * drop set is exactly "nodes whose component label ≠ themselves" —
     * no second clustering pass, no clique materialization; the
-    * anti-join keys on doc_id, so the corpus-side scan shuffles
-    * nothing (broadcast drop list at dup-population size, or a
-    * bucketed join at extreme dup rates). */
+    * join keys on doc_id with NO forced broadcast: the drop set is a
+    * corpus-fraction-sized artifact, so the hint is left to AQE —
+    * broadcast at typical dup rates, shuffled join when dup density
+    * makes the drop list too large to ship to every executor. */
   private def q150(s: SparkSession, d: String): DataFrame = {
     val (labels, _) =
       graft.operators.ConnectedComponents.minLabel(lshStarEdges(s, d))
     val dropped = labels.filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     Tables.documents(s, d)
-      .join(broadcast(dropped.withColumn("is_dup", lit(true))),
+      .join(dropped.withColumn("is_dup", lit(true)),
         Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -2865,7 +2866,131 @@ object TextQueries {
        |    AS token_share
        |FROM per p JOIN stot s ON s.split = p.split""".stripMargin
 
+  /** q173: DELTA dedup — an incoming refresh batch admitted against a
+    * corpus SNAPSHOT (the continuous-training-data operator: new crawl
+    * slices arrive forever; each is kept only where it is not a
+    * near-dup of what the corpus already holds). The batch here is the
+    * deterministic 10% slice doc_id % 10 = 0; the snapshot is the
+    * rest. Same LSH chain as q29 (8-hash MinHash → 2 band keys →
+    * band-key equi-join → exact hashed-token-set Jaccard ≥ 0.7), but
+    * the join is ASYMMETRIC: incoming band rows against snapshot band
+    * rows only — never snapshot×snapshot, so the per-refresh cost is
+    * delta-sized, not corpus-sized. Per incoming doc: match count,
+    * first (min-id) snapshot match, best Jaccard, and the admitted
+    * verdict. Exactly-once pair emission by q29's first-matching-band
+    * rule (no distinct anywhere).
+    *
+    * Scale shape: in production the snapshot's band table is a
+    * MATERIALIZED index (built once, bucketed by band key) — the
+    * per-refresh work is one signature pass over the delta plus a
+    * band-key join the delta side dominates; no broadcast is forced
+    * (the delta is refresh-cycle-bounded, so AQE broadcasts it when
+    * small and shuffles both sides when a backfill batch is large).
+    * Here both sides derive from one corpus scan since the snapshot
+    * index isn't persisted between queries. */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.SortedLongIntersectCount.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    val sig = q28(s, d)
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("opt_barrier(array_sort(array_distinct(transform(" +
+          wordsExpr +
+          ", w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)))))")
+          .as("wset"))
+      .withColumn("nw", size(col("wset")).cast("long"))
+    def fold(seed: Long, ms: Seq[String]): Column =
+      ms.foldLeft(lit(seed))((acc, m) => (acc * 127 + col(m)) % P)
+    val bandRows = sig
+      .select(col("doc_id"),
+        fold(1L, Seq("m0", "m1", "m2", "m3")).as("band1"),
+        fold(2L, Seq("m4", "m5", "m6", "m7")).as("band2"))
+      .select(col("doc_id"), col("band1"),
+        explode(array(
+          struct(lit(1).as("bidx"), col("band1").as("band")),
+          struct(lit(2).as("bidx"), col("band2").as("band")))).as("e"))
+      .select(col("doc_id"), col("band1"),
+        col("e.bidx").as("bidx"), col("e.band").as("band"))
+      .join(words, "doc_id")
+    val inc = bandRows.filter(col("doc_id") % 10 === 0)
+      .select(col("bidx"), col("band"), col("doc_id").as("doc_n"),
+        col("band1").as("b1n"), col("wset").as("wn"), col("nw").as("nn"))
+    val snap = bandRows.filter(col("doc_id") % 10 =!= 0)
+      .select(col("bidx"), col("band"), col("doc_id").as("doc_s"),
+        col("band1").as("b1s"), col("wset").as("ws"), col("nw").as("ns"))
+    val verdict = snap.join(inc, Seq("bidx", "band"))
+      .filter((col("bidx") === 1 || col("b1n") =!= col("b1s")) &&
+        least(col("nn"), col("ns")) * 10 >= greatest(col("nn"), col("ns")) * 7)
+      .withColumn("inter",
+        expr("opt_barrier(sorted_long_intersect_count(wn, ws))"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("nn") + col("ns") - col("inter")),
+        6))
+      .filter(col("jaccard") >= 0.7)
+      .groupBy(col("doc_n"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("doc_s")).as("first_match"),
+        max(col("jaccard")).as("max_jaccard"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"))
+      .join(verdict.withColumnRenamed("doc_n", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("first_match"), lit(-1L)).as("first_match"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) === 0).as("admitted"))
+  }
+
+  private val q173Sql =
+    s"""WITH sig AS ($q28Sql),
+       |bands AS (
+       |  SELECT doc_id, 1 AS bidx,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS bidx,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_n, y.doc_id AS doc_s
+       |  FROM bands x JOIN bands y
+       |    ON x.bidx = y.bidx AND x.band = y.band
+       |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+       |wsets AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform($wordsSqlExpr,
+       |      w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT))) AS wset,
+       |    CAST(len(list_distinct(list_transform($wordsSqlExpr,
+       |      w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT)))) AS BIGINT) AS nw
+       |  FROM documents),
+       |ver AS (
+       |  SELECT doc_n, doc_s,
+       |    round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
+       |      / (wa.nw + wb.nw - len(list_intersect(wa.wset, wb.wset))), 6)
+       |      AS jaccard
+       |  FROM cand
+       |  JOIN wsets wa ON wa.doc_id = doc_n
+       |  JOIN wsets wb ON wb.doc_id = doc_s
+       |  WHERE least(wa.nw, wb.nw) * 10 >= greatest(wa.nw, wb.nw) * 7
+       |    AND round(CAST(len(list_intersect(wa.wset, wb.wset)) AS DOUBLE)
+       |      / (wa.nw + wb.nw - len(list_intersect(wa.wset, wb.wset))), 6)
+       |      >= 0.7),
+       |agg AS (
+       |  SELECT doc_n, count(*) AS n_matches, min(doc_s) AS first_match,
+       |    max(jaccard) AS max_jaccard
+       |  FROM ver GROUP BY 1)
+       |SELECT d.doc_id, d.source,
+       |  coalesce(a.n_matches, 0) AS n_matches,
+       |  coalesce(a.first_match, CAST(-1 AS BIGINT)) AS first_match,
+       |  coalesce(a.max_jaccard, 0.0) AS max_jaccard,
+       |  (coalesce(a.n_matches, 0) = 0) AS admitted
+       |FROM documents d LEFT JOIN agg a ON a.doc_n = d.doc_id
+       |WHERE d.doc_id % 10 = 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q173_delta_dedup", q173, Some(q173Sql)),
     QueryDef("q171_shipping_manifest", q171, Some(q171Sql)),
     QueryDef("q170_containment_recall", q170, Some(q170Sql)),
     QueryDef("q168_containment_neardup", q168, Some(q168Sql)),

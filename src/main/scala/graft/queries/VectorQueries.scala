@@ -724,8 +724,10 @@ object VectorQueries {
     * embeddings table's `label` column — not the IVF cell id, which
     * only blocks the candidate join). At 100 TB the pair
     * stage is the cell-bucketed join q62 already is, the CC stage runs
-    * on the (small) duplicate population, and the drop list broadcasts
-    * onto the corpus — the embedding table itself never reshuffles. */
+    * on the (small) duplicate population, and the drop-list join keys
+    * on vec_id with NO forced broadcast — AQE broadcasts it at typical
+    * dup rates and falls back to a shuffled join when the drop set is
+    * a large corpus fraction, so the plan can't OOM on the hint. */
   private def q151(s: SparkSession, d: String): DataFrame = {
     val pairs = q62(s, d).select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = pairs
@@ -734,7 +736,7 @@ object VectorQueries {
     val dropped = cc.filter(col("node") =!= col("label"))
       .select(col("node").as("vec_id"), lit(true).as("is_dup"))
     Tables.embeddings(s, d)
-      .join(broadcast(dropped), Seq("vec_id"), "left")
+      .join(dropped, Seq("vec_id"), "left")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
@@ -762,7 +764,150 @@ object VectorQueries {
        |FROM embeddings em LEFT JOIN dropped dr ON em.vec_id = dr.node
        |GROUP BY 1""".stripMargin
 
+  /** q172: semantic dedup with OCCUPANCY-TARGETED cell count — the
+    * "cells ∝ n" production knob PLANS.md names as q151's missing
+    * scale fix, shipped. q151's blocking grid is FIXED (the 10-label
+    * IVF cells), so per-cell occupancy doubles with the corpus and
+    * pair work grows ~occupancy² (measured exponent 1.26→1.62). Here
+    * the grid SCALES: each vector gets a 16-bit sign-LSH signature
+    * (sign of its dot with 16 deterministic ±1 hyperplanes, computed
+    * over q110-style exact integer micro-units so both engines agree
+    * bit-for-bit — no float summation at the sign threshold), and the
+    * cell is the signature's low b bits where 2^b is the smallest
+    * power of two with 64·2^b ≥ n. Doubling the corpus adds one bit:
+    * cell count doubles, target occupancy stays ~64, per-cell pair
+    * work stays constant, TOTAL pair work stays linear — the SemDeDup
+    * within-cell-only contract (cross-cell pairs are out of scope by
+    * design, exactly as cluster-local SemDeDup accepts) at any scale.
+    * 16 planes cap the demo at 65,536 cells (~4M vectors at occ 64);
+    * production raises the plane count, nothing else changes.
+    *
+    * Scale shape: one corpus scan computes signatures (1,024 integer
+    * adds/vector, codegen'd), the corpus-count scalar is a 1-row
+    * broadcast, the pair join shuffles ON THE CELL KEY only, CC runs
+    * on the dup population, and the drop-list join has no forced
+    * broadcast (AQE decides). The oracle replays the identical
+    * signature/cell/pair/fixpoint chain in DuckDB. */
+  private val SigPlanes = 16
+  private val SigDim = 64
+  private val SigOcc = 64L
+  /** Deterministic ±1 hyperplane matrix (splitmix64 bit per (j,i)),
+    * inlined as literals into BOTH engines' expressions. */
+  private[graft] val planeSign: Array[Array[Int]] =
+    Array.tabulate(SigPlanes, SigDim) { (j, i) =>
+      val z0 = (j * SigDim + i + 1).toLong * 0x9E3779B97F4A7C15L
+      val z1 = (z0 ^ (z0 >>> 30)) * 0xBF58476D1CE4E5B9L
+      val z2 = (z1 ^ (z1 >>> 27)) * 0x94D049BB133111EBL
+      if ((((z2 ^ (z2 >>> 31)) >>> 17) & 1L) == 1L) 1 else -1
+    }
+  /** The 16-bit signature as one integer expression over the micro-unit
+    * array `u`: Σ_j 2^j·[Σ_i ±u_i ≥ 0]. `elem` maps dim index to the
+    * engine's array accessor (0-based Spark, 1-based DuckDB). */
+  private def sigTerms(elem: Int => String): String =
+    (0 until SigPlanes).map { j =>
+      val body = (0 until SigDim).map { i =>
+        (if (planeSign(j)(i) > 0) "+ " else "- ") + elem(i)
+      }.mkString(" ")
+      s"(CASE WHEN (0 $body) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+  /** Smallest 2^b with SigOcc·2^b ≥ n (b ≤ SigPlanes) — exact integer
+    * CASE chain, no float log anywhere near the cutoff. */
+  private def pow2bCol(n: Column): Column =
+    (0 until SigPlanes).foldLeft(Option.empty[Column]) { (acc, j) =>
+      val c = 1L << j
+      Some(acc match {
+        case None => when(n <= SigOcc * c, c)
+        case Some(w) => w.when(n <= SigOcc * c, c)
+      })
+    }.get.otherwise(1L << SigPlanes)
+  private def pow2bSqlCase: String =
+    "CAST(CASE " + (0 until SigPlanes).map { j =>
+      s"WHEN n <= ${SigOcc * (1L << j)} THEN ${1L << j} "
+    }.mkString + s"ELSE ${1L << SigPlanes} END AS BIGINT)"
+
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    val emb = Tables.embeddings(s, d)
+    val capRow = emb.agg(count(lit(1)).as("n_total"))
+      .select(pow2bCol(col("n_total")).as("n_cells_cap"))
+    // opt_barrier pins the micro-unit array projection — without it the
+    // optimizer inlines the transform into each of the 1,024 signature
+    // references (the q31 pathology)
+    val withCell = emb
+      .withColumn("u", expr("opt_barrier(transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)))"))
+      .withColumn("sig", expr(sigTerms(i => s"u[$i]")))
+      .crossJoin(broadcast(capRow))
+      .withColumn("cell", col("sig") % col("n_cells_cap"))
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val a = withCell.select(col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("nrm").as("na"), col("cell"))
+    val b = withCell.select(col("vec_id").as("id_b"),
+      col("embedding").as("e_b"), col("nrm").as("nb"),
+      col("cell").as("cell_b"))
+    val pairs = a.join(b,
+        col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(
+        expr("float_vector_dot(e_a, e_b)") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val (cc, _) = graft.operators.ConnectedComponents.minLabel(edges)
+    val dropped = cc.filter(col("node") =!= col("label"))
+      .select(col("node").as("vec_id"), lit(true).as("is_dup"))
+    Tables.embeddings(s, d)
+      .join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
+      .crossJoin(broadcast(capRow))
+  }
+
+  private val q172Sql =
+    s"""WITH RECURSIVE nt AS (SELECT count(*) AS n FROM embeddings),
+       |p2 AS (SELECT $pow2bSqlCase AS n_cells_cap FROM nt),
+       |uu AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS u
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, ${sigTerms(i => s"u[${i + 1}]")}
+       |    % (SELECT n_cells_cap FROM p2) AS cell
+       |  FROM uu),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE round(${cosineSql("ea.embedding", "eb.embedding")}, 6)
+       |    >= 0.3),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |lab AS (
+       |  SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+       |  UNION
+       |  SELECT e.dst AS node, lab.lbl AS lbl
+       |  FROM lab JOIN edges e ON lab.node = e.src),
+       |final AS (SELECT node, min(lbl) AS lbl FROM lab GROUP BY node),
+       |dropped AS (SELECT node FROM final WHERE lbl <> node)
+       |SELECT em.label, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  (SELECT n_cells_cap FROM p2) AS n_cells_cap
+       |FROM embeddings em LEFT JOIN dropped dr ON em.vec_id = dr.node
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q172_cellscaled_semdedup", q172, Some(q172Sql)),
     QueryDef("q151_semantic_dedup", q151, Some(q151Sql)),
     QueryDef("q148_ivfpq_rerank", q148, Some(q148Sql)),
     QueryDef("q130_ivfpq_search", q130, Some(q130Sql)),
