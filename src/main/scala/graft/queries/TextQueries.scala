@@ -2458,11 +2458,21 @@ object TextQueries {
       .filter(size(expr(wordsExpr)) >= 3)
       .select(col("doc_id"), expr(wordsExpr).as("w"))
       .select(col("doc_id"), expr(triHashSetExpr("w")).as("tri"))
+    // the per-perm argmin is hoisted into its own opt_barrier'd
+    // projection: written inline inside the filter lambda it is
+    // re-evaluated PER ELEMENT (O(len²) modmuls + one array alloc per
+    // element — measured 5.7 s of q168's 8.5 s at sf0.1), and without
+    // the barrier CollapseProject inlines the single-use alias right
+    // back into the lambda
+    val amCols = perms.take(4).zipWithIndex.map { case ((a, b), i) =>
+      expr(s"opt_barrier(array_min(transform(tri, " +
+        s"h -> (h * ${a}L + ${b}L) % $P)))").as(s"am$i")
+    }
     val probes = triDocs
+      .select(col("doc_id") +: col("tri") +: amCols: _*)
       .select(col("doc_id"), explode(expr(
-        perms.take(4).map { case (a, b) =>
-          s"filter(tri, t -> (t * ${a}L + ${b}L) % $P = " +
-            s"array_min(transform(tri, h -> (h * ${a}L + ${b}L) % $P)))"
+        perms.take(4).zipWithIndex.map { case ((a, b), i) =>
+          s"filter(tri, t -> (t * ${a}L + ${b}L) % $P = am$i)"
         }.mkString("flatten(array(", ", ", "))"))).as("th"))
       .distinct()
     val idx = triDocs

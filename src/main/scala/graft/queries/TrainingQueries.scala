@@ -473,7 +473,90 @@ object TrainingQueries {
       |  FROM per p, th), tot
       |GROUP BY 1""".stripMargin
 
+  /** q174: TRAINING-ORDER plan — the step between q169's shard layout
+    * and an actual training run: a deterministic pseudo-random global
+    * order (okey = salted md5 slice of doc_id — reproducible from the
+    * id alone, no RNG state to ship) materialized per shard, with the
+    * audit a data-order reviewer actually wants: per shard, the
+    * source-run structure of the order (count/max/mean of consecutive
+    * same-source runs — a pathological run means a training window
+    * sees one source for too long) and an exact integer checksum
+    * Σ pos·doc_id that pins the entire permutation, so any engine
+    * change that silently reorders training data fails parity.
+    *
+    * Scale shape: every window is PARTITIONED BY shard (shard count is
+    * the q169 knob, ∝ corpus at 100 TB, so per-partition sort stays
+    * bounded); one scan, one shard-keyed shuffle, aggregates ride the
+    * same key. No global sort anywhere — the global order is defined
+    * per (shard, okey), exactly how a multi-file training reader
+    * consumes it. */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val nShards = 32
+    val w = Window.partitionBy(col("shard")).orderBy(col("okey"), col("doc_id"))
+    val seq0 = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (expr("cast(conv(substring(md5(cast(cast(doc_id as string) as " +
+          "binary)), 1, 8), 16, 10) as bigint)") % nShards).as("shard"),
+        expr("cast(conv(substring(md5(cast(concat('ord:', " +
+          "cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint)")
+          .as("okey"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("chg",
+        when(lag(col("source"), 1).over(w).isNull ||
+          lag(col("source"), 1).over(w) =!= col("source"), 1L).otherwise(0L))
+    val runs = seq0.withColumn("run_id",
+      sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val maxRun = runs.groupBy(col("shard"), col("run_id"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("shard")).agg(max(col("rl")).as("max_run"))
+    runs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("chg")).as("n_runs"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .join(maxRun, "shard")
+      .select(col("shard"), col("n_docs"), col("n_sources"), col("n_runs"),
+        col("max_run"),
+        round(col("n_docs").cast("double") / col("n_runs"), 6).as("avg_run"),
+        col("order_checksum"))
+  }
+
+  private val q174Sql =
+    """WITH ord AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 32 AS shard,
+      |    CAST(('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS okey
+      |  FROM documents),
+      |seq AS (
+      |  SELECT shard, source, doc_id,
+      |    CAST(row_number() OVER w AS BIGINT) AS pos,
+      |    CASE WHEN lag(source) OVER w IS NULL
+      |        OR lag(source) OVER w <> source THEN 1 ELSE 0 END AS chg
+      |  FROM ord WINDOW w AS (PARTITION BY shard ORDER BY okey, doc_id)),
+      |runs AS (
+      |  SELECT shard, source, doc_id, pos, chg,
+      |    sum(chg) OVER (PARTITION BY shard ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM seq),
+      |rl AS (SELECT shard, run_id, count(*) AS rl FROM runs GROUP BY 1, 2),
+      |mr AS (SELECT shard, CAST(max(rl) AS BIGINT) AS max_run
+      |  FROM rl GROUP BY 1),
+      |per AS (
+      |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(sum(chg) AS BIGINT) AS n_runs,
+      |    CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+      |  FROM runs GROUP BY 1)
+      |SELECT p.shard, p.n_docs, p.n_sources, p.n_runs, m.max_run,
+      |  round(CAST(p.n_docs AS DOUBLE) / p.n_runs, 6) AS avg_run,
+      |  p.order_checksum
+      |FROM per p JOIN mr m ON m.shard = p.shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q174_training_order", q174, Some(q174Sql)),
     QueryDef("q143_decile_lift", q143, Some(q143Sql)),
     QueryDef("q133_priority_sample", q133, Some(q133Sql)),
     QueryDef("q42_asof_join", q42, Some(q42Sql)),
