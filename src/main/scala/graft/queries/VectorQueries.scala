@@ -776,11 +776,15 @@ object VectorQueries {
     * cell is the signature's low b bits where 2^b is the smallest
     * power of two with 64·2^b ≥ n. Doubling the corpus adds one bit:
     * cell count doubles, target occupancy stays ~64, per-cell pair
-    * work stays constant, TOTAL pair work stays linear — the SemDeDup
-    * within-cell-only contract (cross-cell pairs are out of scope by
-    * design, exactly as cluster-local SemDeDup accepts) at any scale.
-    * 16 planes cap the demo at 65,536 cells (~4M vectors at occ 64);
-    * production raises the plane count, nothing else changes.
+    * work stays constant, TOTAL pair work stays linear (times the
+    * multiprobe log factor below) at any scale. Candidate generation
+    * is MULTIPROBE: q175 measures a single table's same-cell recall
+    * at (1−θ/π)^b ≈ 0.3 on cos≈0.8 pairs, so each vector also probes
+    * its b one-bit-flip neighbor cells — pairs whose signatures differ
+    * in ≤1 cell bit are candidates (recall ≈ 0.72 at b=5, pinned by
+    * q175's probe_recall column), at (b+1) = log₂(n/64)+1 probes per
+    * vector. 16 planes cap the demo at 65,536 cells (~4M vectors at
+    * occ 64); production raises the plane count, nothing else changes.
     *
     * Scale shape: one corpus scan computes signatures (1,024 integer
     * adds/vector, codegen'd), the corpus-count scalar is a 1-row
@@ -824,13 +828,27 @@ object VectorQueries {
     "CAST(CASE " + (0 until SigPlanes).map { j =>
       s"WHEN n <= ${SigOcc * (1L << j)} THEN ${1L << j} "
     }.mkString + s"ELSE ${1L << SigPlanes} END AS BIGINT)"
+  /** The depth b itself (log₂ of [[pow2bCol]]) — the multiprobe flip
+    * count. */
+  private def bitsCol(n: Column): Column =
+    (0 until SigPlanes).foldLeft(Option.empty[Column]) { (acc, j) =>
+      Some(acc match {
+        case None => when(n <= SigOcc * (1L << j), j)
+        case Some(w) => w.when(n <= SigOcc * (1L << j), j)
+      })
+    }.get.otherwise(SigPlanes).cast("int")
+  private def bitsSqlCase: String =
+    "CAST(CASE " + (0 until SigPlanes).map { j =>
+      s"WHEN n <= ${SigOcc * (1L << j)} THEN $j "
+    }.mkString + s"ELSE $SigPlanes END AS INTEGER)"
 
   private def q172(s: SparkSession, d: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(s)
     graft.expressions.OptimizerBarrier.register(s)
     val emb = Tables.embeddings(s, d)
     val capRow = emb.agg(count(lit(1)).as("n_total"))
-      .select(pow2bCol(col("n_total")).as("n_cells_cap"))
+      .select(pow2bCol(col("n_total")).as("n_cells_cap"),
+        bitsCol(col("n_total")).as("nbits"))
     // opt_barrier pins the micro-unit array projection — without it the
     // optimizer inlines the transform into each of the 1,024 signature
     // references (the q31 pathology)
@@ -841,14 +859,31 @@ object VectorQueries {
       .crossJoin(broadcast(capRow))
       .withColumn("cell", col("sig") % col("n_cells_cap"))
       .withColumn("nrm", norm(col("embedding")))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    val a = withCell.select(col("vec_id").as("id_a"),
-      col("embedding").as("e_a"), col("nrm").as("na"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("nbits"))
+    // MULTIPROBE (q175's measured finding): a single sign-LSH table's
+    // same-cell recall on cos≈0.8 pairs is only (1−θ/π)^b ≈ 0.3, so
+    // the PROBE side of the join expands each vector to its cell plus
+    // the b single-bit flips — a pair is a candidate when signatures
+    // differ in ≤1 of the b cell bits, recall ≈ p^b + b·p^(b−1)(1−p)
+    // (~0.72 at b=5). The index side stays single-cell, so each
+    // qualifying pair matches EXACTLY one probe (equal cells → the
+    // unflipped probe; one differing bit k → flip k), no distinct
+    // needed; probe-side id < index-side id keeps it once per
+    // unordered pair. Candidate volume stays linear with a log factor:
+    // (b+1) probes/vector at fixed occupancy, b = log₂(n/64).
+    val probeRows = withCell
+      .withColumn("pcell", explode(expr(
+        "if(nbits = 0, array(cell), concat(array(cell), " +
+          "transform(sequence(1, nbits), " +
+          "k -> cell ^ shiftleft(cast(1 as bigint), k - 1))))")))
+    val a = probeRows.select(col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("nrm").as("na"), col("pcell"))
     val b = withCell.select(col("vec_id").as("id_b"),
       col("embedding").as("e_b"), col("nrm").as("nb"),
       col("cell").as("cell_b"))
     val pairs = a.join(b,
-        col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+        col("pcell") === col("cell_b") && col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(
         expr("float_vector_dot(e_a, e_b)") / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.3)
@@ -864,12 +899,13 @@ object VectorQueries {
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
         sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_kept"))
-      .crossJoin(broadcast(capRow))
+      .crossJoin(broadcast(capRow.select(col("n_cells_cap"))))
   }
 
   private val q172Sql =
     s"""WITH RECURSIVE nt AS (SELECT count(*) AS n FROM embeddings),
-       |p2 AS (SELECT $pow2bSqlCase AS n_cells_cap FROM nt),
+       |p2 AS (SELECT $pow2bSqlCase AS n_cells_cap,
+       |  $bitsSqlCase AS nbits FROM nt),
        |uu AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS u
@@ -878,12 +914,17 @@ object VectorQueries {
        |  SELECT vec_id, ${sigTerms(i => s"u[${i + 1}]")}
        |    % (SELECT n_cells_cap FROM p2) AS cell
        |  FROM uu),
+       |probes AS (
+       |  SELECT vec_id, unnest(list_prepend(cell,
+       |    [xor(cell, CAST(1 AS BIGINT) << k)
+       |     for k in range(0, (SELECT nbits FROM p2))])) AS pcell
+       |  FROM cells),
        |pairs AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM cells a JOIN cells b
-       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  SELECT p.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM probes p JOIN cells c
+       |    ON p.pcell = c.cell AND p.vec_id < c.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = p.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.vec_id
        |  WHERE round(${cosineSql("ea.embedding", "eb.embedding")}, 6)
        |    >= 0.3),
        |edges AS (
@@ -906,7 +947,111 @@ object VectorQueries {
        |FROM embeddings em LEFT JOIN dropped dr ON em.vec_id = dr.node
        |GROUP BY 1""".stripMargin
 
+  /** q175: MEASURED recall of q172's scaled cell grid — the q155/q170
+    * discipline applied to the new blocking scheme before anyone has
+    * to trust it: exact cosine ground truth over a FIXED 512-vector
+    * sample (all-pairs inside the sample only — fixed cost at any
+    * corpus size, the q170 sampling contract), each truth pair
+    * (cos ≥ 0.3) scored against both grids as deployed at this corpus
+    * size: q172's sign-LSH cells (cell count ∝ n) — BOTH the
+    * single-table same-cell criterion and the shipped ≤1-bit
+    * multiprobe criterion — and q151's fixed label grid. Output: per
+    * cosine band (lo [0.3,0.5) / mid [0.5,0.8) / hi [0.8,1]), pair
+    * count and each criterion's detection recall — the measured price
+    * of linear-scaling pair work, pinned as oracle output so a grid
+    * regression fails parity. (This query is WHY q172 multiprobes:
+    * same-cell recall on hi-cos pairs is ~0.3; ≤1-bit lifts it to
+    * ~0.7.)
+    *
+    * Scale shape: the sample is 512 rows regardless of corpus size
+    * (~131k candidate pairs, one broadcastable frame); the only
+    * corpus-sized term is the 1-row count that fixes the deployed
+    * cell depth. */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    val emb = Tables.embeddings(s, d)
+    val capRow = emb.agg(count(lit(1)).as("n_total"))
+      .select(pow2bCol(col("n_total")).as("n_cells_cap"))
+    val sample = emb.filter(col("vec_id") < 512)
+      .withColumn("u", expr("opt_barrier(transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)))"))
+      .withColumn("sig", expr(sigTerms(i => s"u[$i]")))
+      .crossJoin(broadcast(capRow))
+      .withColumn("cell", col("sig") % col("n_cells_cap"))
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("cell"))
+    val a = sample.select(col("vec_id").as("id_a"), col("label").as("la"),
+      col("embedding").as("e_a"), col("nrm").as("na"), col("cell").as("ca"))
+    val b = sample.select(col("vec_id").as("id_b"), col("label").as("lb"),
+      col("embedding").as("e_b"), col("nrm").as("nb"), col("cell").as("cb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(
+        expr("float_vector_dot(e_a, e_b)") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.3)
+      .withColumn("band",
+        when(col("cos_sim") < 0.5, "lo")
+          .when(col("cos_sim") < 0.8, "mid").otherwise("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("n_cell_hit"),
+        sum(when(expr("bit_count(ca ^ cb)") <= 1, 1L).otherwise(0L))
+          .as("n_probe_hit"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_label_hit"))
+      .select(col("band"), col("n_pairs"),
+        col("n_cell_hit"),
+        round(col("n_cell_hit").cast("double") / col("n_pairs"), 6)
+          .as("cell_recall"),
+        col("n_probe_hit"),
+        round(col("n_probe_hit").cast("double") / col("n_pairs"), 6)
+          .as("probe_recall"),
+        col("n_label_hit"),
+        round(col("n_label_hit").cast("double") / col("n_pairs"), 6)
+          .as("label_recall"))
+  }
+
+  private val q175Sql =
+    s"""WITH nt AS (SELECT count(*) AS n FROM embeddings),
+       |p2 AS (SELECT $pow2bSqlCase AS n_cells_cap FROM nt),
+       |uu AS (
+       |  SELECT vec_id, label, embedding, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS u
+       |  FROM embeddings WHERE vec_id < 512),
+       |cells AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${sigTerms(i => s"u[${i + 1}]")}
+       |    % (SELECT n_cells_cap FROM p2) AS cell
+       |  FROM uu),
+       |truth AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.label AS la, b.label AS lb, a.cell AS ca, b.cell AS cb,
+       |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |  FROM cells a JOIN cells b ON a.vec_id < b.vec_id
+       |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3),
+       |banded AS (
+       |  SELECT CASE WHEN cos_sim < 0.5 THEN 'lo'
+       |    WHEN cos_sim < 0.8 THEN 'mid' ELSE 'hi' END AS band,
+       |    la, lb, ca, cb
+       |  FROM truth)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cell_hit,
+       |  round(CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS cell_recall,
+       |  CAST(sum(CASE WHEN bit_count(xor(ca, cb)) <= 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_probe_hit,
+       |  round(CAST(sum(CASE WHEN bit_count(xor(ca, cb)) <= 1
+       |      THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS probe_recall,
+       |  CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_label_hit,
+       |  round(CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS label_recall
+       |FROM banded GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q175_cellgrid_recall", q175, Some(q175Sql)),
     QueryDef("q172_cellscaled_semdedup", q172, Some(q172Sql)),
     QueryDef("q151_semantic_dedup", q151, Some(q151Sql)),
     QueryDef("q148_ivfpq_rerank", q148, Some(q148Sql)),

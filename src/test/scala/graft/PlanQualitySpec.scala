@@ -111,9 +111,15 @@ class PlanQualitySpec extends SparkSpec {
     // global guard over the whole declared surface: an accidental
     // cross product is the one plan shape that cannot survive 100 TB.
     // BroadcastNestedLoopJoin is allowed only for the ANN queries that
-    // intentionally broadcast a tiny query-vector side.
+    // intentionally broadcast a tiny query-vector side, and for q175's
+    // ground-truth pairing, whose build side is the FIXED 512-vector
+    // sample (the q170 sampling contract: all-pairs exists only inside
+    // a size-capped sample, so the nested loop is bounded at any
+    // corpus size — and ground truth cannot use a blocking key, that
+    // is the thing it measures).
     val nestedLoopAllowed =
-      Set("q32_knn_bruteforce", "q33_ann_ivf_label", "q80_ann_recall")
+      Set("q32_knn_bruteforce", "q33_ann_ivf_label", "q80_ann_recall",
+        "q175_cellgrid_recall")
     // q78 runs an iterative fixpoint at construction time — planJudged
     // via its components; skip the expensive build here.
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
