@@ -17,8 +17,10 @@ object Bench {
     "q148_ivfpq_rerank", "q150_dedup_materialize", "q151_semantic_dedup",
     "q155_banding_recall", "q157_corpus_build",
     // round-11: the suite's most expensive query (two-generator
-    // containment) and the shipping-manifest capstone
-    "q168_containment_neardup", "q171_shipping_manifest")
+    // containment), the shipping-manifest capstone, and the
+    // cell-scaled semdedup (the cells ∝ n knob)
+    "q168_containment_neardup", "q171_shipping_manifest",
+    "q172_cellscaled_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -176,7 +176,7 @@ object TextQueries {
   /** MinHash permutation constants: h_i(x) = (a_i·h + b_i) mod p over the
     * 32-bit token hash (`hash32`, md5-derived so both engines agree).
     * a_i·h < 1e9 · 2^32 < 2^63 — no overflow. */
-  private val P = 2147483647L
+  private[graft] val P = 2147483647L
   private val perms = Seq(
     (824633721L, 97L), (592397613L, 1031L), (405187081L, 65537L),
     (975319753L, 257L), (163841233L, 8209L), (741002381L, 12289L),
@@ -2898,11 +2898,16 @@ object TextQueries {
     * small and shuffles both sides when a backfill batch is large).
     * Here both sides derive from one corpus scan since the snapshot
     * index isn't persisted between queries. */
-  private def q173(s: SparkSession, d: String): DataFrame = {
-    graft.expressions.SortedLongIntersectCount.register(s)
-    graft.expressions.OptimizerBarrier.register(s)
-    val sig = q28(s, d)
-    val words = Tables.documents(s, d)
+  /** LSH band rows of ANY (`doc_id`, `text`) frame — q29's shape
+    * factored for reuse by q173 and the [[graft.operators
+    * .DeltaDedupIndex]] materialized snapshot index: one row per
+    * (doc, band) with the band-1 fold kept for the first-matching-band
+    * rule and the hashed word set attached for verification. */
+  private[graft] def lshBandRows(docs: DataFrame): DataFrame = {
+    graft.expressions.OptimizerBarrier.register(docs.sparkSession)
+    val sig = minhashAgg(docs
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w")))
+    val words = docs
       .select(col("doc_id"),
         expr("opt_barrier(array_sort(array_distinct(transform(" +
           wordsExpr +
@@ -2911,7 +2916,7 @@ object TextQueries {
       .withColumn("nw", size(col("wset")).cast("long"))
     def fold(seed: Long, ms: Seq[String]): Column =
       ms.foldLeft(lit(seed))((acc, m) => (acc * 127 + col(m)) % P)
-    val bandRows = sig
+    sig
       .select(col("doc_id"),
         fold(1L, Seq("m0", "m1", "m2", "m3")).as("band1"),
         fold(2L, Seq("m4", "m5", "m6", "m7")).as("band2"))
@@ -2922,6 +2927,13 @@ object TextQueries {
       .select(col("doc_id"), col("band1"),
         col("e.bidx").as("bidx"), col("e.band").as("band"))
       .join(words, "doc_id")
+  }
+
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.SortedLongIntersectCount.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    val bandRows = lshBandRows(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
     val inc = bandRows.filter(col("doc_id") % 10 === 0)
       .select(col("bidx"), col("band"), col("doc_id").as("doc_n"),
         col("band1").as("b1n"), col("wset").as("wn"), col("nw").as("nn"))
