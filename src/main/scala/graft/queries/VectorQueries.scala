@@ -842,25 +842,42 @@ object VectorQueries {
       s"WHEN n <= ${SigOcc * (1L << j)} THEN $j "
     }.mkString + s"ELSE $SigPlanes END AS INTEGER)"
 
-  private def q172(s: SparkSession, d: String): DataFrame = {
-    graft.expressions.FloatVectorDot.register(s)
-    graft.expressions.OptimizerBarrier.register(s)
-    val emb = Tables.embeddings(s, d)
-    val capRow = emb.agg(count(lit(1)).as("n_total"))
+  /** The corpus-count scalar that fixes the deployed grid: 1 row with
+    * `n_cells_cap` and `nbits`. */
+  private def gridCapRow(emb: DataFrame): DataFrame =
+    emb.agg(count(lit(1)).as("n_total"))
       .select(pow2bCol(col("n_total")).as("n_cells_cap"),
         bitsCol(col("n_total")).as("nbits"))
-    // opt_barrier pins the micro-unit array projection — without it the
-    // optimizer inlines the transform into each of the 1,024 signature
-    // references (the q31 pathology)
-    val withCell = emb
+
+  /** Sign-LSH cell assignment under the deployed grid: (`vec_id`,
+    * `label`, `embedding`, `nrm`, `cell`, `nbits`) for every row of
+    * `emb`. The opt_barrier pins the micro-unit array projection —
+    * without it the optimizer inlines the transform into each of the
+    * 1,024 signature references (the q31 pathology). */
+  private def withCells(emb: DataFrame, capRow: DataFrame): DataFrame =
+    emb
       .withColumn("u", expr("opt_barrier(transform(embedding, " +
         "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)))"))
       .withColumn("sig", expr(sigTerms(i => s"u[$i]")))
       .crossJoin(broadcast(capRow))
       .withColumn("cell", col("sig") % col("n_cells_cap"))
       .withColumn("nrm", norm(col("embedding")))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-        col("nbits"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("cell"), col("nbits"))
+
+  /** The multiprobe expansion expression over `cell`/`nbits` (cell
+    * itself plus the nbits one-bit flips). */
+  private val multiprobeExpr: String =
+    "if(nbits = 0, array(cell), concat(array(cell), " +
+      "transform(sequence(1, nbits), " +
+      "k -> cell ^ shiftleft(cast(1 as bigint), k - 1))))"
+
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    val emb = Tables.embeddings(s, d)
+    val capRow = gridCapRow(emb)
+    val withCell = withCells(emb, capRow)
     // MULTIPROBE (q175's measured finding): a single sign-LSH table's
     // same-cell recall on cos≈0.8 pairs is only (1−θ/π)^b ≈ 0.3, so
     // the PROBE side of the join expands each vector to its cell plus
@@ -873,10 +890,7 @@ object VectorQueries {
     // unordered pair. Candidate volume stays linear with a log factor:
     // (b+1) probes/vector at fixed occupancy, b = log₂(n/64).
     val probeRows = withCell
-      .withColumn("pcell", explode(expr(
-        "if(nbits = 0, array(cell), concat(array(cell), " +
-          "transform(sequence(1, nbits), " +
-          "k -> cell ^ shiftleft(cast(1 as bigint), k - 1))))")))
+      .withColumn("pcell", explode(expr(multiprobeExpr)))
     val a = probeRows.select(col("vec_id").as("id_a"),
       col("embedding").as("e_a"), col("nrm").as("na"), col("pcell"))
     val b = withCell.select(col("vec_id").as("id_b"),
@@ -971,17 +985,7 @@ object VectorQueries {
     graft.expressions.FloatVectorDot.register(s)
     graft.expressions.OptimizerBarrier.register(s)
     val emb = Tables.embeddings(s, d)
-    val capRow = emb.agg(count(lit(1)).as("n_total"))
-      .select(pow2bCol(col("n_total")).as("n_cells_cap"))
-    val sample = emb.filter(col("vec_id") < 512)
-      .withColumn("u", expr("opt_barrier(transform(embedding, " +
-        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)))"))
-      .withColumn("sig", expr(sigTerms(i => s"u[$i]")))
-      .crossJoin(broadcast(capRow))
-      .withColumn("cell", col("sig") % col("n_cells_cap"))
-      .withColumn("nrm", norm(col("embedding")))
-      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-        col("cell"))
+    val sample = withCells(emb.filter(col("vec_id") < 512), gridCapRow(emb))
     val a = sample.select(col("vec_id").as("id_a"), col("label").as("la"),
       col("embedding").as("e_a"), col("nrm").as("na"), col("cell").as("ca"))
     val b = sample.select(col("vec_id").as("id_b"), col("label").as("lb"),
@@ -1050,7 +1054,90 @@ object VectorQueries {
        |    / count(*), 6) AS label_recall
        |FROM banded GROUP BY 1""".stripMargin
 
+  /** q176: DELTA semantic dedup — q173's contract in embedding space:
+    * an incoming refresh batch (the deterministic 25% slice
+    * vec_id % 4 = 0) is admitted against the corpus SNAPSHOT (the
+    * rest) under q172's deployed grid. The MULTIPROBE expansion runs
+    * on the INCOMING side only — exactly where it belongs, since the
+    * delta is refresh-cycle-bounded — while the snapshot side stays
+    * single-cell (in production a materialized (vec_id, cell) table,
+    * the [[graft.operators.DeltaDedupIndex]] discipline), so the
+    * snapshot never pairs with itself and never probe-expands. Each
+    * qualifying pair (signatures differing in ≤1 cell bit) matches
+    * exactly one probe; cos ≥ 0.3 verifies. Per incoming vector:
+    * match count, first (min-id) snapshot match, best cosine, and the
+    * admitted verdict. */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cells = withCells(emb, gridCapRow(emb))
+    val inc = cells.filter(col("vec_id") % 4 === 0)
+      .withColumn("pcell", explode(expr(multiprobeExpr)))
+      .select(col("vec_id").as("id_n"), col("embedding").as("e_n"),
+        col("nrm").as("nn"), col("pcell"))
+    val snap = cells.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id").as("id_s"), col("embedding").as("e_s"),
+        col("nrm").as("ns"), col("cell").as("cell_s"))
+    val verdict = snap.join(inc, col("pcell") === col("cell_s"))
+      .withColumn("cs", round(
+        expr("float_vector_dot(e_n, e_s)") / (col("nn") * col("ns")), 6))
+      .filter(col("cs") >= 0.3)
+      .groupBy(col("id_n"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("id_s")).as("first_match"),
+        max(col("cs")).as("max_cos"))
+    emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("label"))
+      .join(verdict.withColumnRenamed("id_n", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("first_match"), lit(-1L)).as("first_match"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+        (coalesce(col("n_matches"), lit(0L)) === 0).as("admitted"))
+  }
+
+  private val q176Sql =
+    s"""WITH nt AS (SELECT count(*) AS n FROM embeddings),
+       |p2 AS (SELECT $pow2bSqlCase AS n_cells_cap,
+       |  $bitsSqlCase AS nbits FROM nt),
+       |uu AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS u
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, ${sigTerms(i => s"u[${i + 1}]")}
+       |    % (SELECT n_cells_cap FROM p2) AS cell
+       |  FROM uu),
+       |probes AS (
+       |  SELECT vec_id, unnest(list_prepend(cell,
+       |    [xor(cell, CAST(1 AS BIGINT) << k)
+       |     for k in range(0, (SELECT nbits FROM p2))])) AS pcell
+       |  FROM cells WHERE vec_id % 4 = 0),
+       |ver AS (
+       |  SELECT p.vec_id AS id_n, c.vec_id AS id_s,
+       |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cs
+       |  FROM probes p
+       |  JOIN cells c ON p.pcell = c.cell AND c.vec_id % 4 <> 0
+       |  JOIN embeddings a ON a.vec_id = p.vec_id
+       |  JOIN embeddings b ON b.vec_id = c.vec_id
+       |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6)
+       |    >= 0.3),
+       |agg AS (
+       |  SELECT id_n, count(*) AS n_matches, min(id_s) AS first_match,
+       |    max(cs) AS max_cos
+       |  FROM ver GROUP BY 1)
+       |SELECT e.vec_id, e.label,
+       |  coalesce(a.n_matches, 0) AS n_matches,
+       |  coalesce(a.first_match, CAST(-1 AS BIGINT)) AS first_match,
+       |  coalesce(a.max_cos, 0.0) AS max_cos,
+       |  (coalesce(a.n_matches, 0) = 0) AS admitted
+       |FROM embeddings e LEFT JOIN agg a ON a.id_n = e.vec_id
+       |WHERE e.vec_id % 4 = 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q176_delta_semdedup", q176, Some(q176Sql)),
     QueryDef("q175_cellgrid_recall", q175, Some(q175Sql)),
     QueryDef("q172_cellscaled_semdedup", q172, Some(q172Sql)),
     QueryDef("q151_semantic_dedup", q151, Some(q151Sql)),
