@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions._
 
 import graft.queries.TextQueries
@@ -26,24 +28,83 @@ import graft.queries.TextQueries
   * 2 rows/doc plus the hashed word sets), incoming batches are
   * refresh-cycle-bounded, and the only per-refresh snapshot cost is
   * the bucket-pruned scan the join performs — the corpus is never
-  * re-signatured and never shuffled.
+  * re-signatured and never shuffled. Between snapshot cuts the index
+  * ADVANCES WITHOUT A REBUILD: [[append]] writes an admitted batch's
+  * band rows as new files in the same bucket layout (the rolling
+  * XADD-style retention the reference's queue uses for its stream,
+  * src/queue/redis_queue.py:124-130, applied to an index), so
+  * build(S) followed by append(Δ) answers exactly like build(S ∪ Δ)
+  * — DeltaDedupIndexSpec proves that equivalence verdict-for-verdict.
   */
 object DeltaDedupIndex {
 
-  /** Write the snapshot's band index as a bucketed+sorted table.
-    * `docs` must have `doc_id` and `text`. */
-  def build(docs: DataFrame, table: String, buckets: Int = 8): Unit =
+  /** Band rows of `docs` (`doc_id`, `text`) keyed by the folded
+    * single-column join/bucket key. */
+  private def bandRows(docs: DataFrame): DataFrame =
     TextQueries.lshBandRows(docs.select(col("doc_id"), col("text")))
       .withColumn("bkey",
         col("bidx").cast("long") * TextQueries.P + col("band"))
       .select(col("bkey"), col("bidx"), col("doc_id"), col("band1"),
         col("wset"), col("nw"))
-      .write.bucketBy(buckets, "bkey").sortBy("bkey")
+
+  /** Bucket count sizing rule: the index holds 2 band rows per doc
+    * (each carrying the doc's hashed word set, ~1 KB at typical doc
+    * lengths), and a bucket should stay a few hundred MB so the
+    * bucket-pruned scan claim holds at snapshot scale — so target
+    * ≤ ~2¹⁸ band rows (≈ 256 MB) per bucket, floor 8, rounded up to a
+    * power of two (bucket joins only line up when counts divide). */
+  private[graft] def bucketsFor(snapshotDocs: Long): Int = {
+    val target = (2L * snapshotDocs + (1L << 18) - 1) >> 18
+    math.max(8, Integer.highestOneBit(math.max(1, target - 1).toInt) * 2)
+  }
+
+  private def bucketCountOf(s: SparkSession, table: String): Int =
+    s.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed index table"))
+
+  /** Write the snapshot's band index as a bucketed+sorted table.
+    * `docs` must have `doc_id` and `text`. `buckets` ≤ 0 (the default)
+    * derives the count from the snapshot row count via [[bucketsFor]]
+    * — pass it explicitly only when the caller already knows the
+    * corpus size (saves the sizing count job). */
+  def build(docs: DataFrame, table: String, buckets: Int = 0): Unit = {
+    val nb = if (buckets > 0) buckets else bucketsFor(docs.count())
+    bandRows(docs)
+      .write.bucketBy(nb, "bkey").sortBy("bkey")
       .mode("overwrite").saveAsTable(table)
+  }
+
+  /** Advance the snapshot WITHOUT a rebuild: append `admittedDocs`'
+    * (`doc_id`, `text`) band rows to the existing bucket layout. The
+    * bucket count is read from the catalog so the new files land in
+    * the same buckets the join prunes by; per-file sort order is
+    * preserved per appended file (the join's bucketed scan merges
+    * files per bucket). Callers append only docs that [[admit]]
+    * ADMITTED — appending a rejected near-dup would make the snapshot
+    * self-contradictory. */
+  def append(admittedDocs: DataFrame, table: String): Unit =
+    bandRows(admittedDocs)
+      .write.bucketBy(bucketCountOf(admittedDocs.sparkSession, table), "bkey")
+      .sortBy("bkey").mode("append").saveAsTable(table)
 
   /** Admit an incoming batch (`doc_id`, `source`, `text`) against the
     * prebuilt index: q173's per-doc verdict frame (match count, first
-    * snapshot match, best Jaccard, admitted). */
+    * snapshot match, best Jaccard, admitted).
+    *
+    * Contract (q173's semantics, stated here because production
+    * callers compose this differently than the oracle query):
+    *   - `newDocs.doc_id` must be unique WITHIN the batch — each
+    *     verdict row is one left-join hit per incoming doc, so a
+    *     duplicated id yields duplicated verdict rows;
+    *   - the batch is checked against the SNAPSHOT ONLY, never
+    *     against itself — two near-identical docs arriving in the
+    *     same batch are both admitted (dedup-within-batch is a
+    *     separate, batch-local pass, e.g. q150's, run before this
+    *     gate). This is deliberate: it keeps the delta path free of
+    *     any batch×batch pairing, which is what makes per-refresh
+    *     cost ∝ |batch|. */
   def admit(newDocs: DataFrame, table: String): DataFrame = {
     val s = newDocs.sparkSession
     graft.expressions.SortedLongIntersectCount.register(s)

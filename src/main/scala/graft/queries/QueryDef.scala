@@ -17,7 +17,19 @@ import org.apache.spark.sql.functions._
   *   - money-like double sums go through DECIMAL so the accumulation is
   *     exact and order-independent (a plain double sum over a shuffled
   *     100 TB dataset is nondeterministic), then cast back to double;
-  *   - any remaining double output is `round(..., 6)` on both sides.
+  *   - MEASUREMENT ratios (recall, share, rate — any column whose only
+  *     job is to be compared across rounds) are INTEGER-EXACT: emitted
+  *     as basis points / fixed-point thousandths via BIGINT division
+  *     (`(10000 * num) div den` / DuckDB `//`), never `round(<double
+  *     quotient>)`. Engines disagree on double rounding (Spark rounds
+  *     the shortest decimal repr HALF_UP via BigDecimal; DuckDB rounds
+  *     the true binary value, with semantics that changed across
+  *     releases), and DuckDB widens sum(BIGINT) to HUGEINT — both are
+  *     hash-divergence channels under a driver-side DuckDB version
+  *     bump (the r11 q170 failure). Oracle-side aggregate outputs are
+  *     always CAST(... AS BIGINT);
+  *   - any remaining double output (reference-semantics values, e.g.
+  *     money or signal amplitudes) is `round(..., 6)` on both sides.
   */
 final case class QueryDef(
     name: String,

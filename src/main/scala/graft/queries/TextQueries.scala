@@ -992,10 +992,8 @@ object TextQueries {
         sum((col("tf") <= 5).cast("long")).as("n_rare"))
       .select(col("doc_id"), col("n_tokens"),
         expr("inv_sum div n_tokens").as("mean_inv_tf"),
-        round(col("n_hapax").cast("double") / col("n_tokens"), 6)
-          .as("hapax_ratio"),
-        round(col("n_rare").cast("double") / col("n_tokens"), 6)
-          .as("rare_ratio"))
+        expr("(10000L * n_hapax) div n_tokens").as("hapax_bp"),
+        expr("(10000L * n_rare) div n_tokens").as("rare_bp"))
   }
 
   private val q124Sql =
@@ -1004,10 +1002,10 @@ object TextQueries {
        |tf AS (SELECT wh, count(*) AS tf FROM tok GROUP BY 1)
        |SELECT doc_id, count(*) AS n_tokens,
        |  CAST(sum(1000000000000 // tf) AS BIGINT) // count(*) AS mean_inv_tf,
-       |  round(CAST(sum(CAST(tf = 1 AS BIGINT)) AS DOUBLE) / count(*), 6)
-       |    AS hapax_ratio,
-       |  round(CAST(sum(CAST(tf <= 5 AS BIGINT)) AS DOUBLE) / count(*), 6)
-       |    AS rare_ratio
+       |  (10000 * CAST(sum(CAST(tf = 1 AS BIGINT)) AS BIGINT)) // count(*)
+       |    AS hapax_bp,
+       |  (10000 * CAST(sum(CAST(tf <= 5 AS BIGINT)) AS BIGINT)) // count(*)
+       |    AS rare_bp
        |FROM tok JOIN tf USING (wh)
        |GROUP BY 1""".stripMargin
 
@@ -1512,8 +1510,7 @@ object TextQueries {
       .groupBy(col("pct_band"))
       .agg(count(lit(1)).as("n_true"),
         sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
-      .withColumn("recall_pct",
-        round(lit(100.0) * col("n_found") / col("n_true"), 2))
+      .withColumn("recall_bp", expr("(10000L * n_found) div n_true"))
   }
 
   private val q155Sql = {
@@ -1548,8 +1545,8 @@ object TextQueries {
        |SELECT pct_band,
        |  count(*) AS n_true,
        |  CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
-       |  round(100.0 * sum(CASE WHEN found THEN 1 ELSE 0 END) / count(*), 2)
-       |    AS recall_pct
+       |  (10000 * CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT))
+       |    // count(*) AS recall_bp
        |FROM (
        |  SELECT *,
        |    CAST(floor(100.0 * inter / (na + nb - inter)) AS BIGINT) AS pct_band
@@ -2591,6 +2588,14 @@ object TextQueries {
     * while probe recall stays ≈ 1−(1−C)⁴ ≈ 100%, and any regression in
     * either detector's constants flips integer counts and fails parity.
     *
+    * Every output column is ENGINE-EXACT (QueryDef's integer-exact
+    * discipline): counts and sums are BIGINT on both engines, and the
+    * pooled-Jaccard / recall measurements are integer basis points via
+    * BIGINT division — no double rounding anywhere, so the hash cannot
+    * depend on either engine's round() semantics or on DuckDB widening
+    * sum(BIGINT) to HUGEINT (both were latent hash-divergence channels
+    * in the r11 driver run; CORRECTNESS_r11's only red cell).
+    *
     * Scale shape: the evaluator is a fixed-cost probe — ≤ 24 docs/source
     * regardless of corpus size (content-addressed sample, stable across
     * runs and growth), pair construction is per-source-local, and no
@@ -2642,7 +2647,8 @@ object TextQueries {
           "p -> p.i + p.m <= n)")).as("pm"))
       .select(col("pm.m").as("m"),
         expr("split(element_at(texts, pm.i), ' ')").as("wa"),
-        expr("split(array_join(slice(texts, pm.i, pm.m + 1), ' '), ' ')").as("wb"))
+        expr("flatten(transform(sequence(pm.i, pm.i + pm.m), " +
+          "j -> split(element_at(texts, j), ' ')))").as("wb"))
       .select(col("m"), expr(tri("wa")).as("ta"), expr(tri("wb")).as("tb"))
       .withColumn("il", expr("opt_barrier(array_intersect(ta, tb))"))
       .withColumn("na", size(col("ta")).cast("long"))
@@ -2665,12 +2671,10 @@ object TextQueries {
         sum(col("inter")).as("sum_inter"),
         sum(when(col("found_band"), 1L).otherwise(0L)).as("n_found_band"),
         sum(when(col("found_probe"), 1L).otherwise(0L)).as("n_found_probe"))
-      .withColumn("pooled_jaccard", round(col("sum_inter").cast("double") /
-        (col("sum_na") + col("sum_nb") - col("sum_inter")), 4))
-      .withColumn("recall_band_pct",
-        round(lit(100.0) * col("n_found_band") / col("n_pairs"), 2))
-      .withColumn("recall_probe_pct",
-        round(lit(100.0) * col("n_found_probe") / col("n_pairs"), 2))
+      .withColumn("pooled_jaccard_bp",
+        expr("(10000L * sum_inter) div (sum_na + sum_nb - sum_inter)"))
+      .withColumn("recall_band_bp", expr("(10000L * n_found_band) div n_pairs"))
+      .withColumn("recall_probe_bp", expr("(10000L * n_found_probe) div n_pairs"))
   }
 
   private val q170Sql = {
@@ -2701,7 +2705,7 @@ object TextQueries {
        |ab AS (
        |  SELECT m,
        |    str_split(texts[i], ' ') AS wa,
-       |    str_split(array_to_string(texts[i : i + m], ' '), ' ') AS wb
+       |    flatten([str_split(texts[j], ' ') for j in range(i, i + m + 1)]) AS wb
        |  FROM combos),
        |tri AS (
        |  SELECT m, ${triSql("wa")} AS ta, ${triSql("wb")} AS tb
@@ -2723,17 +2727,20 @@ object TextQueries {
        |      OR msa[3] = msi[3] OR msa[4] = msi[4], false) AS found_probe
        |  FROM sc)
        |SELECT m, count(*) AS n_pairs,
-       |  sum(na) AS sum_na, sum(nb) AS sum_nb, sum(inter) AS sum_inter,
+       |  CAST(sum(na) AS BIGINT) AS sum_na,
+       |  CAST(sum(nb) AS BIGINT) AS sum_nb,
+       |  CAST(sum(inter) AS BIGINT) AS sum_inter,
        |  CAST(sum(CASE WHEN found_band THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_found_band,
        |  CAST(sum(CASE WHEN found_probe THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_found_probe,
-       |  round(CAST(sum(inter) AS DOUBLE)
-       |    / (sum(na) + sum(nb) - sum(inter)), 4) AS pooled_jaccard,
-       |  round(100.0 * sum(CASE WHEN found_band THEN 1 ELSE 0 END)
-       |    / count(*), 2) AS recall_band_pct,
-       |  round(100.0 * sum(CASE WHEN found_probe THEN 1 ELSE 0 END)
-       |    / count(*), 2) AS recall_probe_pct
+       |  (10000 * CAST(sum(inter) AS BIGINT))
+       |    // (CAST(sum(na) AS BIGINT) + CAST(sum(nb) AS BIGINT)
+       |        - CAST(sum(inter) AS BIGINT)) AS pooled_jaccard_bp,
+       |  (10000 * CAST(sum(CASE WHEN found_band THEN 1 ELSE 0 END) AS BIGINT))
+       |    // count(*) AS recall_band_bp,
+       |  (10000 * CAST(sum(CASE WHEN found_probe THEN 1 ELSE 0 END) AS BIGINT))
+       |    // count(*) AS recall_probe_bp
        |FROM flags GROUP BY m""".stripMargin
   }
 

@@ -133,15 +133,14 @@ object TrainingQueries {
           <= "e5", "train").otherwise("holdout"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
-          .as("avg_chars"))
+        expr("(1000 * sum(n_chars)) div count(1)").as("avg_chars_x1000"))
 
   private val q74Sql =
     """SELECT source,
       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
       |    THEN 'train' ELSE 'holdout' END AS split,
       |  count(*) AS n,
-      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+      |  (1000 * CAST(sum(n_chars) AS BIGINT)) // count(*) AS avg_chars_x1000
       |FROM documents GROUP BY 1, 2""".stripMargin
 
   /** q75: cross-split contamination — source pairs sharing an 8-word
@@ -444,8 +443,7 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n_users"), sum(col("convs")).as("convs"))
       .crossJoin(broadcast(tot))
       .select(col("decile"), col("n_users"), col("convs"),
-        round(col("convs").cast("double") /
-          col("total_convs").cast("double"), 6).as("conv_share"))
+        expr("(10000L * convs) div total_convs").as("conv_share_bp"))
   }
 
   private val q143Sql =
@@ -464,8 +462,8 @@ object TrainingQueries {
       |tot AS (SELECT CAST(sum(convs) AS BIGINT) AS total_convs FROM per)
       |SELECT decile, count(*) AS n_users,
       |  CAST(sum(convs) AS BIGINT) AS convs,
-      |  round(CAST(sum(convs) AS DOUBLE)
-      |    / CAST(any_value(total_convs) AS DOUBLE), 6) AS conv_share
+      |  (10000 * CAST(sum(convs) AS BIGINT))
+      |    // CAST(any_value(total_convs) AS BIGINT) AS conv_share_bp
       |FROM (
       |  SELECT p.convs,
       |    1 + len(list_filter(th.ths, t -> CAST(p.score_c AS DOUBLE) > t))
@@ -481,8 +479,15 @@ object TrainingQueries {
     * source-run structure of the order (count/max/mean of consecutive
     * same-source runs — a pathological run means a training window
     * sees one source for too long) and an exact integer checksum
-    * Σ pos·doc_id that pins the entire permutation, so any engine
-    * change that silently reorders training data fails parity.
+    * Σ (pos·doc_id mod P) mod P (P = 2³¹−1, the band-key fold prime)
+    * that pins the entire permutation, so any engine change that
+    * silently reorders training data fails parity. The mod-P fold is
+    * overflow-proof by construction: both factors are reduced below
+    * 2³¹ before the multiply, so the product stays under 2⁶² — raw
+    * Σ pos·doc_id would silently wrap in Spark (non-ANSI) while DuckDB
+    * raises on BIGINT overflow, diverging at real corpus sizes.
+    * avg_run ships ×1000 in integer thousandths (BIGINT division) so
+    * no output column depends on either engine's double rounding.
     *
     * Scale shape: every window is PARTITIONED BY shard (shard count is
     * the q169 knob, ∝ corpus at 100 TB, so per-partition sort stays
@@ -514,11 +519,12 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         sum(col("chg")).as("n_runs"),
-        sum(col("pos") * col("doc_id")).as("order_checksum"))
+        (sum(expr("((pos % 2147483647L) * (doc_id % 2147483647L)) " +
+          "% 2147483647L")) % 2147483647L).as("order_checksum"))
       .join(maxRun, "shard")
       .select(col("shard"), col("n_docs"), col("n_sources"), col("n_runs"),
         col("max_run"),
-        round(col("n_docs").cast("double") / col("n_runs"), 6).as("avg_run"),
+        expr("(1000L * n_docs) div n_runs").as("avg_run_x1000"),
         col("order_checksum"))
   }
 
@@ -548,10 +554,11 @@ object TrainingQueries {
       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
       |    CAST(sum(chg) AS BIGINT) AS n_runs,
-      |    CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+      |    CAST(sum(((pos % 2147483647) * (doc_id % 2147483647))
+      |      % 2147483647) % 2147483647 AS BIGINT) AS order_checksum
       |  FROM runs GROUP BY 1)
       |SELECT p.shard, p.n_docs, p.n_sources, p.n_runs, m.max_run,
-      |  round(CAST(p.n_docs AS DOUBLE) / p.n_runs, 6) AS avg_run,
+      |  (1000 * p.n_docs) // p.n_runs AS avg_run_x1000,
       |  p.order_checksum
       |FROM per p JOIN mr m ON m.shard = p.shard""".stripMargin
 

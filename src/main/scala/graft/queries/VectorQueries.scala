@@ -162,14 +162,14 @@ object VectorQueries {
       .groupBy(col("q_id"))
       .agg(count(col("c2")).as("n_hit"))
       .select(col("q_id"), col("n_hit"),
-        round(col("n_hit") / 3.0, 6).as("recall_at_3"))
+        expr("(10000L * n_hit) div 3").as("recall_at_3_bp"))
   }
 
   private val q80Sql =
     s"""WITH exact AS (${topKSql(scoredSql(sameLabel = false), 3)}),
        |ivf AS (${topKSql(scoredSql(sameLabel = true), 3)})
        |SELECT e.q_id, count(i.c_id) AS n_hit,
-       |  round(count(i.c_id) / 3.0, 6) AS recall_at_3
+       |  (10000 * count(i.c_id)) // 3 AS recall_at_3_bp
        |FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.c_id = i.c_id
        |GROUP BY 1""".stripMargin
 
@@ -1005,14 +1005,11 @@ object VectorQueries {
         sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_label_hit"))
       .select(col("band"), col("n_pairs"),
         col("n_cell_hit"),
-        round(col("n_cell_hit").cast("double") / col("n_pairs"), 6)
-          .as("cell_recall"),
+        expr("(10000L * n_cell_hit) div n_pairs").as("cell_recall_bp"),
         col("n_probe_hit"),
-        round(col("n_probe_hit").cast("double") / col("n_pairs"), 6)
-          .as("probe_recall"),
+        expr("(10000L * n_probe_hit) div n_pairs").as("probe_recall_bp"),
         col("n_label_hit"),
-        round(col("n_label_hit").cast("double") / col("n_pairs"), 6)
-          .as("label_recall"))
+        expr("(10000L * n_label_hit) div n_pairs").as("label_recall_bp"))
   }
 
   private val q175Sql =
@@ -1041,17 +1038,17 @@ object VectorQueries {
        |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
        |  CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_cell_hit,
-       |  round(CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 6) AS cell_recall,
+       |  (10000 * CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT))
+       |    // count(*) AS cell_recall_bp,
        |  CAST(sum(CASE WHEN bit_count(xor(ca, cb)) <= 1 THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_probe_hit,
-       |  round(CAST(sum(CASE WHEN bit_count(xor(ca, cb)) <= 1
-       |      THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 6) AS probe_recall,
+       |  (10000 * CAST(sum(CASE WHEN bit_count(xor(ca, cb)) <= 1
+       |      THEN 1 ELSE 0 END) AS BIGINT))
+       |    // count(*) AS probe_recall_bp,
        |  CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_label_hit,
-       |  round(CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 6) AS label_recall
+       |  (10000 * CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT))
+       |    // count(*) AS label_recall_bp
        |FROM banded GROUP BY 1""".stripMargin
 
   /** q176: DELTA semantic dedup — q173's contract in embedding space:

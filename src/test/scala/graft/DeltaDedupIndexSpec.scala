@@ -14,15 +14,16 @@ import graft.operators.DeltaDedupIndex
   * with no shuffle exchange. */
 class DeltaDedupIndexSpec extends SparkSpec {
 
-  private def cleanup(): Unit = {
-    spark.sql("DROP TABLE IF EXISTS dedup_idx_t")
-    val p = java.nio.file.Paths.get("spark-warehouse", "dedup_idx_t")
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+  private def cleanup(tables: String*): Unit =
+    (if (tables.isEmpty) Seq("dedup_idx_t") else tables).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
-  }
 
   test("bucketed snapshot index reproduces q173 verdicts with no snapshot-side shuffle") {
     cleanup()
@@ -71,5 +72,47 @@ class DeltaDedupIndexSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       cleanup()
     }
+  }
+
+  test("append(Δ) advances the snapshot exactly like a rebuild over S ∪ Δ") {
+    cleanup("dedup_idx_inc", "dedup_idx_full")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val snap0 = docs.filter(col("doc_id") % 10 > 1)   // initial snapshot S
+      val delta = docs.filter(col("doc_id") % 10 === 1) // admitted refresh Δ
+      val batch = docs.filter(col("doc_id") % 10 === 0) // the NEXT batch
+        .select(col("doc_id"), col("source"), col("text"))
+
+      DeltaDedupIndex.build(snap0, "dedup_idx_inc")
+      DeltaDedupIndex.append(delta, "dedup_idx_inc")
+      DeltaDedupIndex.build(snap0.unionByName(delta), "dedup_idx_full")
+
+      val viaAppend = DeltaDedupIndex.admit(batch, "dedup_idx_inc")
+        .collect().toSet
+      val viaRebuild = DeltaDedupIndex.admit(batch, "dedup_idx_full")
+        .collect().toSet
+      assert(viaAppend == viaRebuild,
+        s"appended index diverged from rebuild: " +
+          s"${viaAppend.size} vs ${viaRebuild.size} rows")
+      // Δ's band rows are actually live in the appended index (a batch
+      // doc near-identical to a Δ doc would be caught), not just absent
+      // from a broken scan: the appended table must contain Δ's ids.
+      val idxDocs = spark.table("dedup_idx_inc")
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+      val deltaIds = delta.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(deltaIds.subsetOf(idxDocs),
+        "append did not land Δ's band rows in the index")
+    } finally cleanup("dedup_idx_inc", "dedup_idx_full")
+  }
+
+  test("bucket sizing rule scales with the snapshot and stays a power of two") {
+    import graft.operators.DeltaDedupIndex.bucketsFor
+    assert(bucketsFor(600L) == 8)                 // sf0.001: floor
+    assert(bucketsFor(1L << 20) == 8)             // 2·2^20/2^18 = 8
+    assert(bucketsFor((1L << 20) + 1) == 16)      // just past → next pow2
+    assert(bucketsFor(100L * 1000 * 1000) == 1024)
+    val b = bucketsFor(100L * 1000 * 1000 * 1000) // 100B-doc corpus
+    assert(b == (1 << 20) && Integer.bitCount(b) == 1)
   }
 }
