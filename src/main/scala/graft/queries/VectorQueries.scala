@@ -780,11 +780,12 @@ object VectorQueries {
     * multiprobe log factor below) at any scale. Candidate generation
     * is MULTIPROBE: q175 measures a single table's same-cell recall
     * at (1−θ/π)^b ≈ 0.3 on cos≈0.8 pairs, so each vector also probes
-    * its b one-bit-flip neighbor cells — pairs whose signatures differ
-    * in ≤1 cell bit are candidates (recall ≈ 0.72 at b=5, pinned by
-    * q175's probe_recall column), at (b+1) = log₂(n/64)+1 probes per
-    * vector. 16 planes cap the demo at 65,536 cells (~4M vectors at
-    * occ 64); production raises the plane count, nothing else changes.
+    * its 1-bit AND 2-bit flip neighbor cells — pairs whose signatures
+    * differ in ≤2 cell bits are candidates (recall ≈ 0.94 at b=5,
+    * SemDeDup-grade, pinned by q175's probe_recall_bp column), at
+    * 1 + b + C(b,2) = O(log²(n/64)) probes per vector. 16 planes cap
+    * the demo at 65,536 cells (~4M vectors at occ 64); production
+    * raises the plane count, nothing else changes.
     *
     * Scale shape: one corpus scan computes signatures (1,024 integer
     * adds/vector, codegen'd), the corpus-count scalar is a 1-row
@@ -865,12 +866,46 @@ object VectorQueries {
       .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
         col("cell"), col("nbits"))
 
-  /** The multiprobe expansion expression over `cell`/`nbits` (cell
-    * itself plus the nbits one-bit flips). */
+  /** The multiprobe expansion expression over `cell`/`nbits`: the cell
+    * itself, the nbits one-bit flips, and the C(nbits,2) two-bit flips
+    * — 1 + b + b(b−1)/2 probes at depth b. q175 measured ≤1-bit recall
+    * on hi-cos (≈0.8) pairs at only ~0.72 (per-bit agreement p ≈ 0.80,
+    * so p⁵ + 5p⁴(1−p) at b=5); SemDeDup-grade dedup wants ≥0.9, and
+    * the 2-bit ring adds C(b,2)·p^(b−2)(1−p)² ≈ 0.21 → ≈ 0.94, pinned
+    * by q175's probe_recall_bp. The cost is the probe fan-out growing
+    * from b+1 to 1+b+b(b−1)/2 (16 vs 6 at b=5; still O(log²n) per
+    * vector at fixed occupancy) — q175's n_pairs/probe columns are the
+    * recorded price. Each qualifying pair still matches EXACTLY one
+    * probe (the index side is single-cell, so the probe whose flip
+    * mask equals the signatures' differing-bit set — now any set of
+    * size ≤ 2 — is unique); the empty-ring guards keep Spark's
+    * sequence() from running descending when nbits < 2. */
   private val multiprobeExpr: String =
-    "if(nbits = 0, array(cell), concat(array(cell), " +
-      "transform(sequence(1, nbits), " +
-      "k -> cell ^ shiftleft(cast(1 as bigint), k - 1))))"
+    "transform(concat(array(cast(0 as bigint)), " +
+      "if(nbits >= 1, transform(sequence(1, nbits), " +
+      "k -> shiftleft(cast(1 as bigint), k - 1)), " +
+      "cast(array() as array<bigint>)), " +
+      "if(nbits >= 2, flatten(transform(sequence(1, nbits - 1), " +
+      "k -> transform(sequence(k + 1, nbits), " +
+      "l -> shiftleft(cast(1 as bigint), k - 1) + " +
+      "shiftleft(cast(1 as bigint), l - 1)))), " +
+      "cast(array() as array<bigint>))), m -> cell ^ m)"
+
+  /** The oracle-side probe flip masks as a CTE over the deployed depth
+    * (mask 0 = the cell itself, then 1-bit, then 2-bit flips) —
+    * mirrors [[multiprobeExpr]]. */
+  private def flipsSqlCte: String =
+    """flips AS (
+      |  SELECT CAST(0 AS BIGINT) AS mask
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT) << CAST(k AS INTEGER) AS mask
+      |  FROM (SELECT unnest(range(0, nbits)) AS k FROM p2)
+      |  UNION ALL
+      |  SELECT (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+      |    + (CAST(1 AS BIGINT) << CAST(l AS INTEGER)) AS mask
+      |  FROM (SELECT unnest(range(0, nbits)) AS k FROM p2) a,
+      |       (SELECT unnest(range(0, nbits)) AS l FROM p2) b
+      |  WHERE k < l)""".stripMargin
 
   private def q172(s: SparkSession, d: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(s)
@@ -881,14 +916,16 @@ object VectorQueries {
     // MULTIPROBE (q175's measured finding): a single sign-LSH table's
     // same-cell recall on cos≈0.8 pairs is only (1−θ/π)^b ≈ 0.3, so
     // the PROBE side of the join expands each vector to its cell plus
-    // the b single-bit flips — a pair is a candidate when signatures
-    // differ in ≤1 of the b cell bits, recall ≈ p^b + b·p^(b−1)(1−p)
-    // (~0.72 at b=5). The index side stays single-cell, so each
-    // qualifying pair matches EXACTLY one probe (equal cells → the
-    // unflipped probe; one differing bit k → flip k), no distinct
+    // the b single-bit and C(b,2) two-bit flips — a pair is a
+    // candidate when signatures differ in ≤2 of the b cell bits,
+    // recall ≈ p^b + b·p^(b−1)(1−p) + C(b,2)p^(b−2)(1−p)² (~0.94 at
+    // b=5, the ≥0.9 SemDeDup bar). The index side stays single-cell,
+    // so each qualifying pair matches EXACTLY one probe (the probe
+    // whose flip mask equals the differing-bit set), no distinct
     // needed; probe-side id < index-side id keeps it once per
-    // unordered pair. Candidate volume stays linear with a log factor:
-    // (b+1) probes/vector at fixed occupancy, b = log₂(n/64).
+    // unordered pair. Candidate volume stays linear with a log²
+    // factor: 1+b+C(b,2) probes/vector at fixed occupancy,
+    // b = log₂(n/64).
     val probeRows = withCell
       .withColumn("pcell", explode(expr(multiprobeExpr)))
     val a = probeRows.select(col("vec_id").as("id_a"),
@@ -928,11 +965,10 @@ object VectorQueries {
        |  SELECT vec_id, ${sigTerms(i => s"u[${i + 1}]")}
        |    % (SELECT n_cells_cap FROM p2) AS cell
        |  FROM uu),
+       |$flipsSqlCte,
        |probes AS (
-       |  SELECT vec_id, unnest(list_prepend(cell,
-       |    [xor(cell, CAST(1 AS BIGINT) << k)
-       |     for k in range(0, (SELECT nbits FROM p2))])) AS pcell
-       |  FROM cells),
+       |  SELECT vec_id, xor(cell, mask) AS pcell
+       |  FROM cells CROSS JOIN flips),
        |pairs AS (
        |  SELECT p.vec_id AS id_a, c.vec_id AS id_b
        |  FROM probes p JOIN cells c
@@ -968,14 +1004,15 @@ object VectorQueries {
     * corpus size, the q170 sampling contract), each truth pair
     * (cos ≥ 0.3) scored against both grids as deployed at this corpus
     * size: q172's sign-LSH cells (cell count ∝ n) — BOTH the
-    * single-table same-cell criterion and the shipped ≤1-bit
+    * single-table same-cell criterion and the shipped ≤2-bit
     * multiprobe criterion — and q151's fixed label grid. Output: per
     * cosine band (lo [0.3,0.5) / mid [0.5,0.8) / hi [0.8,1]), pair
     * count and each criterion's detection recall — the measured price
     * of linear-scaling pair work, pinned as oracle output so a grid
-    * regression fails parity. (This query is WHY q172 multiprobes:
-    * same-cell recall on hi-cos pairs is ~0.3; ≤1-bit lifts it to
-    * ~0.7.)
+    * regression fails parity. (This query is WHY q172 multiprobes,
+    * and why with TWO flip rings: same-cell recall on hi-cos pairs is
+    * ~0.3, ≤1-bit lifted it only to ~0.72, and the shipped ≤2-bit
+    * ring clears the ≥0.9 SemDeDup bar.)
     *
     * Scale shape: the sample is 512 rows regardless of corpus size
     * (~131k candidate pairs, one broadcastable frame); the only
@@ -1000,7 +1037,7 @@ object VectorQueries {
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("n_cell_hit"),
-        sum(when(expr("bit_count(ca ^ cb)") <= 1, 1L).otherwise(0L))
+        sum(when(expr("bit_count(ca ^ cb)") <= 2, 1L).otherwise(0L))
           .as("n_probe_hit"),
         sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_label_hit"))
       .select(col("band"), col("n_pairs"),
@@ -1040,9 +1077,9 @@ object VectorQueries {
        |    AS n_cell_hit,
        |  (10000 * CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT))
        |    // count(*) AS cell_recall_bp,
-       |  CAST(sum(CASE WHEN bit_count(xor(ca, cb)) <= 1 THEN 1 ELSE 0 END)
+       |  CAST(sum(CASE WHEN bit_count(xor(ca, cb)) <= 2 THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_probe_hit,
-       |  (10000 * CAST(sum(CASE WHEN bit_count(xor(ca, cb)) <= 1
+       |  (10000 * CAST(sum(CASE WHEN bit_count(xor(ca, cb)) <= 2
        |      THEN 1 ELSE 0 END) AS BIGINT))
        |    // count(*) AS probe_recall_bp,
        |  CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
@@ -1060,7 +1097,7 @@ object VectorQueries {
     * single-cell (in production a materialized (vec_id, cell) table,
     * the [[graft.operators.DeltaDedupIndex]] discipline), so the
     * snapshot never pairs with itself and never probe-expands. Each
-    * qualifying pair (signatures differing in ≤1 cell bit) matches
+    * qualifying pair (signatures differing in ≤2 cell bits) matches
     * exactly one probe; cos ≥ 0.3 verifies. Per incoming vector:
     * match count, first (min-id) snapshot match, best cosine, and the
     * admitted verdict. */
@@ -1107,11 +1144,10 @@ object VectorQueries {
        |  SELECT vec_id, ${sigTerms(i => s"u[${i + 1}]")}
        |    % (SELECT n_cells_cap FROM p2) AS cell
        |  FROM uu),
+       |$flipsSqlCte,
        |probes AS (
-       |  SELECT vec_id, unnest(list_prepend(cell,
-       |    [xor(cell, CAST(1 AS BIGINT) << k)
-       |     for k in range(0, (SELECT nbits FROM p2))])) AS pcell
-       |  FROM cells WHERE vec_id % 4 = 0),
+       |  SELECT vec_id, xor(cell, mask) AS pcell
+       |  FROM cells CROSS JOIN flips WHERE vec_id % 4 = 0),
        |ver AS (
        |  SELECT p.vec_id AS id_n, c.vec_id AS id_s,
        |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cs
