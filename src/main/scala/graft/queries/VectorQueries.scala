@@ -845,17 +845,25 @@ object VectorQueries {
 
   /** The corpus-count scalar that fixes the deployed grid: 1 row with
     * `n_cells_cap` and `nbits`. */
-  private def gridCapRow(emb: DataFrame): DataFrame =
+  private[graft] def gridCapRow(emb: DataFrame): DataFrame =
     emb.agg(count(lit(1)).as("n_total"))
       .select(pow2bCol(col("n_total")).as("n_cells_cap"),
         bitsCol(col("n_total")).as("nbits"))
+
+  /** The grid-cap row for an ALREADY-KNOWN corpus size — how a
+    * production deployment fixes the grid at snapshot-cut time
+    * ([[graft.operators.DeltaSemDedupIndex]]) instead of re-counting
+    * the corpus per query. */
+  private[graft] def gridCapRowFor(s: SparkSession, n: Long): DataFrame =
+    s.range(1).select(pow2bCol(lit(n)).as("n_cells_cap"),
+      bitsCol(lit(n)).as("nbits"))
 
   /** Sign-LSH cell assignment under the deployed grid: (`vec_id`,
     * `label`, `embedding`, `nrm`, `cell`, `nbits`) for every row of
     * `emb`. The opt_barrier pins the micro-unit array projection —
     * without it the optimizer inlines the transform into each of the
     * 1,024 signature references (the q31 pathology). */
-  private def withCells(emb: DataFrame, capRow: DataFrame): DataFrame =
+  private[graft] def withCells(emb: DataFrame, capRow: DataFrame): DataFrame =
     emb
       .withColumn("u", expr("opt_barrier(transform(embedding, " +
         "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)))"))
@@ -880,7 +888,7 @@ object VectorQueries {
     * mask equals the signatures' differing-bit set — now any set of
     * size ≤ 2 — is unique); the empty-ring guards keep Spark's
     * sequence() from running descending when nbits < 2. */
-  private val multiprobeExpr: String =
+  private[graft] val multiprobeExpr: String =
     "transform(concat(array(cast(0 as bigint)), " +
       "if(nbits >= 1, transform(sequence(1, nbits), " +
       "k -> shiftleft(cast(1 as bigint), k - 1)), " +
