@@ -3018,7 +3018,128 @@ object TextQueries {
        |FROM documents d LEFT JOIN agg a ON a.doc_n = d.doc_id
        |WHERE d.doc_id % 10 = 0""".stripMargin
 
+  /** q177: REFRESH MANIFEST — the capstone of the DELTA story, composed
+    * the way q171 composed the batch story: one plan that takes a
+    * refresh batch (the q173 contract: the deterministic 10% slice
+    * doc_id % 10 = 0, never the held-out src0 eval slice) through
+    * every admission gate a continuously-refreshed training corpus
+    * runs — quality rules (q149's integer thresholds), delta near-dup
+    * vs the corpus SNAPSHOT (q173's asymmetric band join; admitted
+    * verdicts only — the batch never pairs with itself, the snapshot
+    * never pairs with itself), and decontamination (q166's 13-gram
+    * hash gate against the eval slice) — then assigns EVERY batch doc
+    * its reproducible split (q74's md5-byte rule) and output shard
+    * (q169's md5-slice mod 32) and reports the refresh FUNNEL per
+    * (split, shard, source): how many batch docs landed there, how
+    * many survived each gate (quality → +admitted → +clean), and the
+    * docs / tokens / bytes the refresh actually ADDS — the incremental
+    * work order a shard writer executes after each refresh, WITH the
+    * per-gate rejection accounting an ingest operator audits when a
+    * refresh ships less than expected (on this synthetic corpus the
+    * near-dup gate rejects most of the batch — visible in the
+    * n_admitted column, not silently). (The embedding-space admission
+    * leg runs in vec-id space — q176 /
+    * [[graft.operators.DeltaSemDedupIndex]] — and composes in the
+    * pipeline, not in this documents-keyed plan.)
+    *
+    * Scale shape: per-refresh cost ∝ delta everywhere — the only
+    * corpus-sized terms are the snapshot band rows (in production the
+    * [[graft.operators.DeltaDedupIndex]] bucketed table, scanned
+    * without an exchange) and the eval-slice gram set (broadcast, eval
+    * benchmarks don't grow with the corpus); the batch's own scans,
+    * the gate joins, and the ≤ 2·32·sources manifest aggregation are
+    * all delta-sized. All output columns integer-exact. */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.TokenWindowHashes.register(s)
+    val nShards = 32
+    val isBatch = col("doc_id") % 10 === 0
+    val keepFlags = q149(s, d).select(col("doc_id"), col("keep"))
+    val admFlags = q173(s, d)
+      .select(col("doc_id"), col("admitted"))
+    val docsG = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("token_window_hashes(" + wordsExpr + ", 13)").as("grams"))
+    val evalGrams = docsG.filter(col("source") === "src0")
+      .select(explode(col("grams")).as("h")).distinct()
+    val contam = docsG.filter(isBatch && col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("grams")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"))
+      .select(col("doc_id"), lit(true).as("is_contam")).distinct()
+    Tables.documents(s, d)
+      .filter(isBatch && col("source") =!= "src0")
+      .join(keepFlags, Seq("doc_id"))
+      .join(admFlags, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("shipped", col("keep") && col("admitted") &&
+        coalesce(col("is_contam"), lit(false)) === false)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 2) <= "e5", "train").otherwise("holdout"))
+      .withColumn("shard",
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as " +
+          "binary)), 1, 8), 16, 10) as bigint)") % nShards)
+      .groupBy(col("split"), col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("keep") && col("admitted"), 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(col("shipped"), 1L).otherwise(0L)).as("n_shipped"),
+        sum(when(col("shipped"), size(expr(wordsExpr)).cast("long"))
+          .otherwise(0L)).as("n_tokens"),
+        sum(when(col("shipped"), col("n_chars")).otherwise(0L))
+          .as("n_bytes"))
+  }
+
+  private val q177Sql =
+    s"""WITH qual AS ($q149Sql),
+       |adm AS (SELECT doc_id, admitted FROM ($q173Sql) t),
+       |cdocs AS (
+       |  SELECT doc_id, source, $wordsSqlExpr AS w,
+       |    CAST(len($wordsSqlExpr) AS INT) AS n
+       |  FROM documents),
+       |cth AS (
+       |  SELECT doc_id, source, n,
+       |    list_transform(w, t -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> (a * 131 + c) % 2147483647)) AS th
+       |  FROM cdocs),
+       |cwins AS (
+       |  SELECT doc_id, source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 12]),
+       |      (a, t) -> (a * 1000003 + t) % 2147483647) AS h
+       |  FROM (SELECT doc_id, source, th, unnest(range(1, n - 13 + 2)) AS i
+       |        FROM cth WHERE n >= 13)),
+       |cev AS (SELECT DISTINCT h FROM cwins WHERE source = 'src0'),
+       |contam AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM cwins t JOIN cev e ON e.h = t.h
+       |  WHERE t.source <> 'src0' AND t.doc_id % 10 = 0)
+       |SELECT
+       |  CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <= 'e5'
+       |    THEN 'train' ELSE 'holdout' END AS split,
+       |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+       |    AS BIGINT) % 32 AS shard,
+       |  d.source,
+       |  CAST(count(*) AS BIGINT) AS n_batch,
+       |  CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(CASE WHEN q.keep AND a.admitted THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_admitted,
+       |  CAST(sum(CASE WHEN q.keep AND a.admitted AND ct.doc_id IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_shipped,
+       |  CAST(sum(CASE WHEN q.keep AND a.admitted AND ct.doc_id IS NULL
+       |    THEN len($wordsSqlExpr) ELSE 0 END) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN q.keep AND a.admitted AND ct.doc_id IS NULL
+       |    THEN d.n_chars ELSE 0 END) AS BIGINT) AS n_bytes
+       |FROM documents d
+       |JOIN qual q ON q.doc_id = d.doc_id
+       |JOIN adm a ON a.doc_id = d.doc_id
+       |LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+       |WHERE d.doc_id % 10 = 0 AND d.source <> 'src0'
+       |GROUP BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q177_refresh_manifest", q177, Some(q177Sql)),
     QueryDef("q173_delta_dedup", q173, Some(q173Sql)),
     QueryDef("q171_shipping_manifest", q171, Some(q171Sql)),
     QueryDef("q170_containment_recall", q170, Some(q170Sql)),
