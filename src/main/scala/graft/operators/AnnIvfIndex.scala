@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.norm
+
+/** The PRODUCTION shape of the IVF search family (q33/q110/q130/q148):
+  * the corpus is a MATERIALIZED index — vectors bucketed by their IVF
+  * cell, the coarse-quantizer centroids persisted beside them as exact
+  * integer micro-unit sums (q110's engine-exact centroid math) — so a
+  * query batch pays ONLY its own probe scoring plus a scan of the
+  * probed buckets. Query-time properties, proven by AnnIvfIndexSpec:
+  *
+  *   - result-for-result parity with q110 (same probe ranking, same
+  *     exact-cosine re-rank) when built over the same assignment;
+  *   - the corpus side of the candidate join has NO shuffle exchange
+  *     (the probe set broadcasts), and the scan is BUCKET-PRUNED to
+  *     the probed cells (`SelectedBucketsCount` in the physical plan)
+  *     — at production cell counts that is the difference between
+  *     scanning nprobe/k_cells of the corpus and all of it;
+  *   - [[append]] admits new vectors between re-trainings by
+  *     assigning them to their nearest DEPLOYED centroid (the
+  *     coarse quantizer is fixed at build time — re-training is the
+  *     q125 Lloyd step feeding the next [[build]]), writing into the
+  *     same bucket layout without touching existing files.
+  *
+  * At 100 TB: centroids are k·dims integer rows (broadcastable for
+  * any practical k), the corpus never re-shuffles at query time, and
+  * search cost per query batch is probe-scoring (rows: |queries|·k)
+  * plus the probed buckets' bytes. The `search` API collects the
+  * probed cell ids (≤ |queries|·nprobe longs) to drive bucket
+  * pruning — the one deliberate driver-side step, the same size as
+  * the probe plan itself. */
+object AnnIvfIndex {
+
+  /** Corpus-table bucket sizing — [[DeltaSemDedupIndex.bucketsFor]]'s
+    * rule (one ~300 B row per vector, ≤ ~2²⁰ rows per bucket). */
+  private def bucketsFor(n: Long): Int = {
+    val target = (n + (1L << 20) - 1) >> 20
+    math.max(8, Integer.highestOneBit(math.max(1, target - 1).toInt) * 2)
+  }
+
+  private def bucketCountOf(s: SparkSession, table: String): Int =
+    s.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed index table"))
+
+  private def centTable(table: String): String = table + "_cent"
+
+  /** Micro-unit dim rows of (`idCol`, `embedding`) — q110's exact
+    * integer quantization. */
+  private def dimRows(vecs: DataFrame, idCol: String): DataFrame =
+    vecs.select(col(idCol), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
+
+  /** q110's probe score of exact integer sums: dot(query, centroid
+    * numerator) / ‖centroid numerator‖ — the query's own norm is
+    * rank-invariant. */
+  private def probeScore: Column =
+    col("dotnum").cast("double") / sqrt(col("csumsq").cast("double"))
+
+  /** Build the index from an ASSIGNED corpus (`vec_id`, `cell`,
+    * `embedding`): the corpus table bucketed by cell, plus the
+    * centroid table (cell, dim, csum, csumsq, n) from exact integer
+    * micro-unit sums. The assignment is the caller's coarse quantizer
+    * output — labels (q33's contract) or a q125 Lloyd sweep. */
+  def build(vecs: DataFrame, table: String, buckets: Int = 0): Unit = {
+    val nb = if (buckets > 0) buckets else bucketsFor(vecs.count())
+    vecs.select(col("vec_id"), col("cell"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .write.bucketBy(nb, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(table)
+    val cs = dimRows(vecs.select(col("cell"), col("embedding")), "cell")
+      .groupBy(col("cell"), col("dim")).agg(sum(col("u")).as("csum"))
+    val meta = cs.groupBy(col("cell"))
+      .agg(sum(col("csum") * col("csum")).as("csumsq"))
+    val n = vecs.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    cs.join(meta, "cell").join(n, "cell")
+      .write.mode("overwrite").saveAsTable(centTable(table))
+  }
+
+  /** Admit new vectors (`vec_id`, `embedding`) between re-trainings:
+    * each is assigned to its nearest DEPLOYED centroid (max probe
+    * score — the quantizer is fixed at build time; appending does not
+    * move centroids, exactly like [[DeltaSemDedupIndex.append]] keeps
+    * the deployed grid) and appended into the bucket layout. */
+  def append(newVecs: DataFrame, table: String): Unit = {
+    val s = newVecs.sparkSession
+    val cent = s.table(centTable(table))
+    val assign = dimRows(newVecs, "vec_id")
+      .join(broadcast(cent.select(col("cell"), col("dim"), col("csum"))),
+        "dim")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(col("u") * col("csum")).as("dotnum"))
+      .join(broadcast(cent.select(col("cell"), col("csumsq")).distinct()),
+        "cell")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(probeScore.as("score"),
+        (-col("cell")).as("negCell"))).as("best"))
+      .select(col("vec_id"), (-col("best.negCell")).as("cell"))
+    newVecs.join(assign, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .write.bucketBy(bucketCountOf(s, table), "cell").sortBy("cell")
+      .mode("append").saveAsTable(table)
+  }
+
+  /** Search the index: for each query row (`q_id`, `embedding`), rank
+    * cells by q110's exact-integer probe score, take `nprobe`, scan
+    * ONLY the probed buckets, and exact-cosine re-rank to top `k`.
+    * Output (q_id, c_id, cos_sim, rk) — q110's frame. */
+  def search(queries: DataFrame, table: String, nprobe: Int = 2,
+      k: Int = 3): DataFrame = {
+    val s = queries.sparkSession
+    graft.expressions.FloatVectorDot.register(s)
+    val cent = s.table(centTable(table))
+    val dots = dimRows(queries, "q_id")
+      .join(broadcast(cent.select(col("cell"), col("dim"), col("csum"))),
+        "dim")
+      .groupBy(col("q_id"), col("cell"))
+      .agg(sum(col("u") * col("csum")).as("dotnum"))
+    val probes = dots
+      .join(broadcast(cent.select(col("cell"), col("csumsq")).distinct()),
+        "cell")
+      .withColumn("score", probeScore)
+      .withColumn("pk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("cell").asc)))
+      .filter(col("pk") <= nprobe)
+      .select(col("q_id"), col("cell"))
+    // the ONE driver-side step: the probed cell ids (≤ |queries|·nprobe
+    // longs) become a literal In-filter so the bucketed scan prunes to
+    // the probed buckets — collect() here is the probe plan itself,
+    // not corpus data
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qPayload = queries
+      .select(col("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+    val corpus = s.table(table)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id").as("c_id"), col("cell"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    corpus
+      .join(broadcast(probes.join(qPayload, "q_id")), "cell")
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(expr("float_vector_dot(q_emb, c_emb)") /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id").asc)))
+      .filter(col("rk") <= k)
+  }
+}

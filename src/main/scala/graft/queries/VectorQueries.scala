@@ -929,20 +929,28 @@ object VectorQueries {
     // recall ≈ p^b + b·p^(b−1)(1−p) + C(b,2)p^(b−2)(1−p)² (~0.94 at
     // b=5, the ≥0.9 SemDeDup bar). The index side stays single-cell,
     // so each qualifying pair matches EXACTLY one probe (the probe
-    // whose flip mask equals the differing-bit set), no distinct
-    // needed; probe-side id < index-side id keeps it once per
-    // unordered pair. Candidate volume stays linear with a log²
-    // factor: 1+b+C(b,2) probes/vector at fixed occupancy,
-    // b = log₂(n/64).
+    // whose flip mask equals the differing-bit set). Probing is
+    // DIRECTIONAL — this symmetric self-join only keeps the nonzero
+    // probes that DECREASE the cell value, so a cross-cell pair is
+    // generated once, by its larger-cell member (the delta/streaming
+    // variants can't use this: their probing side is fixed by which
+    // data is incoming); same-cell pairs keep the id_a < id_b rule.
+    // This halves both the probe-row shuffle (each row carries the
+    // embedding) and the candidate count vs probing both directions.
+    // Candidate volume stays linear with a log² factor:
+    // ≤ 1+b+C(b,2) probes/vector at fixed occupancy, b = log₂(n/64).
     val probeRows = withCell
       .withColumn("pcell", explode(expr(multiprobeExpr)))
+      .filter(col("pcell") <= col("cell"))
     val a = probeRows.select(col("vec_id").as("id_a"),
-      col("embedding").as("e_a"), col("nrm").as("na"), col("pcell"))
+      col("embedding").as("e_a"), col("nrm").as("na"),
+      col("cell").as("cell_a"), col("pcell"))
     val b = withCell.select(col("vec_id").as("id_b"),
       col("embedding").as("e_b"), col("nrm").as("nb"),
       col("cell").as("cell_b"))
     val pairs = a.join(b,
-        col("pcell") === col("cell_b") && col("id_a") < col("id_b"))
+        col("pcell") === col("cell_b") &&
+          (col("cell_a") =!= col("cell_b") || col("id_a") < col("id_b")))
       .withColumn("cos_sim", round(
         expr("float_vector_dot(e_a, e_b)") / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.3)
@@ -975,12 +983,14 @@ object VectorQueries {
        |  FROM uu),
        |$flipsSqlCte,
        |probes AS (
-       |  SELECT vec_id, xor(cell, mask) AS pcell
-       |  FROM cells CROSS JOIN flips),
+       |  SELECT vec_id, cell AS ocell, xor(cell, mask) AS pcell
+       |  FROM cells CROSS JOIN flips
+       |  WHERE xor(cell, mask) <= cell),
        |pairs AS (
        |  SELECT p.vec_id AS id_a, c.vec_id AS id_b
        |  FROM probes p JOIN cells c
-       |    ON p.pcell = c.cell AND p.vec_id < c.vec_id
+       |    ON p.pcell = c.cell
+       |    AND (p.ocell <> c.cell OR p.vec_id < c.vec_id)
        |  JOIN embeddings ea ON ea.vec_id = p.vec_id
        |  JOIN embeddings eb ON eb.vec_id = c.vec_id
        |  WHERE round(${cosineSql("ea.embedding", "eb.embedding")}, 6)
