@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DeltaDedupIndex, DeltaSemDedupIndex}
+
+/** The DELTA story assembled end-to-end as ONE runnable job — the
+  * refresh cycle a continuously-updated training corpus actually
+  * operates, composed from the production pieces the oracle queries
+  * pin individually:
+  *
+  *   snapshot cut
+  *     ├─ text:      DeltaDedupIndex.build    (band table, bucketed)
+  *     └─ embedding: DeltaSemDedupIndex.build (cell table, bucketed)
+  *   per refresh batch (here: the q173/q176 deterministic slices)
+  *     ├─ admit batch vs snapshot (no snapshot shuffle, no rebuild)
+  *     ├─ append ADMITTED rows → snapshot advances in place
+  *     └─ manifest delta: q177's gate funnel over the same batch
+  *        (quality ∧ delta-dedup ∧ decontam → split/shard loads)
+  *
+  * Prints one JSON summary line (the PipelineMain contract): batch
+  * sizes, admitted counts on both sides, post-append index row
+  * counts, and the shipped doc/token totals from the manifest.
+  *
+  * Usage: runMain graft.RefreshMain [sfDir]
+  */
+object RefreshMain {
+
+  final case class Summary(textBatch: Long, textAdmitted: Long,
+      semBatch: Long, semAdmitted: Long, textIndexRows: Long,
+      semIndexRows: Long, manifestCells: Long, shippedDocs: Long,
+      shippedTokens: Long)
+
+  def run(spark: SparkSession, sfDir: String): Summary = {
+    def cleanup(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Seq("refresh_text_idx", "refresh_sem_idx").foreach(cleanup)
+
+    // snapshot cut: everything NOT in the deterministic refresh slices
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    DeltaDedupIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
+      "refresh_text_idx")
+    DeltaSemDedupIndex.build(emb.filter(col("vec_id") % 4 =!= 0),
+      "refresh_sem_idx", gridN = emb.count())
+
+    // the refresh batch admits against the snapshot only
+    val textBatch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val textVerdict = DeltaDedupIndex.admit(textBatch, "refresh_text_idx")
+    val semBatch = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val semVerdict = DeltaSemDedupIndex.admit(semBatch, "refresh_sem_idx")
+
+    // MATERIALIZE the verdicts before appending — the verdict frames
+    // are lazy plans over the index tables, and append() changes those
+    // tables: evaluated afterwards, every admitted row would match its
+    // own appended copy and read as rejected
+    val textAdmittedIds = textVerdict.filter(col("admitted"))
+      .select(col("doc_id")).cache()
+    val semAdmittedIds = semVerdict.filter(col("admitted"))
+      .select(col("vec_id")).cache()
+    val nTextAdmitted = textAdmittedIds.count()
+    val nSemAdmitted = semAdmittedIds.count()
+
+    // the snapshot ADVANCES without a rebuild: only admitted rows append
+    DeltaDedupIndex.append(
+      textBatch.join(textAdmittedIds, "doc_id")
+        .select(col("doc_id"), col("text")),
+      "refresh_text_idx")
+    DeltaSemDedupIndex.append(
+      semBatch.join(semAdmittedIds, "vec_id")
+        .select(col("vec_id"), col("embedding")),
+      "refresh_sem_idx")
+
+    // the writer's incremental work order over the same batch
+    val manifest = SparkEntry.queries("q177_refresh_manifest")(spark, sfDir)
+      .cache()
+    val shipped = manifest
+      .agg(coalesce(sum(col("n_shipped")), lit(0L)).as("d"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("t"))
+      .collect().head
+
+    val summary = Summary(
+      textBatch = textBatch.count(),
+      textAdmitted = nTextAdmitted,
+      semBatch = semBatch.count(),
+      semAdmitted = nSemAdmitted,
+      textIndexRows = spark.table("refresh_text_idx").count(),
+      semIndexRows = spark.table("refresh_sem_idx").count(),
+      manifestCells = manifest.count(),
+      shippedDocs = shipped.getLong(0),
+      shippedTokens = shipped.getLong(1))
+    manifest.unpersist()
+    textAdmittedIds.unpersist()
+    semAdmittedIds.unpersist()
+    Seq("refresh_text_idx", "refresh_sem_idx").foreach(cleanup)
+    summary
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = run(spark, sfDir)
+    println(s"""{"text_batch":${s.textBatch},"text_admitted":${s.textAdmitted},""" +
+      s""""sem_batch":${s.semBatch},"sem_admitted":${s.semAdmitted},""" +
+      s""""text_index_rows":${s.textIndexRows},"sem_index_rows":${s.semIndexRows},""" +
+      s""""manifest_cells":${s.manifestCells},"shipped_docs":${s.shippedDocs},""" +
+      s""""shipped_tokens":${s.shippedTokens}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The end-to-end refresh cycle must agree with the one-shot oracle
+  * queries it composes: admitted counts match q173/q176, the indexes
+  * advance by exactly the admitted rows, and the manifest leg is
+  * q177's. */
+class RefreshMainSpec extends SparkSpec {
+
+  test("refresh summary agrees with q173/q176 verdicts and the indexes advance by Δ") {
+    val s = RefreshMain.run(spark, sf0001)
+
+    val q173Admitted = SparkEntry.queries("q173_delta_dedup")(spark, sf0001)
+      .filter(col("admitted")).count()
+    val q176Admitted = SparkEntry.queries("q176_delta_semdedup")(spark, sf0001)
+      .filter(col("admitted")).count()
+    assert(s.textAdmitted == q173Admitted,
+      s"text admitted ${s.textAdmitted} != q173 $q173Admitted")
+    assert(s.semAdmitted == q176Admitted,
+      s"sem admitted ${s.semAdmitted} != q176 $q176Admitted")
+
+    // the text index holds 2 band rows/doc: snapshot + admitted
+    val textSnapshotDocs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(s.textIndexRows == 2 * (textSnapshotDocs + s.textAdmitted),
+      s"text index ${s.textIndexRows} != 2*($textSnapshotDocs+${s.textAdmitted})")
+    // the sem index holds 1 cell row/vector: snapshot + admitted
+    val semSnapshotVecs = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 4 =!= 0).count()
+    assert(s.semIndexRows == semSnapshotVecs + s.semAdmitted,
+      s"sem index ${s.semIndexRows} != $semSnapshotVecs+${s.semAdmitted}")
+
+    // manifest leg is q177's (cells and shipped totals)
+    val m = SparkEntry.queries("q177_refresh_manifest")(spark, sf0001)
+    assert(s.manifestCells == m.count())
+    val shipped = m.agg(coalesce(sum(col("n_shipped")), lit(0L)))
+      .collect().head.getLong(0)
+    assert(s.shippedDocs == shipped)
+  }
+}
