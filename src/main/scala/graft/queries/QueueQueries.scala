@@ -84,14 +84,13 @@ object QueueQueries {
       .groupBy(col("priority")).agg(count(lit(1)).as("depth"))
     val total = depths.agg(sum(col("depth")).as("total"))
     depths.crossJoin(broadcast(total))
-      .withColumn("share",
-        round(col("depth").cast("double") / col("total"), 6))
+      .withColumn("share_bp", expr("(10000L * depth) div total"))
       .drop("total")
   }
 
   private val q13Sql =
     s"""SELECT priority, depth,
-       |  round(CAST(depth AS DOUBLE) / sum(depth) OVER (), 6) AS share
+       |  CAST((10000 * depth) // sum(depth) OVER () AS BIGINT) AS share_bp
        |FROM (SELECT $priorityOfSql AS priority, count(*) AS depth
        |      FROM events GROUP BY 1)""".stripMargin
 
@@ -177,14 +176,13 @@ object QueueQueries {
         (max(col("t_us")) - min(col("t_us"))).as("span_us"))
       .filter(col("span_us") > 0)
       .select(col("day"), col("n"), col("n_errors"),
-        round(col("n").cast("double") /
-          (col("span_us").cast("double") / 1000000.0), 6).as("rps"),
-        round(col("n_errors").cast("double") / col("n"), 6).as("error_rate"))
+        expr("(1000000000L * n) div span_us").as("rps_x1000"),
+        expr("(10000L * n_errors) div n").as("error_bp"))
 
   private val q51Sql =
     s"""SELECT day, n, n_errors,
-       |  round(CAST(n AS DOUBLE) / (CAST(span_us AS DOUBLE) / 1000000.0), 6) AS rps,
-       |  round(CAST(n_errors AS DOUBLE) / n, 6) AS error_rate
+       |  (1000000000 * n) // span_us AS rps_x1000,
+       |  (10000 * n_errors) // n AS error_bp
        |FROM (
        |  SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n,
        |    CAST(sum(CAST(event_type = 'error' AS BIGINT)) AS BIGINT) AS n_errors,

@@ -600,15 +600,14 @@ object SessionQueries {
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", round(col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy(col("from_type")))
-          .cast("double"), 6))
+      .withColumn("p_bp",
+        expr("(10000 * n) div sum(n) over (partition by from_type)"))
   }
 
   private val q129Sql =
     s"""SELECT from_type, to_type, n,
-       |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
-       |    AS DOUBLE), 6) AS p
+       |  CAST((10000 * n) // sum(n) OVER (PARTITION BY from_type)
+       |    AS BIGINT) AS p_bp
        |FROM (
        |  SELECT event_type AS from_type, to_type, count(*) AS n
        |  FROM (

@@ -66,33 +66,34 @@ object TextQueries {
       .withColumn("n_stop", expr(
         "size(filter(words, x -> x IN ('the','a','and','of','to')))")
         .cast("long"))
+      .withColumn("nosp",
+        length(regexp_replace(col("text"), lit(" "), lit(""))).cast("long"))
       .select(
         col("doc_id"), col("n_words"), col("n_stop"),
-        round(length(regexp_replace(col("text"), lit(" "), lit("")))
-          .cast("double") / col("n_words"), 6).as("mean_word_len"),
-        round(col("n_stop").cast("double") / col("n_words"), 6)
-          .as("stop_ratio"),
-        round(
-          least(lit(1.0), col("n_words").cast("double") / 100.0) * 0.5 +
-            (col("n_stop").cast("double") / col("n_words")) * 0.3 +
-            least(lit(1.0),
-              (length(regexp_replace(col("text"), lit(" "), lit("")))
-                .cast("double") / col("n_words")) / 8.0) * 0.2,
-          6).as("quality_score"))
+        expr("(1000L * nosp) div n_words").as("mean_word_len_x1000"),
+        expr("(10000L * n_stop) div n_words").as("stop_bp"),
+        // the blended C4/Gopher-style score in exact ppm integer
+        // arithmetic: 0.5·min(1, n_words/100) + 0.3·stop_ratio
+        // + 0.2·min(1, mean_word_len/8) — each term scaled ×10⁶
+        // before the division, so no double rounding anywhere
+        (expr("least(1000000L, n_words * 10000L) div 2") +
+          expr("(300000L * n_stop) div n_words") +
+          expr("least(200000L, (25000L * nosp) div n_words)"))
+          .as("quality_score_ppm"))
 
   private val q24Sql =
     s"""SELECT doc_id, n_words, n_stop,
-       |  round(nosp / n_words, 6) AS mean_word_len,
-       |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
-       |  round(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5
-       |    + (CAST(n_stop AS DOUBLE) / n_words) * 0.3
-       |    + least(1.0, (nosp / n_words) / 8.0) * 0.2, 6) AS quality_score
+       |  (1000 * nosp) // n_words AS mean_word_len_x1000,
+       |  (10000 * n_stop) // n_words AS stop_bp,
+       |  (least(1000000, n_words * 10000) // 2
+       |    + (300000 * n_stop) // n_words
+       |    + least(200000, (25000 * nosp) // n_words)) AS quality_score_ppm
        |FROM (
        |  SELECT doc_id,
        |    CAST(len($wordsSqlExpr) AS BIGINT) AS n_words,
        |    CAST(len(list_filter($wordsSqlExpr,
        |      x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop,
-       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nosp
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nosp
        |  FROM documents)""".stripMargin
 
   /** q25: language-ID heuristic — marker-token votes per language with a
@@ -161,12 +162,12 @@ object TextQueries {
         countDistinct(md5(col("text"))).as("n_distinct"),
         countDistinct(md5(substring(col("text"), 1, 40)))
           .as("n_distinct_prefix40"))
-      .withColumn("dup_ratio", round(lit(1.0) -
-        col("n_distinct").cast("double") / col("n_docs"), 6))
+      .withColumn("dup_bp",
+        expr("(10000L * (n_docs - n_distinct)) div n_docs"))
 
   private val q27Sql =
     """SELECT source, n_docs, n_distinct, n_distinct_prefix40,
-      |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_ratio
+      |  (10000 * (n_docs - n_distinct)) // n_docs AS dup_bp
       |FROM (
       |  SELECT source, count(*) AS n_docs,
       |    count(DISTINCT md5(text)) AS n_distinct,
@@ -429,11 +430,8 @@ object TextQueries {
       .agg(sum(col("cnt")).as("n_bi"), count(lit(1)).as("n_dist"),
         max(col("cnt")).as("top_n"))
       .select(col("doc_id"), col("n_bi"), col("n_dist"),
-        round(lit(1.0) -
-          col("n_dist").cast("double") / col("n_bi").cast("double"), 6)
-          .as("dup_ratio"),
-        round(col("top_n").cast("double") / col("n_bi").cast("double"), 6)
-          .as("top_share"))
+        expr("(10000L * (n_bi - n_dist)) div n_bi").as("dup_bp"),
+        expr("(10000L * top_n) div n_bi").as("top_bp"))
   }
 
   private val q82Sql =
@@ -444,10 +442,10 @@ object TextQueries {
        |  WHERE len(w) >= 2),
        |counts AS (SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY 1, 2)
        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bi, count(*) AS n_dist,
-       |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
-       |    AS dup_ratio,
-       |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
-       |    AS top_share
+       |  (10000 * (CAST(sum(cnt) AS BIGINT) - count(*)))
+       |    // CAST(sum(cnt) AS BIGINT) AS dup_bp,
+       |  (10000 * CAST(max(cnt) AS BIGINT))
+       |    // CAST(sum(cnt) AS BIGINT) AS top_bp
        |FROM counts GROUP BY 1""".stripMargin
 
   /** q30: SimHash (16-bit) over token hashes — per-bit signed votes, bit
@@ -822,8 +820,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         sum((col("doc_freq") === 1).cast("long")).as("n_unique"))
       .select(col("doc_id"), col("n_bigrams"), col("n_unique"),
-        round(col("n_unique").cast("double") / col("n_bigrams"), 6)
-          .as("novelty"))
+        expr("(10000L * n_unique) div n_bigrams").as("novelty_bp"))
   }
 
   private val q113Sql =
@@ -838,8 +835,8 @@ object TextQueries {
        |df AS (SELECT bh, count(*) AS doc_freq FROM pairs GROUP BY 1)
        |SELECT doc_id, count(*) AS n_bigrams,
        |  CAST(sum(CAST(doc_freq = 1 AS BIGINT)) AS BIGINT) AS n_unique,
-       |  round(CAST(sum(CAST(doc_freq = 1 AS BIGINT)) AS DOUBLE)
-       |    / count(*), 6) AS novelty
+       |  (10000 * CAST(sum(CAST(doc_freq = 1 AS BIGINT)) AS BIGINT))
+       |    // count(*) AS novelty_bp
        |FROM pairs JOIN df USING (bh)
        |GROUP BY 1""".stripMargin
 
@@ -1093,11 +1090,10 @@ object TextQueries {
         .orderBy(col("n").desc, col("w0").asc)))
       .filter(col("rn") === 1)
       .select(col("source"), col("w0").as("boiler"),
-        round(col("n").cast("double") / col("n_src").cast("double"), 6)
-          .as("boiler_share"))
+        expr("(10000L * n) div n_src").as("boiler_share_bp"))
     docs.join(broadcast(dom), Seq("source"))
       .withColumn("stripped", col("w0") === col("boiler"))
-      .select(col("doc_id"), col("source"), col("boiler_share"),
+      .select(col("doc_id"), col("source"), col("boiler_share_bp"),
         col("stripped"),
         when(col("stripped"),
           length(expr("substring(text, length(w0) + 2)")))
@@ -1110,8 +1106,7 @@ object TextQueries {
        |  FROM documents),
        |dom AS (
        |  SELECT source, w0 AS boiler,
-       |    round(CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE), 6)
-       |      AS boiler_share
+       |    (10000 * n) // n_src AS boiler_share_bp
        |  FROM (
        |    SELECT source, w0, n,
        |      CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_src,
@@ -1120,7 +1115,7 @@ object TextQueries {
        |    FROM (SELECT source, w0, count(*) AS n
        |          FROM docs GROUP BY 1, 2))
        |  WHERE rn = 1)
-       |SELECT d.doc_id, d.source, dom.boiler_share,
+       |SELECT d.doc_id, d.source, dom.boiler_share_bp,
        |  d.w0 = dom.boiler AS stripped,
        |  CASE WHEN d.w0 = dom.boiler
        |    THEN length(substr(d.text, length(d.w0) + 2))
@@ -1148,8 +1143,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") / col("n_tokens"), 6)
-          .as("oov_rate"))
+        expr("(10000L * n_oov) div n_tokens").as("oov_bp"))
   }
 
   private val q138Sql =
@@ -1161,8 +1155,8 @@ object TextQueries {
        |  ORDER BY tf DESC, wh LIMIT 20)
        |SELECT doc_id, count(*) AS n_tokens,
        |  CAST(sum(CAST(v.wh IS NULL AS BIGINT)) AS BIGINT) AS n_oov,
-       |  round(CAST(sum(CAST(v.wh IS NULL AS BIGINT)) AS DOUBLE)
-       |    / count(*), 6) AS oov_rate
+       |  (10000 * CAST(sum(CAST(v.wh IS NULL AS BIGINT)) AS BIGINT))
+       |    // count(*) AS oov_bp
        |FROM tok LEFT JOIN vocab v USING (wh)
        |GROUP BY 1""".stripMargin
 
@@ -1170,7 +1164,7 @@ object TextQueries {
     * view that sizes a context-window / length-filter policy per crawl
     * source. The log₂ bucket is `length(bin(n))` — the BIT LENGTH of
     * the integer, identical in both engines — so the binning is
-    * integer-exact with no libm call; shares divide two longs per row.
+    * integer-exact with no libm call; shares are integer basis points.
     * One (source, bucket) aggregate with map-side combine. */
   private def q139(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1178,16 +1172,14 @@ object TextQueries {
       .select(col("source"), length(bin(col("n_chars"))).as("len_bucket"))
       .groupBy(col("source"), col("len_bucket"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("share", round(col("n_docs").cast("double") /
-        sum(col("n_docs")).over(Window.partitionBy(col("source")))
-          .cast("double"), 6))
+      .withColumn("share_bp",
+        expr("(10000L * n_docs) div sum(n_docs) over (partition by source)"))
   }
 
   private val q139Sql =
     """SELECT source, len_bucket, n_docs,
-      |  round(CAST(n_docs AS DOUBLE)
-      |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6)
-      |    AS share
+      |  CAST((10000 * n_docs) // sum(n_docs) OVER (PARTITION BY source)
+      |    AS BIGINT) AS share_bp
       |FROM (
       |  SELECT source, length(bin(n_chars)) AS len_bucket,
       |    count(*) AS n_docs
@@ -1249,10 +1241,8 @@ object TextQueries {
       .agg(max(col("cnt")).as("maxc"), count(lit(1)).as("n_distinct"))
     docs.join(wordStats, "doc_id")
       .select(col("doc_id"), col("n_words"),
-        round(col("n_stop").cast("double") / col("n_words"), 6)
-          .as("stop_ratio"),
-        round(col("maxc").cast("double") / col("n_words"), 6)
-          .as("top_share"),
+        expr("(10000L * n_stop) div n_words").as("stop_bp"),
+        expr("(10000L * maxc) div n_words").as("top_bp"),
         (col("n_words") >= 20 && col("n_words") <= 1000).as("r_len"),
         (col("nosp") >= lit(3) * col("n_words") &&
           col("nosp") <= lit(10) * col("n_words")).as("r_wordlen"),
@@ -1287,8 +1277,8 @@ object TextQueries {
        |    GROUP BY 1, 2)
        |  GROUP BY 1)
        |SELECT doc_id, n_words,
-       |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
-       |  round(CAST(maxc AS DOUBLE) / n_words, 6) AS top_share,
+       |  (10000 * n_stop) // n_words AS stop_bp,
+       |  (10000 * maxc) // n_words AS top_bp,
        |  (n_words >= 20 AND n_words <= 1000) AS r_len,
        |  (nosp >= 3 * n_words AND nosp <= 10 * n_words) AS r_wordlen,
        |  (100 * n_stop >= 6 * n_words) AS r_stop,
