@@ -178,7 +178,7 @@ object TextQueries {
     * 32-bit token hash (`hash32`, md5-derived so both engines agree).
     * a_i·h < 1e9 · 2^32 < 2^63 — no overflow. */
   private[graft] val P = 2147483647L
-  private val perms = Seq(
+  private[graft] val perms = Seq(
     (824633721L, 97L), (592397613L, 1031L), (405187081L, 65537L),
     (975319753L, 257L), (163841233L, 8209L), (741002381L, 12289L),
     (318271183L, 524287L), (662551321L, 2053L))
