@@ -1187,7 +1187,98 @@ object VectorQueries {
        |FROM embeddings e LEFT JOIN agg a ON a.id_n = e.vec_id
        |WHERE e.vec_id % 4 = 0""".stripMargin
 
+  /** q179: grid STALENESS — the rebuild-trigger measurement that closes
+    * the delta-index lifecycle (build → admit/append → **when to cut the
+    * next snapshot** → rebuild). [[graft.operators.DeltaSemDedupIndex]]
+    * deliberately fixes the deployed grid at build time (appends must
+    * not shift the cell space under the snapshot), so as appends grow
+    * the corpus the occupancy rule (≈[[SigOcc]] vectors/cell) drifts:
+    * one doubling doubles mean occupancy, and candidate-pair work —
+    * Σ occ² over cells — doubles PER VECTOR. This query pins that
+    * drift: the SAME corpus is assigned under three deployed grids —
+    * `fresh` (sized for n, the rule), `stale2` (sized for n/2: one
+    * doubling of appends ago), `stale4` (two doublings) — and reports
+    * per scenario the occupancy distribution and the per-vector pair
+    * work, all integer-exact. The trigger rule it documents: cut a new
+    * snapshot when avg occupancy exceeds 2·[[SigOcc]] (pairwork/vec
+    * has doubled); beyond 4· the blocking degrades toward q151's
+    * fixed-grid pathology (measured exponent 1.6).
+    *
+    * Scale shape: ONE corpus scan computes signatures (the 1,024
+    * integer adds/vector, codegen'd); the three scenario grids are a
+    * 3-row broadcast; everything after is a (scenario, cell) count
+    * aggregate — map-side combinable, no joins, no embeddings moved. */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.OptimizerBarrier.register(s)
+    val emb = Tables.embeddings(s, d)
+    val scenarios = emb.agg(count(lit(1)).as("n_total"))
+      .select(explode(array(
+        struct(lit("fresh").as("scenario"), col("n_total").as("n_for")),
+        struct(lit("stale2").as("scenario"),
+          expr("(n_total + 1) div 2").as("n_for")),
+        struct(lit("stale4").as("scenario"),
+          expr("(n_total + 3) div 4").as("n_for")))).as("sc"))
+      .select(col("sc.scenario").as("scenario"),
+        pow2bCol(col("sc.n_for")).as("n_cells_cap"),
+        bitsCol(col("sc.n_for")).as("nbits"))
+    val sigs = emb
+      .withColumn("u", expr("opt_barrier(transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)))"))
+      .withColumn("sig", expr(sigTerms(i => s"u[$i]")))
+      .select(col("vec_id"), col("sig"))
+    sigs.crossJoin(broadcast(scenarios))
+      .withColumn("cell", col("sig") % col("n_cells_cap"))
+      .groupBy(col("scenario"), col("n_cells_cap"), col("nbits"),
+        col("cell"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("scenario"), col("n_cells_cap"), col("nbits"))
+      .agg(sum(col("occ")).as("n_vecs"),
+        count(lit(1)).as("n_occupied_cells"),
+        max(col("occ")).as("max_cell_occ"),
+        sum(col("occ") * col("occ")).as("sum_occ_sq"))
+      .select(col("scenario"), col("nbits"), col("n_cells_cap"),
+        col("n_vecs"), col("n_occupied_cells"), col("max_cell_occ"),
+        expr("(100L * n_vecs) div n_occupied_cells").as("avg_occ_x100"),
+        col("sum_occ_sq"),
+        expr("(100L * sum_occ_sq) div n_vecs").as("pairwork_per_vec_x100"))
+  }
+
+  private val q179Sql =
+    s"""WITH nt AS (SELECT count(*) AS n_total FROM embeddings),
+       |scen AS (
+       |  SELECT 'fresh' AS scenario, n_total AS n FROM nt
+       |  UNION ALL SELECT 'stale2', (n_total + 1) // 2 FROM nt
+       |  UNION ALL SELECT 'stale4', (n_total + 3) // 4 FROM nt),
+       |grids AS (
+       |  SELECT scenario, $pow2bSqlCase AS n_cells_cap,
+       |    $bitsSqlCase AS nbits
+       |  FROM scen),
+       |uu AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS u
+       |  FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, ${sigTerms(i => s"u[${i + 1}]")} AS sig
+       |  FROM uu),
+       |occ AS (
+       |  SELECT g.scenario, g.n_cells_cap, g.nbits,
+       |    s.sig % g.n_cells_cap AS cell, count(*) AS occ
+       |  FROM sigs s CROSS JOIN grids g
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT scenario, nbits, n_cells_cap,
+       |  CAST(sum(occ) AS BIGINT) AS n_vecs,
+       |  CAST(count(*) AS BIGINT) AS n_occupied_cells,
+       |  CAST(max(occ) AS BIGINT) AS max_cell_occ,
+       |  (100 * CAST(sum(occ) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS avg_occ_x100,
+       |  CAST(sum(occ * occ) AS BIGINT) AS sum_occ_sq,
+       |  (100 * CAST(sum(occ * occ) AS BIGINT))
+       |    // CAST(sum(occ) AS BIGINT) AS pairwork_per_vec_x100
+       |FROM occ
+       |GROUP BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q179_grid_staleness", q179, Some(q179Sql)),
     QueryDef("q176_delta_semdedup", q176, Some(q176Sql)),
     QueryDef("q175_cellgrid_recall", q175, Some(q175Sql)),
     QueryDef("q172_cellscaled_semdedup", q172, Some(q172Sql)),
