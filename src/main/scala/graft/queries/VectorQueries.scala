@@ -1187,6 +1187,286 @@ object VectorQueries {
        |FROM embeddings e LEFT JOIN agg a ON a.id_n = e.vec_id
        |WHERE e.vec_id % 4 = 0""".stripMargin
 
+  /** q178: PQ-COMPRESSED delta semantic dedup — q176's admit contract
+    * with the snapshot's verify pass run in the COMPRESSED domain
+    * first. The motivation is bytes at 100 TB: a full-precision
+    * snapshot index row is ~300 B (64 floats + norm); its PQ encode is
+    * 4 one-byte codes, so the per-refresh snapshot scan touches ~70×
+    * fewer bytes — the q127/q130 ADC recipe applied to the delta-dedup
+    * join instead of top-k search. The codebook here is FINER than
+    * q126's 10-label one (whose reconstruction error, measured first,
+    * was ±0.3 in cosine — useless as a prefilter): per subspace, the
+    * ≤256 codewords are the centroids of the sub-vector's 8-dim sign
+    * ORTHANTS — data-adaptive, deterministic, engine-exact, and
+    * exactly the 1-byte-per-code layout production PQ uses. The encode
+    * stays q126's argmin of ‖c‖²−2x·c over all codewords. Per grid
+    * candidate (q176's deployed-grid multiprobe, incoming side only)
+    * the APPROXIMATE cosine is computed against the snapshot vector's
+    * PQ RECONSTRUCTION from exact integer numerators (dot(q, recon) =
+    * Σ_subsp dotnum/n, ‖recon‖² = Σ_subsp csumsq/n², both int64 —
+    * per-subspace parts pivot to fixed columns and add left-to-right,
+    * the q127 engine-exactness rule), prefiltered at a RELAXED 0.05
+    * (the verify threshold 0.3 minus a reconstruction-error margin
+    * chosen from the measured ADC error: recall 99.5% of true pairs
+    * at ~35% keep on the sweep corpus), and only survivors would
+    * fetch full embeddings for the exact confirm. This is a
+    * MEASUREMENT query, so it also computes the
+    * exact cosine on ALL candidates (ground truth at test scale) and
+    * pins the tradeoff per label: candidate volume, ADC keep rate,
+    * prefilter recall on true pairs (basis points), and the admit
+    * verdicts both ways with their flip count — a codebook or margin
+    * regression fails parity. All output columns are integer-exact;
+    * the doubles exist only inside comparisons.
+    *
+    * Scale shape: the LUT is |batch|·4·k rows of int64-derived parts
+    * (linear in the refresh batch, independent of corpus size); the
+    * snapshot side of the ADC join moves only (vec, subsp, code) rows
+    * — never embeddings; the exact confirm in production touches just
+    * ADC survivors (here additionally all candidates, for the pinned
+    * ground truth). */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    graft.expressions.OptimizerBarrier.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cells = withCells(emb, gridCapRow(emb))
+    val inc = cells.filter(col("vec_id") % 4 === 0)
+      .withColumn("pcell", explode(expr(multiprobeExpr)))
+      .select(col("vec_id").as("id_n"), col("embedding").as("e_n"),
+        col("nrm").as("nn"), col("pcell"))
+    val snap = cells.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id").as("id_s"), col("embedding").as("e_s"),
+        col("nrm").as("ns"), col("cell").as("cell_s"))
+    // every grid candidate, with the exact cosine as ground truth (the
+    // production path computes it only for ADC survivors)
+    val cand = snap.join(inc, col("pcell") === col("cell_s"))
+      .withColumn("cs", round(
+        expr("float_vector_dot(e_n, e_s)") / (col("nn") * col("ns")), 6))
+      .select(col("id_n"), col("id_s"), col("nn"), col("cs"))
+    // the refined codebook: per subspace, codewords are the centroids
+    // of the 8-dim sign ORTHANTS (≤256 codewords — 1-byte codes); the
+    // encode is still the argmin of ‖c‖²−2x·c over ALL codewords, the
+    // seeds only shape the codebook
+    val dims = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
+      .withColumn("subsp", expr("dim div 16"))
+    val seeds = dims.filter(col("dim") % 16 < 8)
+      .groupBy(col("vec_id"), col("subsp"))
+      .agg(sum(when(col("u") >= 0,
+        expr("shiftleft(cast(1 as bigint), cast(dim % 16 as int))"))
+        .otherwise(0L)).as("seed"))
+    val cw = dims.join(seeds, Seq("vec_id", "subsp"))
+      .groupBy(col("seed"), col("subsp"), col("dim"))
+      .agg(sum(col("u")).as("csum"))
+    val cmeta2 = cw.groupBy(col("seed"), col("subsp"))
+      .agg(sum(col("csum") * col("csum")).as("csumsq"))
+      .join(seeds.groupBy(col("seed"), col("subsp"))
+        .agg(count(lit(1)).as("n")), Seq("seed", "subsp"))
+    // per (vector, subspace, codeword): exact-integer dot numerator +
+    // the q126 encode score — one table feeds BOTH the snapshot encode
+    // (argmin) and the incoming side's ADC lookup parts
+    val dots = dims
+      .join(broadcast(cw), Seq("subsp", "dim"))
+      .groupBy(col("vec_id"), col("subsp"), col("seed"))
+      .agg(sum(col("u") * col("csum")).as("dotnum"))
+      .join(broadcast(cmeta2), Seq("seed", "subsp"))
+      .withColumn("score", pqScore)
+    val snapCodes = dots.filter(col("vec_id") % 4 =!= 0)
+      .groupBy(col("vec_id"), col("subsp"))
+      .agg(min(struct(col("score"), col("seed"))).as("best"))
+      .select(col("vec_id").as("id_s"), col("subsp"),
+        col("best.seed").as("code"))
+    val lparts = dots.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("id_n"), col("subsp"),
+        col("seed").as("code"),
+        (col("dotnum").cast("double") / col("n").cast("double"))
+          .as("dpart"),
+        (col("csumsq").cast("double")
+          / (col("n") * col("n")).cast("double")).as("rpart"))
+    val flagged = cand
+      .join(snapCodes, "id_s")
+      .join(lparts, Seq("id_n", "subsp", "code"))
+      .groupBy(col("id_n"), col("id_s"))
+      .agg(min(col("cs")).as("cs"), min(col("nn")).as("nn"),
+        min(when(col("subsp") === 0, col("dpart"))).as("d0"),
+        min(when(col("subsp") === 1, col("dpart"))).as("d1"),
+        min(when(col("subsp") === 2, col("dpart"))).as("d2"),
+        min(when(col("subsp") === 3, col("dpart"))).as("d3"),
+        min(when(col("subsp") === 0, col("rpart"))).as("r0"),
+        min(when(col("subsp") === 1, col("rpart"))).as("r1"),
+        min(when(col("subsp") === 2, col("rpart"))).as("r2"),
+        min(when(col("subsp") === 3, col("rpart"))).as("r3"))
+      .withColumn("acos", round(
+        (((col("d0") + col("d1")) + col("d2")) + col("d3")) /
+          (col("nn") * lit(1e6) *
+            sqrt((((col("r0") + col("r1")) + col("r2")) + col("r3")))), 6))
+      .select(col("id_n"),
+        (col("acos") >= 0.05).as("adc_pass"),
+        (col("cs") >= 0.3).as("exact_pass"))
+    val pv = flagged.groupBy(col("id_n"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("adc_pass"), 1L).otherwise(0L)).as("n_adc"),
+        sum(when(col("exact_pass"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("adc_pass") && col("exact_pass"), 1L).otherwise(0L))
+          .as("n_conf"))
+    emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("label"))
+      .join(pv.withColumnRenamed("id_n", "vec_id"), Seq("vec_id"), "left")
+      .select(col("label"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_adc"), lit(0L)).as("n_adc"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_conf"), lit(0L)).as("n_conf"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_inc"),
+        sum(col("n_cand")).as("n_cand_pairs"),
+        sum(col("n_adc")).as("n_adc_pairs"),
+        sum(col("n_true")).as("n_true_pairs"),
+        sum(col("n_conf")).as("n_confirmed_pairs"),
+        sum(when(col("n_conf") === 0, 1L).otherwise(0L)).as("n_admit_pq"),
+        sum(when(col("n_true") === 0, 1L).otherwise(0L))
+          .as("n_admit_true"))
+      .select(col("label"), col("n_inc"), col("n_cand_pairs"),
+        col("n_adc_pairs"), col("n_true_pairs"), col("n_confirmed_pairs"),
+        (col("n_true_pairs") - col("n_confirmed_pairs"))
+          .as("n_missed_pairs"),
+        expr("CASE WHEN n_cand_pairs = 0 THEN 0L " +
+          "ELSE (10000L * n_adc_pairs) div n_cand_pairs END")
+          .as("adc_keep_bp"),
+        expr("CASE WHEN n_true_pairs = 0 THEN 10000L " +
+          "ELSE (10000L * n_confirmed_pairs) div n_true_pairs END")
+          .as("prefilter_recall_bp"),
+        col("n_admit_pq"), col("n_admit_true"),
+        (col("n_admit_pq") - col("n_admit_true")).as("n_verdict_flips"))
+  }
+
+  private val q178Sql =
+    s"""WITH nt AS (SELECT count(*) AS n FROM embeddings),
+       |p2 AS (SELECT $pow2bSqlCase AS n_cells_cap,
+       |  $bitsSqlCase AS nbits FROM nt),
+       |uu AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS u
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, ${sigTerms(i => s"u[${i + 1}]")}
+       |    % (SELECT n_cells_cap FROM p2) AS cell
+       |  FROM uu),
+       |$flipsSqlCte,
+       |probes AS (
+       |  SELECT vec_id, xor(cell, mask) AS pcell
+       |  FROM cells CROSS JOIN flips WHERE vec_id % 4 = 0),
+       |dims AS (
+       |  SELECT vec_id, i - 1 AS dim, (i - 1) // 16 AS subsp,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+       |      AS u
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+       |seeds AS (
+       |  SELECT vec_id, subsp,
+       |    CAST(sum(CASE WHEN u >= 0 THEN
+       |      (CAST(1 AS BIGINT) << CAST(dim % 16 AS INTEGER))
+       |      ELSE 0 END) AS BIGINT) AS seed
+       |  FROM dims WHERE dim % 16 < 8 GROUP BY 1, 2),
+       |cw AS (
+       |  SELECT s.seed, d.subsp, d.dim, CAST(sum(d.u) AS BIGINT) AS csum
+       |  FROM dims d JOIN seeds s
+       |    ON d.vec_id = s.vec_id AND d.subsp = s.subsp
+       |  GROUP BY 1, 2, 3),
+       |cmeta2 AS (
+       |  SELECT cw.seed, cw.subsp,
+       |    CAST(sum(csum * csum) AS BIGINT) AS csumsq, any_value(n) AS n
+       |  FROM cw JOIN (
+       |    SELECT seed, subsp, count(*) AS n FROM seeds GROUP BY 1, 2) cn
+       |    ON cw.seed = cn.seed AND cw.subsp = cn.subsp
+       |  GROUP BY 1, 2),
+       |dots AS (
+       |  SELECT d.vec_id, d.subsp, c.seed,
+       |    CAST(sum(d.u * c.csum) AS BIGINT) AS dotnum
+       |  FROM dims d JOIN cw c ON d.dim = c.dim AND d.subsp = c.subsp
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT o.vec_id, o.subsp, o.seed, o.dotnum, m.csumsq, m.n,
+       |    CAST(m.csumsq AS DOUBLE) / CAST(m.n * m.n AS DOUBLE)
+       |      - CAST(o.dotnum * 2 AS DOUBLE) / CAST(m.n AS DOUBLE) AS score
+       |  FROM dots o JOIN cmeta2 m
+       |    ON o.seed = m.seed AND o.subsp = m.subsp),
+       |codes AS (
+       |  SELECT vec_id, subsp, seed AS code FROM (
+       |    SELECT vec_id, subsp, seed,
+       |      row_number() OVER (PARTITION BY vec_id, subsp
+       |        ORDER BY score ASC, seed ASC) AS rn
+       |    FROM scored) WHERE rn = 1 AND vec_id % 4 <> 0),
+       |lparts AS (
+       |  SELECT s.vec_id AS id_n, s.subsp, s.seed AS code,
+       |    CAST(s.dotnum AS DOUBLE) / CAST(s.n AS DOUBLE) AS dpart,
+       |    CAST(s.csumsq AS DOUBLE) / CAST(s.n * s.n AS DOUBLE) AS rpart
+       |  FROM scored s WHERE s.vec_id % 4 = 0),
+       |cand AS (
+       |  SELECT p.vec_id AS id_n, c.vec_id AS id_s,
+       |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cs,
+       |    ${normSql("a.embedding")} AS nn
+       |  FROM probes p
+       |  JOIN cells c ON p.pcell = c.cell AND c.vec_id % 4 <> 0
+       |  JOIN embeddings a ON a.vec_id = p.vec_id
+       |  JOIN embeddings b ON b.vec_id = c.vec_id),
+       |flagged AS (
+       |  SELECT id_n, id_s,
+       |    (round((((d0 + d1) + d2) + d3) /
+       |      (nn * 1000000.0 * sqrt((((r0 + r1) + r2) + r3))), 6)
+       |      >= 0.05) AS adc_pass,
+       |    (cs >= 0.3) AS exact_pass
+       |  FROM (
+       |    SELECT cd.id_n, cd.id_s, min(cd.cs) AS cs, min(cd.nn) AS nn,
+       |      min(CASE WHEN k.subsp = 0 THEN lp.dpart END) AS d0,
+       |      min(CASE WHEN k.subsp = 1 THEN lp.dpart END) AS d1,
+       |      min(CASE WHEN k.subsp = 2 THEN lp.dpart END) AS d2,
+       |      min(CASE WHEN k.subsp = 3 THEN lp.dpart END) AS d3,
+       |      min(CASE WHEN k.subsp = 0 THEN lp.rpart END) AS r0,
+       |      min(CASE WHEN k.subsp = 1 THEN lp.rpart END) AS r1,
+       |      min(CASE WHEN k.subsp = 2 THEN lp.rpart END) AS r2,
+       |      min(CASE WHEN k.subsp = 3 THEN lp.rpart END) AS r3
+       |    FROM cand cd
+       |    JOIN codes k ON k.vec_id = cd.id_s
+       |    JOIN lparts lp ON lp.id_n = cd.id_n AND lp.subsp = k.subsp
+       |      AND lp.code = k.code
+       |    GROUP BY 1, 2)),
+       |pv AS (
+       |  SELECT id_n, CAST(count(*) AS BIGINT) AS n_cand,
+       |    CAST(sum(CASE WHEN adc_pass THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_adc,
+       |    CAST(sum(CASE WHEN exact_pass THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_true,
+       |    CAST(sum(CASE WHEN adc_pass AND exact_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_conf
+       |  FROM flagged GROUP BY 1),
+       |base AS (
+       |  SELECT e.label,
+       |    coalesce(p.n_cand, 0) AS n_cand,
+       |    coalesce(p.n_adc, 0) AS n_adc,
+       |    coalesce(p.n_true, 0) AS n_true,
+       |    coalesce(p.n_conf, 0) AS n_conf
+       |  FROM embeddings e LEFT JOIN pv p ON p.id_n = e.vec_id
+       |  WHERE e.vec_id % 4 = 0)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_inc,
+       |  CAST(sum(n_cand) AS BIGINT) AS n_cand_pairs,
+       |  CAST(sum(n_adc) AS BIGINT) AS n_adc_pairs,
+       |  CAST(sum(n_true) AS BIGINT) AS n_true_pairs,
+       |  CAST(sum(n_conf) AS BIGINT) AS n_confirmed_pairs,
+       |  CAST(sum(n_true) - sum(n_conf) AS BIGINT) AS n_missed_pairs,
+       |  CASE WHEN sum(n_cand) = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE (10000 * CAST(sum(n_adc) AS BIGINT))
+       |      // CAST(sum(n_cand) AS BIGINT) END AS adc_keep_bp,
+       |  CASE WHEN sum(n_true) = 0 THEN CAST(10000 AS BIGINT)
+       |    ELSE (10000 * CAST(sum(n_conf) AS BIGINT))
+       |      // CAST(sum(n_true) AS BIGINT) END AS prefilter_recall_bp,
+       |  CAST(sum(CASE WHEN n_conf = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admit_pq,
+       |  CAST(sum(CASE WHEN n_true = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admit_true,
+       |  CAST(sum(CASE WHEN n_conf = 0 THEN 1 ELSE 0 END)
+       |    - sum(CASE WHEN n_true = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_verdict_flips
+       |FROM base GROUP BY 1""".stripMargin
+
   /** q179: grid STALENESS — the rebuild-trigger measurement that closes
     * the delta-index lifecycle (build → admit/append → **when to cut the
     * next snapshot** → rebuild). [[graft.operators.DeltaSemDedupIndex]]
@@ -1211,22 +1491,24 @@ object VectorQueries {
   private def q179(s: SparkSession, d: String): DataFrame = {
     graft.expressions.OptimizerBarrier.register(s)
     val emb = Tables.embeddings(s, d)
-    val scenarios = emb.agg(count(lit(1)).as("n_total"))
-      .select(explode(array(
-        struct(lit("fresh").as("scenario"), col("n_total").as("n_for")),
-        struct(lit("stale2").as("scenario"),
-          expr("(n_total + 1) div 2").as("n_for")),
-        struct(lit("stale4").as("scenario"),
-          expr("(n_total + 3) div 4").as("n_for")))).as("sc"))
-      .select(col("sc.scenario").as("scenario"),
-        pow2bCol(col("sc.n_for")).as("n_cells_cap"),
-        bitsCol(col("sc.n_for")).as("nbits"))
+    val nrow = emb.agg(count(lit(1)).as("n_total"))
     val sigs = emb
       .withColumn("u", expr("opt_barrier(transform(embedding, " +
         "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)))"))
       .withColumn("sig", expr(sigTerms(i => s"u[$i]")))
       .select(col("vec_id"), col("sig"))
-    sigs.crossJoin(broadcast(scenarios))
+    // the scalar corpus count broadcasts (1 row — the plan-guard
+    // discipline); the 3 scenario grids expand per signature row
+    sigs.crossJoin(broadcast(nrow))
+      .select(col("sig"), explode(array(
+        struct(lit("fresh").as("scenario"), col("n_total").as("n_for")),
+        struct(lit("stale2").as("scenario"),
+          expr("(n_total + 1) div 2").as("n_for")),
+        struct(lit("stale4").as("scenario"),
+          expr("(n_total + 3) div 4").as("n_for")))).as("sc"))
+      .select(col("sig"), col("sc.scenario").as("scenario"),
+        pow2bCol(col("sc.n_for")).as("n_cells_cap"),
+        bitsCol(col("sc.n_for")).as("nbits"))
       .withColumn("cell", col("sig") % col("n_cells_cap"))
       .groupBy(col("scenario"), col("n_cells_cap"), col("nbits"),
         col("cell"))
@@ -1279,6 +1561,7 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q179_grid_staleness", q179, Some(q179Sql)),
+    QueryDef("q178_pq_delta_semdedup", q178, Some(q178Sql)),
     QueryDef("q176_delta_semdedup", q176, Some(q176Sql)),
     QueryDef("q175_cellgrid_recall", q175, Some(q175Sql)),
     QueryDef("q172_cellscaled_semdedup", q172, Some(q172Sql)),
