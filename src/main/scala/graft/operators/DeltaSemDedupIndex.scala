@@ -103,6 +103,33 @@ object DeltaSemDedupIndex {
       .mode("append").saveAsTable(table)
   }
 
+  /** Occupancy audit under the DEPLOYED grid — the operator form of
+    * q179's rebuild trigger, run against the live index instead of a
+    * re-signatured corpus (one scan of the index's `cell` column; no
+    * embeddings touched). Returns ONE row: vector/cell counts, max
+    * and average occupancy, the per-vector candidate pair work
+    * (Σ occ²/n — what admit actually pays per incoming probe), and
+    * `rebuild_due`: true once the corpus has outgrown the deployed
+    * grid by 2× the [[VectorQueries.SigOcc]] occupancy target (q179's
+    * measured drift: each doubling past the rule doubles pair work
+    * per vector — cut the next snapshot at 2×, before the 4× point
+    * where blocking degrades toward the fixed-grid pathology). */
+  def occupancy(s: SparkSession, table: String): DataFrame = {
+    val occ = s.table(table).groupBy(col("cell"))
+      .agg(count(lit(1)).as("occ"))
+      .agg(sum(col("occ")).as("n_vecs"),
+        count(lit(1)).as("n_occupied_cells"),
+        max(col("occ")).as("max_cell_occ"),
+        sum(col("occ") * col("occ")).as("sum_occ_sq"))
+    occ.crossJoin(broadcast(deployedGrid(s, table)))
+      .select(col("n_vecs"), col("n_occupied_cells"), col("max_cell_occ"),
+        expr("(100L * n_vecs) div n_occupied_cells").as("avg_occ_x100"),
+        expr("(100L * sum_occ_sq) div n_vecs").as("pairwork_per_vec_x100"),
+        col("n_cells_cap"), col("nbits"),
+        (col("n_vecs") > lit(2L * VectorQueries.SigOcc) * col("n_cells_cap"))
+          .as("rebuild_due"))
+  }
+
   /** Admit an incoming batch (`vec_id`, `label`, `embedding`) against
     * the prebuilt index: q176's per-vector verdict frame (match
     * count, first (min-id) snapshot match, best cosine, admitted).

@@ -795,7 +795,7 @@ object VectorQueries {
     * signature/cell/pair/fixpoint chain in DuckDB. */
   private val SigPlanes = 16
   private val SigDim = 64
-  private val SigOcc = 64L
+  private[graft] val SigOcc = 64L
   /** Deterministic ±1 hyperplane matrix (splitmix64 bit per (j,i)),
     * inlined as literals into BOTH engines' expressions. */
   private[graft] val planeSign: Array[Array[Int]] =

@@ -108,6 +108,34 @@ class DeltaSemDedupIndexSpec extends SparkSpec {
     } finally cleanup("sem_idx_inc", "sem_idx_full")
   }
 
+  test("occupancy audit flags a grid the corpus has outgrown 2x") {
+    cleanup("sem_idx_occ_ok", "sem_idx_occ_stale")
+    try {
+      val emb = Tables.embeddings(spark, sf0001)
+      val n = emb.count()
+      // grid sized by the rule → within budget
+      DeltaSemDedupIndex.build(emb, "sem_idx_occ_ok", gridN = n)
+      val ok = DeltaSemDedupIndex.occupancy(spark, "sem_idx_occ_ok")
+        .collect().head
+      assert(ok.getAs[Long]("n_vecs") == n)
+      assert(!ok.getAs[Boolean]("rebuild_due"),
+        s"fresh grid flagged stale: $ok")
+      // grid deployed when the corpus was 1/4 the size (two doublings
+      // of appends ago) → past the 2x trigger
+      DeltaSemDedupIndex.build(emb, "sem_idx_occ_stale", gridN = (n + 3) / 4)
+      val stale = DeltaSemDedupIndex.occupancy(spark, "sem_idx_occ_stale")
+        .collect().head
+      assert(stale.getAs[Boolean]("rebuild_due"),
+        s"outgrown grid not flagged: $stale")
+      // the audit's pair-work metric grows when the grid is stale —
+      // the q179 drift, observed on the live index
+      assert(stale.getAs[Long]("pairwork_per_vec_x100")
+        > ok.getAs[Long]("pairwork_per_vec_x100"))
+      assert(stale.getAs[Long]("n_cells_cap")
+        < ok.getAs[Long]("n_cells_cap"))
+    } finally cleanup("sem_idx_occ_ok", "sem_idx_occ_stale")
+  }
+
   test("bucket sizing rule scales with the snapshot and stays a power of two") {
     import graft.operators.DeltaSemDedupIndex.bucketsFor
     assert(bucketsFor(500L) == 8)
