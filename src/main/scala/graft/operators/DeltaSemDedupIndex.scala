@@ -46,7 +46,7 @@ object DeltaSemDedupIndex {
     math.max(8, Integer.highestOneBit(math.max(1, target - 1).toInt) * 2)
   }
 
-  private def bucketCountOf(s: SparkSession, table: String): Int =
+  private[operators] def bucketCountOf(s: SparkSession, table: String): Int =
     s.sessionState.catalog.getTableMetadata(TableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(
@@ -56,14 +56,14 @@ object DeltaSemDedupIndex {
     * (n_cells_cap, nbits) frame (broadcast at use sites). Stored
     * nbits is constant across rows by construction; max() is just the
     * aggregate that says so. */
-  private def deployedGrid(s: SparkSession, table: String): DataFrame =
+  private[operators] def deployedGrid(s: SparkSession, table: String): DataFrame =
     s.table(table).agg(max(col("nbits")).as("nbits"))
       .select(expr("cast(shiftleft(cast(1 as bigint), nbits) as bigint)")
         .as("n_cells_cap"), col("nbits"))
 
   /** Cell rows of `vecs` (`vec_id`, `embedding`, + passthrough
     * `label` for the verdict frame) under the grid `capRow`. */
-  private def cellRows(vecs: DataFrame, capRow: DataFrame): DataFrame = {
+  private[operators] def cellRows(vecs: DataFrame, capRow: DataFrame): DataFrame = {
     graft.expressions.OptimizerBarrier.register(vecs.sparkSession)
     val withLabel =
       if (vecs.columns.contains("label")) vecs

@@ -1224,6 +1224,49 @@ object VectorQueries {
     * — never embeddings; the exact confirm in production touches just
     * ADC survivors (here additionally all candidates, for the pinned
     * ground truth). */
+  /** Micro-unit PQ dim table: (`vec_id`, `dim`, `subsp`, `u`) — the
+    * 10⁶-scaled exact-integer projection with `subsp = dim div 16`,
+    * shared by q178 and [[graft.operators.PqSemDedupIndex]]. */
+  private[graft] def pqDims(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
+      .withColumn("subsp", expr("dim div 16"))
+      .select(col("vec_id"), col("dim"), col("subsp"), col("u"))
+
+  /** The orthant-seeded codebook over a dim table: per subspace, one
+    * codeword per occupied 8-dim sign orthant (≤256 — 1-byte codes).
+    * Returns (cw, cmeta2): per-dim codeword sums (`seed`, `subsp`,
+    * `dim`, `csum`) and codeword metadata (`seed`, `subsp`, `csumsq`,
+    * `n`) — all exact int64. */
+  private[graft] def pqOrthantCodebook(dims: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val seeds = dims.filter(col("dim") % 16 < 8)
+      .groupBy(col("vec_id"), col("subsp"))
+      .agg(sum(when(col("u") >= 0,
+        expr("shiftleft(cast(1 as bigint), cast(dim % 16 as int))"))
+        .otherwise(0L)).as("seed"))
+    val cw = dims.join(seeds, Seq("vec_id", "subsp"))
+      .groupBy(col("seed"), col("subsp"), col("dim"))
+      .agg(sum(col("u")).as("csum"))
+    val cmeta2 = cw.groupBy(col("seed"), col("subsp"))
+      .agg(sum(col("csum") * col("csum")).as("csumsq"))
+      .join(seeds.groupBy(col("seed"), col("subsp"))
+        .agg(count(lit(1)).as("n")), Seq("seed", "subsp"))
+    (cw, cmeta2)
+  }
+
+  /** Per (vector, subspace, codeword): the exact-integer dot numerator
+    * `dotnum`, the codeword meta, and the q126 encode score — feeds
+    * both the encode argmin and the ADC lookup parts. The codebook
+    * sides broadcast (≤256·4 codewords at any corpus size). */
+  private[graft] def pqCodeScores(dims: DataFrame, cw: DataFrame,
+      cmeta2: DataFrame): DataFrame =
+    dims.join(broadcast(cw), Seq("subsp", "dim"))
+      .groupBy(col("vec_id"), col("subsp"), col("seed"))
+      .agg(sum(col("u") * col("csum")).as("dotnum"))
+      .join(broadcast(cmeta2), Seq("seed", "subsp"))
+      .withColumn("score", pqScore)
+
   private def q178(s: SparkSession, d: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(s)
     graft.expressions.OptimizerBarrier.register(s)
@@ -1246,31 +1289,12 @@ object VectorQueries {
     // of the 8-dim sign ORTHANTS (≤256 codewords — 1-byte codes); the
     // encode is still the argmin of ‖c‖²−2x·c over ALL codewords, the
     // seeds only shape the codebook
-    val dims = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
-      .withColumn("subsp", expr("dim div 16"))
-    val seeds = dims.filter(col("dim") % 16 < 8)
-      .groupBy(col("vec_id"), col("subsp"))
-      .agg(sum(when(col("u") >= 0,
-        expr("shiftleft(cast(1 as bigint), cast(dim % 16 as int))"))
-        .otherwise(0L)).as("seed"))
-    val cw = dims.join(seeds, Seq("vec_id", "subsp"))
-      .groupBy(col("seed"), col("subsp"), col("dim"))
-      .agg(sum(col("u")).as("csum"))
-    val cmeta2 = cw.groupBy(col("seed"), col("subsp"))
-      .agg(sum(col("csum") * col("csum")).as("csumsq"))
-      .join(seeds.groupBy(col("seed"), col("subsp"))
-        .agg(count(lit(1)).as("n")), Seq("seed", "subsp"))
+    val dims = pqDims(emb)
+    val (cw, cmeta2) = pqOrthantCodebook(dims)
     // per (vector, subspace, codeword): exact-integer dot numerator +
     // the q126 encode score — one table feeds BOTH the snapshot encode
     // (argmin) and the incoming side's ADC lookup parts
-    val dots = dims
-      .join(broadcast(cw), Seq("subsp", "dim"))
-      .groupBy(col("vec_id"), col("subsp"), col("seed"))
-      .agg(sum(col("u") * col("csum")).as("dotnum"))
-      .join(broadcast(cmeta2), Seq("seed", "subsp"))
-      .withColumn("score", pqScore)
+    val dots = pqCodeScores(dims, cw, cmeta2)
     val snapCodes = dots.filter(col("vec_id") % 4 =!= 0)
       .groupBy(col("vec_id"), col("subsp"))
       .agg(min(struct(col("score"), col("seed"))).as("best"))
