@@ -30,7 +30,7 @@ object RefreshMain {
   final case class Summary(textBatch: Long, textAdmitted: Long,
       semBatch: Long, semAdmitted: Long, textIndexRows: Long,
       semIndexRows: Long, manifestCells: Long, shippedDocs: Long,
-      shippedTokens: Long)
+      shippedTokens: Long, semAvgOccX100: Long, semRebuildDue: Boolean)
 
   def run(spark: SparkSession, sfDir: String): Summary = {
     def cleanup(t: String): Unit = {
@@ -89,6 +89,12 @@ object RefreshMain {
         coalesce(sum(col("n_tokens")), lit(0L)).as("t"))
       .collect().head
 
+    // post-append lifecycle audit: has the advanced snapshot outgrown
+    // its deployed grid? (q179's 2× trigger — when true, the next cycle
+    // starts with a build() instead of another append)
+    val occ = DeltaSemDedupIndex.occupancy(spark, "refresh_sem_idx")
+      .collect().head
+
     val summary = Summary(
       textBatch = textBatch.count(),
       textAdmitted = nTextAdmitted,
@@ -98,7 +104,9 @@ object RefreshMain {
       semIndexRows = spark.table("refresh_sem_idx").count(),
       manifestCells = manifest.count(),
       shippedDocs = shipped.getLong(0),
-      shippedTokens = shipped.getLong(1))
+      shippedTokens = shipped.getLong(1),
+      semAvgOccX100 = occ.getAs[Long]("avg_occ_x100"),
+      semRebuildDue = occ.getAs[Boolean]("rebuild_due"))
     manifest.unpersist()
     textAdmittedIds.unpersist()
     semAdmittedIds.unpersist()
@@ -122,7 +130,9 @@ object RefreshMain {
       s""""sem_batch":${s.semBatch},"sem_admitted":${s.semAdmitted},""" +
       s""""text_index_rows":${s.textIndexRows},"sem_index_rows":${s.semIndexRows},""" +
       s""""manifest_cells":${s.manifestCells},"shipped_docs":${s.shippedDocs},""" +
-      s""""shipped_tokens":${s.shippedTokens}}""")
+      s""""shipped_tokens":${s.shippedTokens},""" +
+      s""""sem_avg_occ_x100":${s.semAvgOccX100},""" +
+      s""""sem_rebuild_due":${s.semRebuildDue}}""")
     spark.stop()
   }
 }

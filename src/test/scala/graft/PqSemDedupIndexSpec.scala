@@ -94,7 +94,7 @@ class PqSemDedupIndexSpec extends SparkSpec {
   }
 
   test("append(Δ) under the deployed grid + codebook matches a rebuild-shaped admit") {
-    cleanup("pq_idx_inc")
+    cleanup("pq_idx_inc", "pq_idx_inc_cb")
     try {
       val emb = Tables.embeddings(spark, sf0001)
       val n = emb.count()
@@ -131,6 +131,6 @@ class PqSemDedupIndexSpec extends SparkSpec {
       assert(a == b, s"appended PQ index verdicts diverged: " +
         s"${a.count(kv => b.get(kv._1) != Some(kv._2))} flips")
       cleanup("pq_full_ref")
-    } finally cleanup("pq_idx_inc", "pq_full_ref")
+    } finally cleanup("pq_idx_inc", "pq_idx_inc_cb", "pq_full_ref")
   }
 }

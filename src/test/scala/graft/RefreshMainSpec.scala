@@ -37,5 +37,12 @@ class RefreshMainSpec extends SparkSpec {
     val shipped = m.agg(coalesce(sum(col("n_shipped")), lit(0L)))
       .collect().head.getLong(0)
     assert(s.shippedDocs == shipped)
+
+    // the lifecycle audit reports a sane occupancy and, at this scale
+    // (grid sized for the full corpus, one 25% batch appended), no
+    // rebuild due yet
+    assert(s.semAvgOccX100 > 0)
+    assert(!s.semRebuildDue,
+      s"one refresh should not outgrow the grid 2x: $s")
   }
 }
