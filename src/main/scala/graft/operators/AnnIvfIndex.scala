@@ -109,6 +109,26 @@ object AnnIvfIndex {
       .mode("append").saveAsTable(table)
   }
 
+  /** Cell-balance audit — the IVF lifecycle trigger, completing the
+    * per-index rebuild story ([[DeltaSemDedupIndex.occupancy]] for the
+    * sign-LSH grid, [[DeltaDedupIndex.layoutAudit]] for the band
+    * table). IVF search cost per probe is the probed bucket's size, so
+    * what degrades under [[append]] is BALANCE: a hot cell makes every
+    * query probing it pay its whole bucket. One scan of the index's
+    * `cell` column: counts, max/avg occupancy, `imbalance_x100` =
+    * max/avg, and `retrain_due` at the classic 4× skew point — the
+    * fix is a q125 Lloyd re-train feeding the next [[build]]. */
+  def balance(s: SparkSession, table: String): DataFrame =
+    s.table(table).groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      .agg(sum(col("occ")).as("n_vecs"), count(lit(1)).as("n_cells"),
+        max(col("occ")).as("max_cell_occ"))
+      .select(col("n_vecs"), col("n_cells"), col("max_cell_occ"),
+        expr("(100L * n_vecs) div n_cells").as("avg_occ_x100"),
+        expr("(100L * max_cell_occ * n_cells) div n_vecs")
+          .as("imbalance_x100"),
+        (expr("(100L * max_cell_occ * n_cells) div n_vecs") > 400L)
+          .as("retrain_due"))
+
   /** Search the index: for each query row (`q_id`, `embedding`), rank
     * cells by q110's exact-integer probe score, take `nprobe`, scan
     * ONLY the probed buckets, and exact-cosine re-rank to top `k`.

@@ -89,6 +89,28 @@ object DeltaDedupIndex {
       .write.bucketBy(bucketCountOf(admittedDocs.sparkSession, table), "bkey")
       .sortBy("bkey").mode("append").saveAsTable(table)
 
+  /** Layout audit — the lifecycle counterpart of
+    * [[DeltaSemDedupIndex.occupancy]] for the band index. Band dedup
+    * has no occupancy drift (band keys spread as the corpus grows),
+    * but every [[append]] grows the same fixed bucket set, so
+    * rows-per-bucket walks away from the [[bucketsFor]] sizing target
+    * and the "bucket stays a few hundred MB" scan claim erodes. One
+    * count over the index: row count, deployed buckets, rows per
+    * bucket, and `rebucket_due` once rows-per-bucket exceeds 2× the
+    * target — the next snapshot cut then goes through [[build]]
+    * (which re-derives the bucket count) instead of another append.
+    * `targetRowsPerBucket` defaults to the [[bucketsFor]] constant. */
+  def layoutAudit(s: SparkSession, table: String,
+      targetRowsPerBucket: Long = 1L << 18): DataFrame = {
+    val deployed = bucketCountOf(s, table)
+    s.table(table).agg(count(lit(1)).as("n_band_rows"))
+      .select(col("n_band_rows"), lit(deployed.toLong).as("buckets"),
+        (col("n_band_rows") / deployed).cast("long").as("rows_per_bucket"),
+        lit(targetRowsPerBucket).as("target_rows_per_bucket"),
+        (col("n_band_rows") > lit(2L * targetRowsPerBucket) * deployed)
+          .as("rebucket_due"))
+  }
+
   /** Admit an incoming batch (`doc_id`, `source`, `text`) against the
     * prebuilt index: q173's per-doc verdict frame (match count, first
     * snapshot match, best Jaccard, admitted).

@@ -1261,7 +1261,13 @@ object VectorQueries {
     * sides broadcast (≤256·4 codewords at any corpus size). */
   private[graft] def pqCodeScores(dims: DataFrame, cw: DataFrame,
       cmeta2: DataFrame): DataFrame =
-    dims.join(broadcast(cw), Seq("subsp", "dim"))
+    // the broadcast join fans every dim row out ~256× (one row per
+    // codeword) — repartition the cheap input FIRST so the expansion
+    // runs wide (a single-file local read is one partition, and at
+    // cluster scale one input split would otherwise own the whole
+    // k-fold expansion of its vectors)
+    dims.repartition(col("vec_id"))
+      .join(broadcast(cw), Seq("subsp", "dim"))
       .groupBy(col("vec_id"), col("subsp"), col("seed"))
       .agg(sum(col("u") * col("csum")).as("dotnum"))
       .join(broadcast(cmeta2), Seq("seed", "subsp"))

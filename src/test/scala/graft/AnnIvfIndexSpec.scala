@@ -99,4 +99,33 @@ class AnnIvfIndexSpec extends SparkSpec {
           s"(expected $dId)")
     } finally cleanup("ann_idx_inc")
   }
+
+  test("balance audit flags a hot cell at the 4x skew point") {
+    cleanup("ann_idx_bal", "ann_idx_skew")
+    try {
+      val emb = Tables.embeddings(spark, sf0001)
+      // the label partition is roughly balanced → no retrain due
+      AnnIvfIndex.build(
+        emb.select(col("vec_id"), col("label").cast("long").as("cell"),
+          col("embedding")),
+        "ann_idx_bal")
+      val ok = AnnIvfIndex.balance(spark, "ann_idx_bal").collect().head
+      assert(ok.getAs[Long]("imbalance_x100") < 400L,
+        s"label partition unexpectedly skewed: $ok")
+      assert(!ok.getAs[Boolean]("retrain_due"))
+      // a degenerate assignment (90%+ of vectors in cell 0) — the
+      // post-append drift balance() exists to catch
+      AnnIvfIndex.build(
+        emb.select(col("vec_id"),
+          when(col("vec_id") < 50, col("vec_id") % 10).otherwise(lit(0))
+            .cast("long").as("cell"),
+          col("embedding")),
+        "ann_idx_skew")
+      val skew = AnnIvfIndex.balance(spark, "ann_idx_skew").collect().head
+      assert(skew.getAs[Boolean]("retrain_due"),
+        s"hot cell not flagged: $skew")
+      assert(skew.getAs[Long]("imbalance_x100")
+        > ok.getAs[Long]("imbalance_x100"))
+    } finally cleanup("ann_idx_bal", "ann_idx_skew")
+  }
 }

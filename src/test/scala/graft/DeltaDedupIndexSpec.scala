@@ -106,6 +106,28 @@ class DeltaDedupIndexSpec extends SparkSpec {
     } finally cleanup("dedup_idx_inc", "dedup_idx_full")
   }
 
+  test("layout audit flags buckets grown past 2x the sizing target") {
+    cleanup("dedup_idx_aud")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      DeltaDedupIndex.build(docs, "dedup_idx_aud")
+      // against the production target the test index is tiny → not due
+      val ok = DeltaDedupIndex.layoutAudit(spark, "dedup_idx_aud")
+        .collect().head
+      assert(ok.getAs[Long]("n_band_rows") == 2 * docs.count(),
+        s"band index should hold 2 rows/doc: $ok")
+      assert(!ok.getAs[Boolean]("rebucket_due"), s"tiny index due: $ok")
+      // with the target scaled to the test corpus, appends past 2x
+      // trip the trigger: 8 buckets × target 10 → due above 160 rows
+      val due = DeltaDedupIndex.layoutAudit(spark, "dedup_idx_aud",
+        targetRowsPerBucket = 10L).collect().head
+      assert(due.getAs[Long]("n_band_rows")
+        > 2L * 10L * due.getAs[Long]("buckets"))
+      assert(due.getAs[Boolean]("rebucket_due"),
+        s"overgrown layout not flagged: $due")
+    } finally cleanup("dedup_idx_aud")
+  }
+
   test("bucket sizing rule scales with the snapshot and stays a power of two") {
     import graft.operators.DeltaDedupIndex.bucketsFor
     assert(bucketsFor(600L) == 8)                 // sf0.001: floor

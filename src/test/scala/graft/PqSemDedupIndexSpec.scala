@@ -70,13 +70,18 @@ class PqSemDedupIndexSpec extends SparkSpec {
       // the cell join's snapshot side: bucketed scan, no exchange
       def flatten(p: SparkPlan): Seq[SparkPlan] = PlanGuards.flatten(p)
       val plan = out.queryExecution.executedPlan
-      val joins = flatten(plan).collect {
-        case j: SortMergeJoinExec => j: SparkPlan
-        case j: ShuffledHashJoinExec => j: SparkPlan
-      }
-      val cellJoin = joins.filter(_.toString.contains("pq_idx_t"))
+      // match the CELL join by its join keys (admit also plans an
+      // id_s-keyed confirm join whose subtree contains the index scan)
+      val cellJoin = flatten(plan).collect {
+        case j: SortMergeJoinExec
+            if (j.leftKeys ++ j.rightKeys).mkString.contains("cell") =>
+          j: SparkPlan
+        case j: ShuffledHashJoinExec
+            if (j.leftKeys ++ j.rightKeys).mkString.contains("cell") =>
+          j: SparkPlan
+      }.filter(_.toString.contains("pq_idx_t"))
       assert(cellJoin.nonEmpty,
-        s"no non-broadcast join over the index table in:\n$plan")
+        s"no non-broadcast cell join over the index table in:\n$plan")
       val snapSides = cellJoin.head.children
         .filter(_.toString.contains("pq_idx_t"))
       assert(snapSides.nonEmpty)
