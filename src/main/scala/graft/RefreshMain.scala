@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DeltaDedupIndex, DeltaSemDedupIndex}
+import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
+  DeltaSemDedupIndex}
 
 /** The DELTA story assembled end-to-end as ONE runnable job — the
   * refresh cycle a continuously-updated training corpus actually
@@ -94,6 +95,12 @@ object RefreshMain {
     // starts with a build() instead of another append)
     val occ = DeltaSemDedupIndex.occupancy(spark, "refresh_sem_idx")
       .collect().head
+
+    // retention pass: collapse the appended file generation back to
+    // one file per bucket (the summary counts below read the
+    // compacted tables — the swap must not change a row)
+    BucketedIndexMaintenance.compact(spark, "refresh_text_idx")
+    BucketedIndexMaintenance.compact(spark, "refresh_sem_idx")
 
     val summary = Summary(
       textBatch = textBatch.count(),
