@@ -100,6 +100,42 @@ class StreamingSemDedupPqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compressed state survives a restart: post-restart arrival matches pre-stop member") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => (0.1f + 0.01f * i))
+    val far = Array.tabulate(64)(i => (if (i % 2 == 0) -0.5f else 0.4f))
+    val cb = Codebook.train(Seq(base, far))
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_pq").toString
+    val input = MemoryStream[Vec]
+    def startQuery() = StreamingSemDedupPq
+      .attach(input.toDS(), nbits = 2, cb)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$dir/ckpt").option("path", s"$dir/out")
+      .outputMode("append").start()
+
+    // run 1: seed the member state (codes, not vectors), stop
+    val q1 = startQuery()
+    try {
+      input.addData(Vec(1L, base), Vec(2L, far))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run 2: same checkpoint — an identical arrival must match run 1's
+    // stored CODES (the compressed member round-trips the state store)
+    val q2 = startQuery()
+    try {
+      input.addData(Vec(3L, base))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val pairs = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)).contains((3L, 1L)),
+      s"restored code state must match the identical arrival: $pairs")
+    assert(!pairs.map(p => (p._1, p._2)).contains((3L, 2L)),
+      s"the far vector must stay below the floor: $pairs")
+  }
+
   test("eviction keeps the newest members at maxPerCell") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
