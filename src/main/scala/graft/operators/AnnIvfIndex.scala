@@ -122,11 +122,17 @@ object AnnIvfIndex {
     s.table(table).groupBy(col("cell")).agg(count(lit(1)).as("occ"))
       .agg(sum(col("occ")).as("n_vecs"), count(lit(1)).as("n_cells"),
         max(col("occ")).as("max_cell_occ"))
-      .select(col("n_vecs"), col("n_cells"), col("max_cell_occ"),
-        expr("(100L * n_vecs) div n_cells").as("avg_occ_x100"),
-        expr("(100L * max_cell_occ * n_cells) div n_vecs")
+      // empty index → explicit zeros / false, never NULL metrics
+      .select(coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        col("n_cells"),
+        coalesce(col("max_cell_occ"), lit(0L)).as("max_cell_occ"),
+        expr("CASE WHEN n_cells = 0 THEN 0L " +
+          "ELSE (100L * n_vecs) div n_cells END").as("avg_occ_x100"),
+        expr("CASE WHEN coalesce(n_vecs, 0L) = 0 THEN 0L " +
+          "ELSE (100L * max_cell_occ * n_cells) div n_vecs END")
           .as("imbalance_x100"),
-        (expr("(100L * max_cell_occ * n_cells) div n_vecs") > 400L)
+        (expr("CASE WHEN coalesce(n_vecs, 0L) = 0 THEN 0L " +
+          "ELSE (100L * max_cell_occ * n_cells) div n_vecs END") > 400L)
           .as("retrain_due"))
 
   /** Search the index: for each query row (`q_id`, `embedding`), rank

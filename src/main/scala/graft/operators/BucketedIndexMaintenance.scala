@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions.col
   * BucketedIndexMaintenanceSpec proves verdict parity and the
   * post-compact file collapse.
   *
-  * The swap is write-tmp → drop → rename: not atomic against a
-  * concurrent reader of the SAME SparkSession catalog. Production
-  * would do this under the table lock of a real catalog (or as a new
-  * snapshot version); the data path — one full read + one bucketed
-  * write, cost ∝ index size, no joins — is what this operator pins. */
+  * The swap is write-tmp → rename-live-aside → rename-tmp-in →
+  * drop-aside: the live data is never deleted before its replacement
+  * is fully written, so a crash at any point leaves a complete copy
+  * on disk (worst case — between the two renames — the table name
+  * dangles but both `<t>_compact_old` and `<t>_compact_tmp` hold full
+  * copies; rename either back). Not atomic against a concurrent
+  * reader of the SAME SparkSession catalog — production would run
+  * this under a real catalog's table lock or as a new snapshot
+  * version; the data path — one full read + one bucketed write, cost
+  * ∝ index size, no joins — is what this operator pins. */
 object BucketedIndexMaintenance {
 
   /** Rewrite `table` compacted: same bucket spec, one file per bucket.
@@ -52,13 +57,20 @@ object BucketedIndexMaintenance {
       case _ => w0
     }
     w.mode("overwrite").saveAsTable(tmp)
-    s.sql(s"DROP TABLE $table")
-    // DROP removes the catalog entry but can leave data files behind
-    // (observed with the local session catalog); clear the old
-    // location so the rename lands on a clean directory
+    val old = table + "_compact_old"
+    s.sql(s"DROP TABLE IF EXISTS $old")
+    s.sql(s"ALTER TABLE $table RENAME TO $old")
+    // rename moves the managed directory aside; make sure the live
+    // location is actually clear before renaming the replacement in
+    // (DROP/RENAME can leave stray files with the local catalog)
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    val oldMeta = s.sessionState.catalog
+      .getTableMetadata(TableIdentifier(old))
+    s.sql(s"DROP TABLE $old")
+    val oldLoc = new org.apache.hadoop.fs.Path(oldMeta.location)
+    if (fs.exists(oldLoc)) fs.delete(oldLoc, true)
   }
 }

@@ -105,7 +105,7 @@ object DeltaDedupIndex {
     val deployed = bucketCountOf(s, table)
     s.table(table).agg(count(lit(1)).as("n_band_rows"))
       .select(col("n_band_rows"), lit(deployed.toLong).as("buckets"),
-        (col("n_band_rows") / deployed).cast("long").as("rows_per_bucket"),
+        expr(s"n_band_rows div ${deployed.toLong}L").as("rows_per_bucket"),
         lit(targetRowsPerBucket).as("target_rows_per_bucket"),
         (col("n_band_rows") > lit(2L * targetRowsPerBucket) * deployed)
           .as("rebucket_due"))

@@ -122,11 +122,20 @@ object DeltaSemDedupIndex {
         max(col("occ")).as("max_cell_occ"),
         sum(col("occ") * col("occ")).as("sum_occ_sq"))
     occ.crossJoin(broadcast(deployedGrid(s, table)))
-      .select(col("n_vecs"), col("n_occupied_cells"), col("max_cell_occ"),
-        expr("(100L * n_vecs) div n_occupied_cells").as("avg_occ_x100"),
-        expr("(100L * sum_occ_sq) div n_vecs").as("pairwork_per_vec_x100"),
+      .select(coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        col("n_occupied_cells"),
+        coalesce(col("max_cell_occ"), lit(0L)).as("max_cell_occ"),
+        // empty index → explicit zeros, never NULL metrics a caller's
+        // getAs silently unboxes to a healthy-looking 0/false
+        expr("CASE WHEN n_occupied_cells = 0 THEN 0L " +
+          "ELSE (100L * n_vecs) div n_occupied_cells END")
+          .as("avg_occ_x100"),
+        expr("CASE WHEN coalesce(n_vecs, 0L) = 0 THEN 0L " +
+          "ELSE (100L * sum_occ_sq) div n_vecs END")
+          .as("pairwork_per_vec_x100"),
         col("n_cells_cap"), col("nbits"),
-        (col("n_vecs") > lit(2L * VectorQueries.SigOcc) * col("n_cells_cap"))
+        (coalesce(col("n_vecs"), lit(0L))
+          > lit(2L * VectorQueries.SigOcc) * col("n_cells_cap"))
           .as("rebuild_due"))
   }
 

@@ -47,21 +47,25 @@ object PqSemDedupIndex {
 
   private def cbTable(table: String): String = table + "_cb"
 
-  /** The persisted codebook split back into its two join shapes:
-    * per-dim codeword sums and codeword metadata. */
+  /** The persisted codebook split back into its two join shapes: the
+    * per-dim rows with the derived centroid micro-units, and the
+    * per-codeword reconstruction-norm numerators. Only the exact
+    * integers (csum, n) are persisted — cbar/rpart re-derive
+    * deterministically. */
   private def codebookOf(s: SparkSession, table: String)
       : (DataFrame, DataFrame) = {
-    val cb = s.table(cbTable(table))
-    (cb.select(col("seed"), col("subsp"), col("dim"), col("csum")),
-      cb.select(col("seed"), col("subsp"), col("csumsq"), col("n"))
-        .distinct())
+    val cw = s.table(cbTable(table))
+      .select(col("seed"), col("subsp"), col("dim"), col("csum"), col("n"))
+      .withColumn("cbar",
+        col("csum").cast("double") / col("n").cast("double"))
+    (cw, VectorQueries.pqRmeta(cw))
   }
 
   /** The 4-element code array per vector: argmin codeword per
     * subspace (q126's encode, struct-min — no per-vector sort). */
-  private def encode(dims: DataFrame, cw: DataFrame, cmeta2: DataFrame)
+  private def encode(dims: DataFrame, cw: DataFrame, rmeta: DataFrame)
       : DataFrame =
-    VectorQueries.pqCodeScores(dims, cw, cmeta2)
+    VectorQueries.pqCodeScores(dims, cw, rmeta)
       .groupBy(col("vec_id"), col("subsp"))
       .agg(min(struct(col("score"), col("seed"))).as("best"))
       .groupBy(col("vec_id"))
@@ -81,13 +85,13 @@ object PqSemDedupIndex {
     val n = if (gridN > 0) gridN else vecs.count()
     val nb = if (buckets > 0) buckets else bucketsFor(n)
     val dims = VectorQueries.pqDims(vecs)
-    val (cw, cmeta2) = VectorQueries.pqOrthantCodebook(dims)
-    cw.join(cmeta2, Seq("seed", "subsp"))
+    val (cw, rmeta) = VectorQueries.pqOrthantCodebook(dims)
+    cw.select(col("seed"), col("subsp"), col("dim"), col("csum"), col("n"))
       .write.mode("overwrite").saveAsTable(cbTable(table))
     val cells = DeltaSemDedupIndex
       .cellRows(vecs, VectorQueries.gridCapRowFor(s, n))
       .select(col("vec_id"), col("nrm"), col("cell"), col("nbits"))
-    cells.join(encode(dims, cw, cmeta2), "vec_id")
+    cells.join(encode(dims, cw, rmeta), "vec_id")
       .write.bucketBy(nb, "cell").sortBy("cell")
       .mode("overwrite").saveAsTable(table)
   }
@@ -98,11 +102,11 @@ object PqSemDedupIndex {
     * and append their code rows into the bucket layout. */
   def append(admittedVecs: DataFrame, table: String): Unit = {
     val s = admittedVecs.sparkSession
-    val (cw, cmeta2) = codebookOf(s, table)
+    val (cw, rmeta) = codebookOf(s, table)
     val cells = DeltaSemDedupIndex
       .cellRows(admittedVecs, DeltaSemDedupIndex.deployedGrid(s, table))
       .select(col("vec_id"), col("nrm"), col("cell"), col("nbits"))
-    cells.join(encode(VectorQueries.pqDims(admittedVecs), cw, cmeta2),
+    cells.join(encode(VectorQueries.pqDims(admittedVecs), cw, rmeta),
         "vec_id")
       .write.bucketBy(DeltaSemDedupIndex.bucketCountOf(s, table), "cell")
       .sortBy("cell").mode("append").saveAsTable(table)
@@ -124,15 +128,11 @@ object PqSemDedupIndex {
       .cellRows(newVecs, DeltaSemDedupIndex.deployedGrid(s, table))
       .withColumn("pcell", explode(expr(VectorQueries.multiprobeExpr)))
       .select(col("vec_id").as("id_n"), col("nrm").as("nn"), col("pcell"))
-    val (cw, cmeta2) = codebookOf(s, table)
+    val (cw, rmeta) = codebookOf(s, table)
     val lut = VectorQueries
-      .pqCodeScores(VectorQueries.pqDims(newVecs), cw, cmeta2)
+      .pqCodeScores(VectorQueries.pqDims(newVecs), cw, rmeta)
       .select(col("vec_id").as("id_n"), col("subsp"),
-        col("seed").as("code"),
-        (col("dotnum").cast("double") / col("n").cast("double"))
-          .as("dpart"),
-        (col("csumsq").cast("double")
-          / (col("n") * col("n")).cast("double")).as("rpart"))
+        col("seed").as("code"), col("dpart"), col("rpart"))
     // cell join against the bucketed CODE rows — no embeddings move
     val snap = s.table(table)
       .select(col("vec_id").as("id_s"), col("nrm").as("ns"),

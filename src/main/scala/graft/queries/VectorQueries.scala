@@ -1202,10 +1202,12 @@ object VectorQueries {
     * stays q126's argmin of ‖c‖²−2x·c over all codewords. Per grid
     * candidate (q176's deployed-grid multiprobe, incoming side only)
     * the APPROXIMATE cosine is computed against the snapshot vector's
-    * PQ RECONSTRUCTION from exact integer numerators (dot(q, recon) =
-    * Σ_subsp dotnum/n, ‖recon‖² = Σ_subsp csumsq/n², both int64 —
-    * per-subspace parts pivot to fixed columns and add left-to-right,
-    * the q127 engine-exactness rule), prefiltered at a RELAXED 0.05
+    * PQ RECONSTRUCTION from the exact centroid micro-units cbar =
+    * csum/n (dot(q, recon) = Σ u·cbar, ‖recon‖² = Σ cbar² — every sum
+    * pivots to fixed columns and adds left-to-right, the q127
+    * engine-exactness rule; only LINEAR int64 aggregates exist, so
+    * nothing overflows at any orthant size), prefiltered at a RELAXED
+    * 0.05
     * (the verify threshold 0.3 minus a reconstruction-error margin
     * chosen from the measured ADC error: recall 99.5% of true pairs
     * at ~35% keep on the sweep corpus), and only survivors would
@@ -1233,11 +1235,24 @@ object VectorQueries {
       .withColumn("subsp", expr("dim div 16"))
       .select(col("vec_id"), col("dim"), col("subsp"), col("u"))
 
+  /** The left-associated 16-term sum `((t0 + t1) + t2) + …` — ONE
+    * association order generated for both engines, so the doubles are
+    * bit-identical. */
+  private[graft] def fixedSum16(term: Int => String): String =
+    (0 until 16).map(term).reduce((a, b) => s"($a + $b)")
+
   /** The orthant-seeded codebook over a dim table: per subspace, one
     * codeword per occupied 8-dim sign orthant (≤256 — 1-byte codes).
-    * Returns (cw, cmeta2): per-dim codeword sums (`seed`, `subsp`,
-    * `dim`, `csum`) and codeword metadata (`seed`, `subsp`, `csumsq`,
-    * `n`) — all exact int64. */
+    * OVERFLOW-PROOF at any orthant size: the only int64 aggregates are
+    * LINEAR (per-dim `csum`, member count `n` — csum ≈ n·10⁶ stays in
+    * range to n ≈ 10¹³ members); every squared term derives from the
+    * exact centroid micro-units `cbar = csum/n` (double — identical on
+    * both engines given identical integers) summed in FIXED dim order,
+    * never from an int64 product (sum(csum²) wraps at ~6k members —
+    * the bug this layout replaces). Returns (cw, rmeta): per-dim rows
+    * (`seed`, `subsp`, `dim`, `csum`, `n`, `cbar`) and per-codeword
+    * reconstruction-norm numerators (`seed`, `subsp`, `rpart` =
+    * Σ cbar², 10¹²-scaled). */
   private[graft] def pqOrthantCodebook(dims: DataFrame)
       : (DataFrame, DataFrame) = {
     val seeds = dims.filter(col("dim") % 16 < 8)
@@ -1248,30 +1263,46 @@ object VectorQueries {
     val cw = dims.join(seeds, Seq("vec_id", "subsp"))
       .groupBy(col("seed"), col("subsp"), col("dim"))
       .agg(sum(col("u")).as("csum"))
-    val cmeta2 = cw.groupBy(col("seed"), col("subsp"))
-      .agg(sum(col("csum") * col("csum")).as("csumsq"))
       .join(seeds.groupBy(col("seed"), col("subsp"))
         .agg(count(lit(1)).as("n")), Seq("seed", "subsp"))
-    (cw, cmeta2)
+      .withColumn("cbar",
+        col("csum").cast("double") / col("n").cast("double"))
+    (cw, pqRmeta(cw))
   }
 
-  /** Per (vector, subspace, codeword): the exact-integer dot numerator
-    * `dotnum`, the codeword meta, and the q126 encode score — feeds
-    * both the encode argmin and the ADC lookup parts. The codebook
-    * sides broadcast (≤256·4 codewords at any corpus size). */
+  /** Per-codeword ‖recon_sub‖² numerator from a `cw` frame: the 16
+    * cbar values pivot to fixed columns and square-sum left-to-right. */
+  private[graft] def pqRmeta(cw: DataFrame): DataFrame = {
+    val pivots = (0 until 16).map(d =>
+      min(when(col("dim") % 16 === d, col("cbar"))).as(s"c$d"))
+    cw.groupBy(col("seed"), col("subsp"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("seed"), col("subsp"),
+        expr(fixedSum16(d => s"(c$d * c$d)")).as("rpart"))
+  }
+
+  /** Per (vector, subspace, codeword): the ADC dot part `dpart` =
+    * Σ u·cbar (fixed dim order, 10¹²-scaled), the codeword's `rpart`
+    * and `n`, and the q126 encode score rpart − 2·dpart — feeds both
+    * the encode argmin and the ADC lookup parts. The codebook sides
+    * broadcast (≤256·4 codewords at any corpus size). */
   private[graft] def pqCodeScores(dims: DataFrame, cw: DataFrame,
-      cmeta2: DataFrame): DataFrame =
+      rmeta: DataFrame): DataFrame =
     // the broadcast join fans every dim row out ~256× (one row per
     // codeword) — repartition the cheap input FIRST so the expansion
     // runs wide (a single-file local read is one partition, and at
     // cluster scale one input split would otherwise own the whole
     // k-fold expansion of its vectors)
     dims.repartition(col("vec_id"))
-      .join(broadcast(cw), Seq("subsp", "dim"))
+      .join(broadcast(cw.select(col("seed"), col("subsp"), col("dim"),
+        col("cbar"), col("n"))), Seq("subsp", "dim"))
       .groupBy(col("vec_id"), col("subsp"), col("seed"))
-      .agg(sum(col("u") * col("csum")).as("dotnum"))
-      .join(broadcast(cmeta2), Seq("seed", "subsp"))
-      .withColumn("score", pqScore)
+      .agg(min(col("n")).as("n"), (0 until 16).map(d =>
+        min(when(col("dim") % 16 === d,
+          col("u").cast("double") * col("cbar"))).as(s"t$d")): _*)
+      .join(broadcast(rmeta), Seq("seed", "subsp"))
+      .withColumn("dpart", expr(fixedSum16(d => s"t$d")))
+      .withColumn("score", col("rpart") - col("dpart") * 2)
 
   private def q178(s: SparkSession, d: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(s)
@@ -1296,11 +1327,11 @@ object VectorQueries {
     // encode is still the argmin of ‖c‖²−2x·c over ALL codewords, the
     // seeds only shape the codebook
     val dims = pqDims(emb)
-    val (cw, cmeta2) = pqOrthantCodebook(dims)
-    // per (vector, subspace, codeword): exact-integer dot numerator +
-    // the q126 encode score — one table feeds BOTH the snapshot encode
-    // (argmin) and the incoming side's ADC lookup parts
-    val dots = pqCodeScores(dims, cw, cmeta2)
+    val (cw, rmeta) = pqOrthantCodebook(dims)
+    // per (vector, subspace, codeword): ADC dot part + the q126 encode
+    // score — one table feeds BOTH the snapshot encode (argmin) and
+    // the incoming side's ADC lookup parts
+    val dots = pqCodeScores(dims, cw, rmeta)
     val snapCodes = dots.filter(col("vec_id") % 4 =!= 0)
       .groupBy(col("vec_id"), col("subsp"))
       .agg(min(struct(col("score"), col("seed"))).as("best"))
@@ -1308,11 +1339,7 @@ object VectorQueries {
         col("best.seed").as("code"))
     val lparts = dots.filter(col("vec_id") % 4 === 0)
       .select(col("vec_id").as("id_n"), col("subsp"),
-        col("seed").as("code"),
-        (col("dotnum").cast("double") / col("n").cast("double"))
-          .as("dpart"),
-        (col("csumsq").cast("double")
-          / (col("n") * col("n")).cast("double")).as("rpart"))
+        col("seed").as("code"), col("dpart"), col("rpart"))
     val flagged = cand
       .join(snapCodes, "id_s")
       .join(lparts, Seq("id_n", "subsp", "code"))
@@ -1401,23 +1428,32 @@ object VectorQueries {
        |  FROM dims d JOIN seeds s
        |    ON d.vec_id = s.vec_id AND d.subsp = s.subsp
        |  GROUP BY 1, 2, 3),
-       |cmeta2 AS (
-       |  SELECT cw.seed, cw.subsp,
-       |    CAST(sum(csum * csum) AS BIGINT) AS csumsq, any_value(n) AS n
-       |  FROM cw JOIN (
-       |    SELECT seed, subsp, count(*) AS n FROM seeds GROUP BY 1, 2) cn
-       |    ON cw.seed = cn.seed AND cw.subsp = cn.subsp
-       |  GROUP BY 1, 2),
+       |cn AS (SELECT seed, subsp, count(*) AS n FROM seeds GROUP BY 1, 2),
+       |cwb AS (
+       |  SELECT cw.seed, cw.subsp, cw.dim,
+       |    CAST(cw.csum AS DOUBLE) / CAST(cn.n AS DOUBLE) AS cbar
+       |  FROM cw JOIN cn ON cw.seed = cn.seed AND cw.subsp = cn.subsp),
+       |rmeta AS (
+       |  SELECT seed, subsp, ${fixedSum16(d => s"(c$d * c$d)")} AS rpart
+       |  FROM (
+       |    SELECT seed, subsp,
+       |    ${(0 until 16).map(d =>
+            s"min(CASE WHEN dim % 16 = $d THEN cbar END) AS c$d")
+            .mkString(",\n       |    ")}
+       |    FROM cwb GROUP BY 1, 2)),
        |dots AS (
-       |  SELECT d.vec_id, d.subsp, c.seed,
-       |    CAST(sum(d.u * c.csum) AS BIGINT) AS dotnum
-       |  FROM dims d JOIN cw c ON d.dim = c.dim AND d.subsp = c.subsp
-       |  GROUP BY 1, 2, 3),
+       |  SELECT vec_id, subsp, seed, ${fixedSum16(d => s"t$d")} AS dpart
+       |  FROM (
+       |    SELECT d.vec_id, d.subsp, c.seed,
+       |    ${(0 until 16).map(d =>
+            s"min(CASE WHEN d.dim % 16 = $d THEN CAST(d.u AS DOUBLE)" +
+              s" * c.cbar END) AS t$d").mkString(",\n       |    ")}
+       |    FROM dims d JOIN cwb c ON d.dim = c.dim AND d.subsp = c.subsp
+       |    GROUP BY 1, 2, 3)),
        |scored AS (
-       |  SELECT o.vec_id, o.subsp, o.seed, o.dotnum, m.csumsq, m.n,
-       |    CAST(m.csumsq AS DOUBLE) / CAST(m.n * m.n AS DOUBLE)
-       |      - CAST(o.dotnum * 2 AS DOUBLE) / CAST(m.n AS DOUBLE) AS score
-       |  FROM dots o JOIN cmeta2 m
+       |  SELECT o.vec_id, o.subsp, o.seed, o.dpart, m.rpart,
+       |    m.rpart - (o.dpart * 2) AS score
+       |  FROM dots o JOIN rmeta m
        |    ON o.seed = m.seed AND o.subsp = m.subsp),
        |codes AS (
        |  SELECT vec_id, subsp, seed AS code FROM (
@@ -1426,10 +1462,8 @@ object VectorQueries {
        |        ORDER BY score ASC, seed ASC) AS rn
        |    FROM scored) WHERE rn = 1 AND vec_id % 4 <> 0),
        |lparts AS (
-       |  SELECT s.vec_id AS id_n, s.subsp, s.seed AS code,
-       |    CAST(s.dotnum AS DOUBLE) / CAST(s.n AS DOUBLE) AS dpart,
-       |    CAST(s.csumsq AS DOUBLE) / CAST(s.n * s.n AS DOUBLE) AS rpart
-       |  FROM scored s WHERE s.vec_id % 4 = 0),
+       |  SELECT vec_id AS id_n, subsp, seed AS code, dpart, rpart
+       |  FROM scored WHERE vec_id % 4 = 0),
        |cand AS (
        |  SELECT p.vec_id AS id_n, c.vec_id AS id_s,
        |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cs,

@@ -65,7 +65,7 @@ object StreamingSemDedup {
     * (BigDecimal HALF_UP — `math.round` would differ on negative
     * halves and shift a near-zero plane sum across the sign
     * threshold). */
-  private def microUnits(emb: Array[Float]): Array[Long] =
+  private[graft] def microUnits(emb: Array[Float]): Array[Long] =
     emb.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1000000.0)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
 
@@ -117,7 +117,7 @@ object StreamingSemDedup {
     acc / (na * nb)
   }
 
-  private def norm(a: Array[Float]): Double = {
+  private[graft] def norm(a: Array[Float]): Double = {
     var acc = 0.0
     var i = 0
     while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }

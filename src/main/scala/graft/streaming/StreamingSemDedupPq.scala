@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the state store IS the bottleneck (RocksDB bytes, checkpoint size,
   * restore time), so this gate stores only (id, 4 codes, recon-norm)
   * — ~28 B a member, a ~10× state cut — and scores arrivals against
-  * members' PQ RECONSTRUCTIONS with q178's exact-integer ADC math.
+  * members' PQ RECONSTRUCTIONS with q178's ADC math.
   *
   * Contract: SCREEN-THEN-CONFIRM (the [[StreamingContainment]] /
   * [[StreamingDecontam]] discipline). Emitted candidates carry the
@@ -28,7 +28,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * closure-shipped), [[Codebook.train]] derives it from a corpus
   * sample with the SAME integer math (orthant seeds over micro-units,
   * exact int64 sums), so a streamed encode is bit-identical to the
-  * batch encode — StreamingSemDedupPqSpec pins the equality.
+  * batch encode — StreamingSemDedupPqSpec pins the equality. Like the
+  * batch codebook, only LINEAR int64 sums exist (csum, n); all
+  * squared terms derive from the exact centroid micro-units cbar =
+  * csum/n in fixed order, so nothing overflows at any orthant size.
   *
   * Cell keying, probe rings, exactly-once emission, eviction, and TTL
   * are [[StreamingSemDedup]]'s verbatim: only the home cell stores a
@@ -44,8 +47,8 @@ object StreamingSemDedupPq {
     * confirm downstream with the exact vectors. */
   final case class SemDupCand(vecId: Long, matchId: Long, adcCos: Double)
 
-  /** A member's compressed state row: 4 code indexes + the 10⁶-scaled
-    * reconstruction-norm denominator (q178's `nn·1e6·√Σrpart` term,
+  /** A member's compressed state row: 4 code indexes + its
+    * reconstruction norm √Σrpart (q178's denominator factor,
     * precomputed at insert). */
   private[graft] final case class Member(
       vecId: Long, codes: Array[Int], rdenom: Double)
@@ -57,15 +60,42 @@ object StreamingSemDedupPq {
   /** The deployed per-subspace codebooks, exact-integer form: for
     * subspace `s`, codeword `i` has seed `seeds(s)(i)` (ascending —
     * the argmin tiebreak order), per-dim micro-unit sums
-    * `csum(s)(i)(0..15)`, `csumsq(s)(i)` = Σ csum², and member count
-    * `n(s)(i)`. */
+    * `csum(s)(i)(0..15)`, and member count `n(s)(i)`. The score
+    * inputs (`cbar`, `rpart`) derive deterministically. */
   final case class Codebook(seeds: Array[Array[Long]],
-      csum: Array[Array[Array[Long]]], csumsq: Array[Array[Long]],
-      n: Array[Array[Long]]) {
+      csum: Array[Array[Array[Long]]], n: Array[Array[Long]]) {
 
-    /** q126's encode over exact integers: per subspace the argmin of
-      * ‖c‖²−2x·c (score ties break on the smaller seed — the batch
-      * struct-min order). Returns code INDEXES into `seeds`. */
+    /** Exact centroid micro-units cbar = csum/n (the batch `cwb`). */
+    private[graft] val cbar: Array[Array[Array[Double]]] =
+      Array.tabulate(4)(s => Array.tabulate(seeds(s).length)(i =>
+        csum(s)(i).map(c => c.toDouble / n(s)(i).toDouble)))
+
+    /** ‖recon_sub‖² numerators, left-to-right like the batch pivot. */
+    private[graft] val rpart: Array[Array[Double]] =
+      Array.tabulate(4)(s => Array.tabulate(seeds(s).length) { i =>
+        var acc = 0.0
+        var d = 0
+        while (d < 16) { acc += cbar(s)(i)(d) * cbar(s)(i)(d); d += 1 }
+        acc
+      })
+
+    /** The ADC dot part Σ u·cbar for codeword (s, i) — fixed dim
+      * order, the batch `dots` pivot. */
+    private[graft] def dpart(u: Array[Long], s: Int, i: Int): Double = {
+      val cb = cbar(s)(i)
+      var acc = 0.0
+      var d = 0
+      val base = s * 16
+      while (d < 16 && base + d < u.length) {
+        acc += u(base + d).toDouble * cb(d)
+        d += 1
+      }
+      acc
+    }
+
+    /** q126's encode: per subspace the argmin of rpart − 2·dpart
+      * (score ties break on the smaller seed — the batch struct-min
+      * order). Returns code INDEXES into `seeds`. */
     private[graft] def encode(u: Array[Long]): Array[Int] = {
       val out = new Array[Int](4)
       var s = 0
@@ -74,10 +104,7 @@ object StreamingSemDedupPq {
         var bestScore = Double.MaxValue
         var i = 0
         while (i < seeds(s).length) {
-          val dn = dotnum(u, s, i)
-          val nn = n(s)(i).toDouble
-          val score = csumsq(s)(i).toDouble / (nn * nn) -
-            (dn * 2).toDouble / nn
+          val score = rpart(s)(i) - dpart(u, s, i) * 2
           if (score < bestScore) { bestScore = score; best = i }
           i += 1
         }
@@ -87,45 +114,25 @@ object StreamingSemDedupPq {
       out
     }
 
-    /** Exact int64 dot of the arrival's subspace micro-units with
-      * codeword (s, i)'s per-dim sums. */
-    private[graft] def dotnum(u: Array[Long], s: Int, i: Int): Long = {
-      val cs = csum(s)(i)
-      var acc = 0L
-      var d = 0
-      val base = s * 16
-      while (d < 16 && base + d < u.length) {
-        acc += u(base + d) * cs(d)
-        d += 1
-      }
-      acc
-    }
-
-    /** q178's reconstruction-norm denominator for a code vector:
-      * 10⁶·√(Σ_s csumsq/n²). */
+    /** A code vector's reconstruction norm √Σ_s rpart — the stored
+      * member denominator factor. */
     private[graft] def rdenom(codes: Array[Int]): Double = {
       var acc = 0.0
       var s = 0
-      while (s < 4) {
-        val nn = n(s)(codes(s)).toDouble
-        acc += csumsq(s)(codes(s)).toDouble / (nn * nn)
-        s += 1
-      }
-      1e6 * math.sqrt(acc)
+      while (s < 4) { acc += rpart(s)(codes(s)); s += 1 }
+      math.sqrt(acc)
     }
 
     /** q178's ADC approximate cosine of an arrival (micro-units `u`,
-      * float norm `nrm`) against a stored member's codes, rounded to
-      * 6 like the batch screen (Spark `round` HALF_UP semantics). */
+      * float norm `nrm`) against a stored member's codes — the batch
+      * association `(nn·1e6)·√Σrpart` mirrored exactly, rounded to 6
+      * like the batch screen (Spark `round` HALF_UP semantics). */
     private[graft] def adcCos(u: Array[Long], nrm: Double,
         m: Member): Double = {
       var acc = 0.0
       var s = 0
-      while (s < 4) {
-        acc += dotnum(u, s, m.codes(s)).toDouble / n(s)(m.codes(s)).toDouble
-        s += 1
-      }
-      java.math.BigDecimal.valueOf(acc / (nrm * m.rdenom))
+      while (s < 4) { acc += dpart(u, s, m.codes(s)); s += 1 }
+      java.math.BigDecimal.valueOf(acc / ((nrm * 1e6) * m.rdenom))
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     }
   }
@@ -137,10 +144,10 @@ object StreamingSemDedupPq {
       * rows — the codebook IS driver-sized by construction. */
     def fromIndex(spark: SparkSession, table: String): Codebook = {
       val rows = spark.table(table + "_cb")
-        .select("seed", "subsp", "dim", "csum", "csumsq", "n")
+        .select("seed", "subsp", "dim", "csum", "n")
         .collect()
         .map(r => (r.getLong(1), r.getLong(0), r.getInt(2) % 16,
-          r.getLong(3), r.getLong(4), r.getLong(5)))
+          r.getLong(3), r.getLong(4)))
       fromTuples(rows.toIndexedSeq)
     }
 
@@ -151,7 +158,7 @@ object StreamingSemDedupPq {
       val acc = scala.collection.mutable.Map
         .empty[(Long, Long), (Array[Long], Long)] // (subsp, seed) -> (csum16, n)
       embs.foreach { emb =>
-        val u = microUnits(emb)
+        val u = StreamingSemDedup.microUnits(emb)
         var s = 0
         while (s < 4) {
           var seed = 0L
@@ -172,14 +179,12 @@ object StreamingSemDedupPq {
         }
       }
       fromTuples(acc.toSeq.flatMap { case ((s, seed), (cs, cnt)) =>
-        cs.zipWithIndex.map { case (c, d) =>
-          (s, seed, d, c, cs.map(x => x * x).sum, cnt)
-        }
+        cs.zipWithIndex.map { case (c, d) => (s, seed, d, c, cnt) }
       })
     }
 
     private def fromTuples(
-        rows: Seq[(Long, Long, Int, Long, Long, Long)]): Codebook = {
+        rows: Seq[(Long, Long, Int, Long, Long)]): Codebook = {
       val bySub = rows.groupBy(_._1)
       val seeds = Array.tabulate(4)(s =>
         bySub.getOrElse(s.toLong, Nil).map(_._2).distinct.sorted.toArray)
@@ -191,27 +196,11 @@ object StreamingSemDedupPq {
           arr
         }
       }
-      val csumsq = Array.tabulate(4) { s =>
+      val n = Array.tabulate(4) { s =>
         seeds(s).map(seed => bySub(s.toLong).find(_._2 == seed).get._5)
       }
-      val n = Array.tabulate(4) { s =>
-        seeds(s).map(seed => bySub(s.toLong).find(_._2 == seed).get._6)
-      }
-      Codebook(seeds, csum, csumsq, n)
+      Codebook(seeds, csum, n)
     }
-  }
-
-  /** Spark `round(x·10⁶)` micro-units (BigDecimal HALF_UP) — the
-    * [[StreamingSemDedup]] quantization verbatim. */
-  private[graft] def microUnits(emb: Array[Float]): Array[Long] =
-    emb.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1000000.0)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
-
-  private def norm(a: Array[Float]): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
-    math.sqrt(acc)
   }
 
   /** Screen candidates, emitted as each suspect arrives. Same gate
@@ -231,10 +220,10 @@ object StreamingSemDedupPq {
     vecs
       .flatMap { v =>
         val cell = StreamingSemDedup.signature(v.embedding) & cellMask
-        val u = microUnits(v.embedding)
+        val u = StreamingSemDedup.microUnits(v.embedding)
         val codes = codebook.encode(u)
         val rd = codebook.rdenom(codes)
-        val nrm = norm(v.embedding)
+        val nrm = StreamingSemDedup.norm(v.embedding)
         masks.map(m => Probe(cell ^ m, m == 0L, v.vecId, u, nrm, codes, rd))
           .toIndexedSeq
       }
