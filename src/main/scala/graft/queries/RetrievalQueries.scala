@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Retrieval layer over the documents/embeddings corpus (driver north
+  * star; beyond the reference's own surface): inverted-index keyword
+  * search with an INTEGER-EXACT BM25-style score, brute-force semantic
+  * ranking, and hybrid fusion by reciprocal rank — the query side of the
+  * training-data engine (RAG candidate generation, eval-neighbor
+  * mining, corpus exploration), sitting on the same token front as the
+  * dedup family.
+  *
+  * Why the score is integer: BM25's idf is a log — a double — and the
+  * r11 q170 failure proved that any measurement column computed through
+  * engine-version-dependent double rounding is a hash-divergence channel
+  * (QueryDef.scala conventions). This family's score replaces
+  * `log((N-df+.5)/(df+.5))` with the integer rarity weight
+  * `(10000·N) div df` and keeps BM25's two real mechanisms — tf
+  * saturation and document-length normalization — in exact fixed-point
+  * (milli/bp) BIGINT arithmetic:
+  *
+  *   norm_milli  = 250 + (750000·dl) div avgdl_milli          (b = 0.75)
+  *   tfsat_milli = (tf·2200·1000) div (tf·1000 +
+  *                   (1200·norm_milli) div 1000)              (k1 = 1.2)
+  *   score(q,d)  = Σ_t  tfsat_milli(t,d) · ((10000·N) div df(t))
+  *
+  * Both engines compute identical BIGINTs, so ranks — and the emitted
+  * scores themselves — hash-match under ANY driver DuckDB version.
+  *
+  * Scale shape (the production path is the materialized
+  * [[graft.operators.InvertedTextIndex]]; these oracle queries derive
+  * the same postings from one scan so DuckDB can replay them):
+  *   - postings = one (doc,token-hash) shuffle with map-side combine;
+  *     tokens hash to 60-bit md5 BEFORE shuffling (the q113 rule — the
+  *     shuffle key is never the string; same hash as
+  *     TextQueries.tokenHashes, change both together);
+  *   - the query workload is FIXED-SIZE at any corpus scale: one
+  *     content-addressed query doc per source (window partitioned by
+  *     source — never a global sort), ≤4 rarest terms each;
+  *   - candidate generation is a BROADCAST of ~80 term rows onto the
+  *     postings scan — the corpus never shuffles against the queries —
+  *     and rarest-term selection doubles as a df cap on candidate
+  *     volume (the stop-shingle discipline applied to retrieval);
+  *   - top-k windows partition by q_doc.
+  */
+object RetrievalQueries {
+
+  private val wordsExpr = "split(text, ' ')"
+  private val wordsSqlExpr = "str_split(text, ' ')"
+
+  /** Terms per query doc, fused result depth, emitted top-k. */
+  private[graft] val TermsPerQuery = 4
+  private val FuseDepth = 20
+  private val TopK = 5
+  private val RrfK = 60
+
+  // ---- shared Spark-side front (also the InvertedTextIndex kernel) --
+
+  /** text → array of 60-bit md5 token hashes (same hash as
+    * TextQueries.tokenHashes — the q113 rule: the shuffle key is never
+    * the string; change the hash there and here together). */
+  private[graft] val whArrayExpr: String =
+    s"transform($wordsExpr, t -> " +
+      "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+
+  /** (doc_id, dl, wh, tf): distinct token-hash postings with term
+    * frequency and document length. dl rides the groupBy keys (it is
+    * functionally dependent on doc_id) so no second pass re-derives it.
+    * Shared with [[graft.operators.InvertedTextIndex]] — the index is
+    * this frame, materialized bucketed by wh. */
+  private[graft] def postingRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(whArrayExpr).as("whs"))
+      .withColumn("dl", size(col("whs")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("whs")).as("wh"))
+      .groupBy(col("doc_id"), col("dl"), col("wh"))
+      .agg(count(lit(1)).as("tf"))
+
+  private def postings(s: SparkSession, d: String): DataFrame =
+    postingRows(Tables.documents(s, d))
+
+  /** 1-row corpus stats (n_docs, avgdl_milli) — attached downstream via
+    * the scalar-broadcast crossJoin pattern (PlanQualitySpec proves the
+    * build side is a global aggregate). */
+  private def stats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(size(expr(wordsExpr)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        expr("(1000L * sum_dl) div n_docs").as("avgdl_milli"))
+
+  /** One content-addressed query doc per source: row_number over
+    * (md5(text), doc_id) INSIDE each source partition — the q155
+    * sampling idiom, so the workload is ~|sources| queries at any
+    * corpus size and no window is global. */
+  private[graft] def queryDocs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id").as("q_doc"))
+  }
+
+  /** ≤[[TermsPerQuery]] rarest terms per query doc: (q_doc, wh, df),
+    * ranked (df asc, wh asc). Rarest-first is both the relevance choice
+    * (rare terms discriminate) and the scale cap (their posting lists
+    * are the shortest). */
+  private def queryTerms(s: SparkSession, d: String,
+      post: DataFrame): DataFrame = {
+    val dfreq = post.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val tw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("df").asc, col("wh").asc)
+    post.select(col("doc_id"), col("wh"))
+      .join(broadcast(queryDocs(s, d)), col("doc_id") === col("q_doc"))
+      .join(dfreq, "wh")
+      .withColumn("trn", row_number().over(tw))
+      .filter(col("trn") <= TermsPerQuery)
+      .select(col("q_doc"), col("wh"), col("df"))
+  }
+
+  /** Score candidate postings already joined with their query term and
+    * corpus stats — input columns (q_doc, doc_id, tf, dl, df, n_docs,
+    * avgdl_milli) — into (q_doc, doc_id, n_hit, score). Shared with
+    * [[graft.operators.InvertedTextIndex.search]] so the index path is
+    * formula-for-formula the oracle's. */
+  private[graft] def scoreCandidates(cands: DataFrame): DataFrame =
+    cands
+      .withColumn("norm_milli",
+        expr("250L + (750000L * dl) div avgdl_milli"))
+      .withColumn("contrib",
+        expr("((tf * 2200000L) div " +
+          "(tf * 1000L + (1200L * norm_milli) div 1000L)) * " +
+          "((10000L * n_docs) div df)"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("contrib")).as("score"))
+
+  /** (q_doc, doc_id, n_hit, score): the integer BM25-style score over
+    * every candidate doc sharing ≥1 query term. */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val post = postings(s, d)
+    scoreCandidates(
+      post.join(broadcast(queryTerms(s, d, post)), "wh")
+        .crossJoin(broadcast(stats(s, d))))
+  }
+
+  private[graft] def rankTop(df: DataFrame, rkName: String, k: Int)
+      : DataFrame = {
+    val w = Window.partitionBy(col("q_doc"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    df.withColumn(rkName, row_number().over(w)).filter(col(rkName) <= k)
+  }
+
+  // ---- shared oracle front ----------------------------------------
+
+  /** The CTE prefix both oracles share — identical math, DuckDB `//`
+    * for Spark `div`, every aggregate CAST AS BIGINT (HUGEINT guard). */
+  private val frontSql =
+    s"""WITH th AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
+       |  FROM (SELECT doc_id, unnest($wordsSqlExpr) AS t FROM documents)),
+       |post AS (
+       |  SELECT doc_id, wh, CAST(count(*) AS BIGINT) AS tf
+       |  FROM th GROUP BY doc_id, wh),
+       |dlen AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM th GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    (1000 * CAST(sum(dl) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |      AS avgdl_milli
+       |  FROM dlen),
+       |dfreq AS (
+       |  SELECT wh, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY wh),
+       |qdocs AS (
+       |  SELECT doc_id AS q_doc FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(text), doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |terms AS (
+       |  SELECT q_doc, wh, df FROM (
+       |    SELECT q.q_doc, p.wh, f.df, row_number() OVER (
+       |      PARTITION BY q.q_doc ORDER BY f.df, p.wh) AS trn
+       |    FROM qdocs q JOIN post p ON p.doc_id = q.q_doc
+       |    JOIN dfreq f ON f.wh = p.wh) WHERE trn <= $TermsPerQuery),
+       |hits AS (
+       |  SELECT t.q_doc, p.doc_id,
+       |    ((p.tf * 2200000) //
+       |      (p.tf * 1000 + (1200 * (250 + (750000 * l.dl) // s.avgdl_milli)) // 1000))
+       |      * ((10000 * s.n_docs) // t.df) AS contrib
+       |  FROM terms t JOIN post p ON p.wh = t.wh
+       |  JOIN dlen l ON l.doc_id = p.doc_id CROSS JOIN stats s),
+       |scored AS (
+       |  SELECT q_doc, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(contrib) AS BIGINT) AS score
+       |  FROM hits GROUP BY q_doc, doc_id)""".stripMargin
+
+  // ---- q180: keyword search ---------------------------------------
+
+  /** q180: inverted-index keyword top-k. One fixed query workload (one
+    * content-addressed doc per source, its [[TermsPerQuery]] rarest
+    * terms), integer BM25-style scoring, top-[[TopK]] per query with
+    * (score desc, doc_id asc) determinism. */
+  private def q180(s: SparkSession, d: String): DataFrame =
+    rankTop(scored(s, d), "rk", TopK)
+      .select(col("q_doc"), col("rk"), col("doc_id"), col("n_hit"),
+        col("score"))
+
+  private val q180Sql =
+    s"""$frontSql
+       |SELECT q_doc, rk, doc_id, n_hit, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_doc
+       |    ORDER BY score DESC, doc_id) AS rk
+       |  FROM scored) WHERE rk <= $TopK""".stripMargin
+
+  // ---- q181: hybrid keyword + semantic fusion ---------------------
+
+  /** q181: hybrid retrieval — the keyword ranking fused with a
+    * brute-force cosine ranking of the same query docs' embeddings by
+    * reciprocal rank (RRF, Cormack et al. 2009), in exact integer ppm:
+    * `1000000 div (60 + rank)` summed over the two systems (0 when a
+    * doc appears in only one list). Rank fusion needs no score
+    * calibration between systems — which is also what makes it
+    * integer-exact: ranks are integers, so the fused score is too.
+    *
+    * The semantic side broadcasts ~|sources| query vectors onto the
+    * embeddings scan (q32's shape — the corpus never shuffles); docs
+    * without an embedding row simply have no semantic rank and fuse
+    * from the keyword list alone. Fusion itself joins two ≤(queries ×
+    * [[FuseDepth]])-row frames — negligible at any corpus size. */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    val kw = rankTop(scored(s, d), "rk_kw", FuseDepth)
+      .select(col("q_doc"), col("doc_id"), col("rk_kw"))
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("embedding")))
+    val qembs = emb.join(broadcast(queryDocs(s, d)),
+        col("vec_id") === col("q_doc"))
+      .select(col("q_doc"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val sw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    val sem = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      .crossJoin(broadcast(qembs))
+      .select(col("q_doc"), col("doc_id"),
+        round(expr("float_vector_dot(q_emb, c_emb)") /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+      .withColumn("rk_sem", row_number().over(sw))
+      .filter(col("rk_sem") <= FuseDepth)
+      .select(col("q_doc"), col("doc_id"), col("rk_sem"))
+    val rrfW = Window.partitionBy(col("q_doc"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    kw.join(sem, Seq("q_doc", "doc_id"), "full_outer")
+      .select(col("q_doc"), col("doc_id"),
+        (coalesce(expr(s"1000000L div ($RrfK + rk_kw)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($RrfK + rk_sem)"), lit(0L)))
+          .as("rrf_ppm"),
+        coalesce(col("rk_kw"), lit(0)).as("rk_kw"),
+        coalesce(col("rk_sem"), lit(0)).as("rk_sem"))
+      .withColumn("rk", row_number().over(rrfW)).filter(col("rk") <= TopK)
+      .select(col("q_doc"), col("rk"), col("doc_id"), col("rrf_ppm"),
+        col("rk_kw"), col("rk_sem"))
+  }
+
+  private val q181Sql = {
+    import graft.functions.VectorFunctions.cosineSql
+    s"""$frontSql,
+       |kw AS (
+       |  SELECT q_doc, doc_id, rk_kw FROM (
+       |    SELECT q_doc, doc_id, row_number() OVER (PARTITION BY q_doc
+       |      ORDER BY score DESC, doc_id) AS rk_kw
+       |    FROM scored) WHERE rk_kw <= $FuseDepth),
+       |sem AS (
+       |  SELECT q_doc, doc_id, rk_sem FROM (
+       |    SELECT q.q_doc, c.vec_id AS doc_id, row_number() OVER (
+       |      PARTITION BY q.q_doc ORDER BY
+       |        round(${cosineSql("qe.embedding", "c.embedding")}, 6) DESC,
+       |        c.vec_id) AS rk_sem
+       |    FROM qdocs q JOIN embeddings qe ON qe.vec_id = q.q_doc
+       |    CROSS JOIN embeddings c) WHERE rk_sem <= $FuseDepth),
+       |fused AS (
+       |  SELECT coalesce(k.q_doc, s2.q_doc) AS q_doc,
+       |    coalesce(k.doc_id, s2.doc_id) AS doc_id,
+       |    coalesce(1000000 // ($RrfK + k.rk_kw), 0) +
+       |      coalesce(1000000 // ($RrfK + s2.rk_sem), 0) AS rrf_ppm,
+       |    coalesce(k.rk_kw, 0) AS rk_kw,
+       |    coalesce(s2.rk_sem, 0) AS rk_sem
+       |  FROM kw k FULL OUTER JOIN sem s2
+       |    ON k.q_doc = s2.q_doc AND k.doc_id = s2.doc_id)
+       |SELECT q_doc, rk, doc_id, rrf_ppm, rk_kw, rk_sem FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_doc
+       |    ORDER BY rrf_ppm DESC, doc_id) AS rk
+       |  FROM fused) WHERE rk <= $TopK""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q180_keyword_search", q180, Some(q180Sql)),
+    QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)))
+}

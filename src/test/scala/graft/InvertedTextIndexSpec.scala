@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.InvertedTextIndex
+import graft.queries.RetrievalQueries
+
+/** The materialized inverted index must be a pure layout change:
+  * rank-for-rank identical to q180 (which derives the postings from one
+  * scan), while the physical plan proves the production claims — the
+  * index side of the term join is a bucket-PRUNED scan (the IN-list
+  * path) with no shuffle exchange below the join. */
+class InvertedTextIndexSpec extends SparkSpec {
+
+  private def cleanup(tables: String*): Unit =
+    (if (tables.isEmpty) Seq("inv_idx_t") else tables)
+      .flatMap(t => Seq(t, t + "_meta")).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = java.nio.file.Paths.get("spark-warehouse", t)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+
+  /** q180's query workload with its text — what a caller hands to
+    * search(): (q_doc, text). */
+  private def q180Queries = {
+    val docs = Tables.documents(spark, sf0001)
+    RetrievalQueries.queryDocs(spark, sf0001)
+      .join(docs, col("q_doc") === col("doc_id"))
+      .select(col("q_doc"), col("text"))
+  }
+
+  test("bucketed inverted index reproduces q180 ranks with a pruned, shuffle-free index side") {
+    cleanup()
+    try {
+      InvertedTextIndex.build(Tables.documents(spark, sf0001), "inv_idx_t")
+      val out = InvertedTextIndex.search(q180Queries, "inv_idx_t")
+
+      // 1. rank-for-rank parity with the one-shot oracle query
+      val viaIndex = out.collect().toSet
+      val oneShot = SparkEntry.queries("q180_keyword_search")(spark, sf0001)
+        .collect().toSet
+      assert(viaIndex == oneShot,
+        s"index path diverged from q180: ${viaIndex.size} vs ${oneShot.size} rows")
+
+      // 2. the term joins stream the index scan broadcast-side-free of
+      // shuffles: every join touching the index table must be a
+      // broadcast join whose streamed side has no exchange below it
+      def flatten(p: SparkPlan): Seq[SparkPlan] = PlanGuards.flatten(p)
+      val plan = out.queryExecution.executedPlan
+      val joins = flatten(plan).collect {
+        case j: BroadcastHashJoinExec if j.toString.contains("inv_idx_t") => j
+      }
+      assert(joins.nonEmpty, s"no broadcast join over the index in:\n$plan")
+      joins.foreach { j =>
+        val streamed = j.children.filter(_.toString.contains("inv_idx_t"))
+        streamed.foreach { side =>
+          val shuffles = flatten(side).collect { case e: ShuffleExchangeExec => e }
+          assert(shuffles.isEmpty, s"index side of a term join shuffles:\n$side")
+        }
+      }
+
+      // 3. the IN-list actually prunes: the index scan advertises
+      // bucket selection (the thing the driver-side term collect buys)
+      assert(plan.toString.contains("SelectedBucketsCount"),
+        s"index scan is not bucket-pruned:\n$plan")
+    } finally cleanup()
+  }
+
+  test("append(Δ) advances postings and meta exactly like a rebuild over S ∪ Δ") {
+    cleanup("inv_idx_inc", "inv_idx_full")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val snap0 = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+
+      InvertedTextIndex.build(snap0, "inv_idx_inc")
+      InvertedTextIndex.append(delta, "inv_idx_inc")
+      InvertedTextIndex.build(snap0.unionByName(delta), "inv_idx_full")
+
+      val viaAppend = InvertedTextIndex.search(q180Queries, "inv_idx_inc")
+        .collect().toSet
+      val viaRebuild = InvertedTextIndex.search(q180Queries, "inv_idx_full")
+        .collect().toSet
+      assert(viaAppend == viaRebuild,
+        s"appended index diverged from rebuild: " +
+          s"${viaAppend.size} vs ${viaRebuild.size} rows")
+      // the meta SUM must see Δ's contribution (df/avgdl would silently
+      // skew otherwise): stats equal between the two layouts
+      val a = InvertedTextIndex.stats(spark, "inv_idx_inc").collect().head
+      val b = InvertedTextIndex.stats(spark, "inv_idx_full").collect().head
+      assert(a == b, s"meta stats diverged: $a vs $b")
+      assert(a.getAs[Long]("n_docs") == docs.count())
+    } finally cleanup("inv_idx_inc", "inv_idx_full")
+  }
+
+  test("layout audit reports the sizing trigger and the hot-token share") {
+    cleanup("inv_idx_aud")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      InvertedTextIndex.build(docs, "inv_idx_aud")
+      val ok = InvertedTextIndex.layoutAudit(spark, "inv_idx_aud")
+        .collect().head
+      assert(ok.getAs[Long]("n_postings") > 0)
+      assert(!ok.getAs[Boolean]("rebucket_due"), s"tiny index due: $ok")
+      // the 31-word synthetic vocab makes every token near-stopword df:
+      // the hot-token share must be high and bounded by 10000 bp
+      val hot = ok.getAs[Long]("hot_df_bp")
+      assert(hot > 0 && hot <= 10000, s"hot_df_bp out of range: $ok")
+      // scaled to the test corpus, the 2x rule trips
+      val due = InvertedTextIndex.layoutAudit(spark, "inv_idx_aud",
+        targetRowsPerBucket = 10L).collect().head
+      assert(due.getAs[Boolean]("rebucket_due"),
+        s"overgrown layout not flagged: $due")
+    } finally cleanup("inv_idx_aud")
+  }
+
+  test("bucket sizing rule scales with token volume and stays a power of two") {
+    import graft.operators.InvertedTextIndex.bucketsFor
+    assert(bucketsFor(60000L) == 8)                  // sf0.001: floor
+    assert(bucketsFor(1L << 23) == 8)                // 2^23/2^20 = 8
+    assert(bucketsFor((1L << 23) + 1) == 16)         // just past → next pow2
+    val b = bucketsFor(100L * 1000 * 1000 * 1000)    // 100B-token corpus
+    assert(Integer.bitCount(b) == 1 && b >= 8)
+  }
+}
