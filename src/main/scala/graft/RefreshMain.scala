@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
-  DeltaSemDedupIndex}
+  DeltaSemDedupIndex, InvertedTextIndex}
 
 /** The DELTA story assembled end-to-end as ONE runnable job — the
   * refresh cycle a continuously-updated training corpus actually
@@ -13,10 +13,13 @@ import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
   *
   *   snapshot cut
   *     ├─ text:      DeltaDedupIndex.build    (band table, bucketed)
-  *     └─ embedding: DeltaSemDedupIndex.build (cell table, bucketed)
+  *     ├─ embedding: DeltaSemDedupIndex.build (cell table, bucketed)
+  *     └─ serving:   InvertedTextIndex.build  (postings, bucketed)
   *   per refresh batch (here: the q173/q176 deterministic slices)
   *     ├─ admit batch vs snapshot (no snapshot shuffle, no rebuild)
   *     ├─ append ADMITTED rows → snapshot advances in place
+  *     │  (the SEARCH index advances with the same admitted docs, so
+  *     │  retrieval serves the refreshed corpus without a rebuild)
   *     └─ manifest delta: q177's gate funnel over the same batch
   *        (quality ∧ delta-dedup ∧ decontam → split/shard loads)
   *
@@ -31,7 +34,9 @@ object RefreshMain {
   final case class Summary(textBatch: Long, textAdmitted: Long,
       semBatch: Long, semAdmitted: Long, textIndexRows: Long,
       semIndexRows: Long, manifestCells: Long, shippedDocs: Long,
-      shippedTokens: Long, semAvgOccX100: Long, semRebuildDue: Boolean)
+      shippedTokens: Long, semAvgOccX100: Long, semRebuildDue: Boolean,
+      searchDocs: Long, searchHits: Long, searchHotDfBp: Long,
+      searchRebucketDue: Boolean)
 
   def run(spark: SparkSession, sfDir: String): Summary = {
     def cleanup(t: String): Unit = {
@@ -43,13 +48,16 @@ object RefreshMain {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    Seq("refresh_text_idx", "refresh_sem_idx").foreach(cleanup)
+    Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
+      "refresh_search_idx_meta").foreach(cleanup)
 
     // snapshot cut: everything NOT in the deterministic refresh slices
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     DeltaDedupIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
       "refresh_text_idx")
+    InvertedTextIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
+      "refresh_search_idx")
     DeltaSemDedupIndex.build(emb.filter(col("vec_id") % 4 =!= 0),
       "refresh_sem_idx", gridN = emb.count())
 
@@ -72,7 +80,16 @@ object RefreshMain {
     val nTextAdmitted = textAdmittedIds.count()
     val nSemAdmitted = semAdmittedIds.count()
 
-    // the snapshot ADVANCES without a rebuild: only admitted rows append
+    // the snapshot ADVANCES without a rebuild: only admitted rows
+    // append. The SERVING index appends FIRST — writing the band table
+    // invalidates any cached plan that reads it (Spark uncaches on
+    // table write), so every consumer of the verdict must run before
+    // the verdict's own input table advances; the search table is not
+    // an input to the verdict, so its append is safe at any point.
+    InvertedTextIndex.append(
+      textBatch.join(textAdmittedIds, "doc_id")
+        .select(col("doc_id"), col("text")),
+      "refresh_search_idx")
     DeltaDedupIndex.append(
       textBatch.join(textAdmittedIds, "doc_id")
         .select(col("doc_id"), col("text")),
@@ -96,11 +113,25 @@ object RefreshMain {
     val occ = DeltaSemDedupIndex.occupancy(spark, "refresh_sem_idx")
       .collect().head
 
+    // serve a probe off the refreshed search index: the q180 query
+    // workload against the advanced snapshot (post-append — admitted
+    // docs are retrievable), plus the layout/hot-token audit
+    val probeQueries = graft.queries.RetrievalQueries
+      .queryDocs(spark, sfDir)
+      .join(docs, col("q_doc") === col("doc_id"))
+      .select(col("q_doc"), col("text"))
+    val searchHits =
+      InvertedTextIndex.search(probeQueries, "refresh_search_idx").count()
+    val searchAudit =
+      InvertedTextIndex.layoutAudit(spark, "refresh_search_idx")
+        .collect().head
+
     // retention pass: collapse the appended file generation back to
     // one file per bucket (the summary counts below read the
     // compacted tables — the swap must not change a row)
     BucketedIndexMaintenance.compact(spark, "refresh_text_idx")
     BucketedIndexMaintenance.compact(spark, "refresh_sem_idx")
+    BucketedIndexMaintenance.compact(spark, "refresh_search_idx")
 
     val summary = Summary(
       textBatch = textBatch.count(),
@@ -113,11 +144,17 @@ object RefreshMain {
       shippedDocs = shipped.getLong(0),
       shippedTokens = shipped.getLong(1),
       semAvgOccX100 = occ.getAs[Long]("avg_occ_x100"),
-      semRebuildDue = occ.getAs[Boolean]("rebuild_due"))
+      semRebuildDue = occ.getAs[Boolean]("rebuild_due"),
+      searchDocs = spark.table("refresh_search_idx")
+        .select(col("doc_id")).distinct().count(),
+      searchHits = searchHits,
+      searchHotDfBp = searchAudit.getAs[Long]("hot_df_bp"),
+      searchRebucketDue = searchAudit.getAs[Boolean]("rebucket_due"))
     manifest.unpersist()
     textAdmittedIds.unpersist()
     semAdmittedIds.unpersist()
-    Seq("refresh_text_idx", "refresh_sem_idx").foreach(cleanup)
+    Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
+      "refresh_search_idx_meta").foreach(cleanup)
     summary
   }
 
@@ -139,7 +176,10 @@ object RefreshMain {
       s""""manifest_cells":${s.manifestCells},"shipped_docs":${s.shippedDocs},""" +
       s""""shipped_tokens":${s.shippedTokens},""" +
       s""""sem_avg_occ_x100":${s.semAvgOccX100},""" +
-      s""""sem_rebuild_due":${s.semRebuildDue}}""")
+      s""""sem_rebuild_due":${s.semRebuildDue},""" +
+      s""""search_docs":${s.searchDocs},"search_hits":${s.searchHits},""" +
+      s""""search_hot_df_bp":${s.searchHotDfBp},""" +
+      s""""search_rebucket_due":${s.searchRebucketDue}}""")
     spark.stop()
   }
 }

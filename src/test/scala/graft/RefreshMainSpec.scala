@@ -44,5 +44,20 @@ class RefreshMainSpec extends SparkSpec {
     assert(s.semAvgOccX100 > 0)
     assert(!s.semRebuildDue,
       s"one refresh should not outgrow the grid 2x: $s")
+
+    // the serving index advanced with the admitted docs: it covers the
+    // snapshot plus exactly the admitted slice, and the post-append
+    // probe (one query per source, top-5) answered in full
+    val textSnapshotDocs2 = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(s.searchDocs == textSnapshotDocs2 + s.textAdmitted,
+      s"search index ${s.searchDocs} != $textSnapshotDocs2+${s.textAdmitted}")
+    val nSources = Tables.documents(spark, sf0001)
+      .select(col("source")).distinct().count()
+    assert(s.searchHits == nSources * 5,
+      s"probe returned ${s.searchHits} rows, expected ${nSources * 5}")
+    assert(s.searchHotDfBp > 0 && s.searchHotDfBp <= 10000)
+    assert(!s.searchRebucketDue,
+      s"one refresh should not outgrow the postings layout 2x: $s")
   }
 }
