@@ -295,7 +295,174 @@ object RetrievalQueries {
        |  FROM fused) WHERE rk <= $TopK""".stripMargin
   }
 
+  // ---- q182: known-item retrieval recall --------------------------
+
+  /** q182: the retrieval family's trust measurement (the q175/q155
+    * pattern — an oracle-pinned quality curve, not a new mechanism).
+    * Known-item task: each query doc's QUERY is an 8-token quote (token
+    * positions 3-10, 1-based — every corpus doc has ≥10 tokens), its
+    * TARGET is the doc itself. Three systems answer: keyword search
+    * from the quote's rarest terms, semantic ranking from the full
+    * embedding (its sanity pin: cosine(self) = 1 ⇒ rank 1), and the
+    * q181 hybrid fusion of both. Per system the output pins queries
+    * answered, targets found in the depth-[[FuseDepth]] list, found at
+    * rank 1 / rank ≤ 5, and the reciprocal-rank mass as integer ppm
+    * (`1000000 div rank` summed — MRR without the double division).
+    * A regression anywhere in the retrieval stack — scoring, term
+    * selection, fusion arithmetic — moves one of these integers and
+    * fails parity.
+    *
+    * Scale shape: identical to q180/q181 (fixed query workload,
+    * broadcast terms, partitioned windows); the measurement adds only
+    * ≤3×|queries|-row bookkeeping on top. */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    val post = postings(s, d)
+    val qdocs = queryDocs(s, d)
+
+    // quote terms: rarest TermsPerQuery tokens among positions 3-10
+    val quoteTok = Tables.documents(s, d)
+      .join(broadcast(qdocs), col("doc_id") === col("q_doc"))
+      .select(col("q_doc"), posexplode(expr(whArrayExpr)).as(Seq("p", "wh")))
+      .filter(col("p").between(2, 9)) // 0-based ⇔ 1-based positions 3-10
+      .select(col("q_doc"), col("wh")).distinct()
+    val dfreq = post.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val tw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("df").asc, col("wh").asc)
+    val terms = quoteTok.join(dfreq, "wh")
+      .withColumn("trn", row_number().over(tw))
+      .filter(col("trn") <= TermsPerQuery)
+      .select(col("q_doc"), col("wh"), col("df"))
+
+    val kw = rankTop(
+      scoreCandidates(post.join(broadcast(terms), "wh")
+        .crossJoin(broadcast(stats(s, d)))),
+      "rk_kw", FuseDepth)
+      .select(col("q_doc"), col("doc_id"), col("rk_kw"))
+
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("embedding")))
+    val qembs = emb.join(broadcast(qdocs), col("vec_id") === col("q_doc"))
+      .select(col("q_doc"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val sw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    val sem = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      .crossJoin(broadcast(qembs))
+      .select(col("q_doc"), col("doc_id"),
+        round(expr("float_vector_dot(q_emb, c_emb)") /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+      .withColumn("rk_sem", row_number().over(sw))
+      .filter(col("rk_sem") <= FuseDepth)
+      .select(col("q_doc"), col("doc_id"), col("rk_sem"))
+
+    val rrfW = Window.partitionBy(col("q_doc"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    val hyb = kw.join(sem, Seq("q_doc", "doc_id"), "full_outer")
+      .select(col("q_doc"), col("doc_id"),
+        (coalesce(expr(s"1000000L div ($RrfK + rk_kw)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($RrfK + rk_sem)"), lit(0L)))
+          .as("rrf_ppm"))
+      .withColumn("rk_hyb", row_number().over(rrfW))
+      .select(col("q_doc"), col("doc_id"), col("rk_hyb"))
+
+    def selfRank(list: DataFrame, base: DataFrame, rkCol: String,
+        sys: String): DataFrame =
+      base.join(
+          list.filter(col("doc_id") === col("q_doc"))
+            .select(col("q_doc"), col(rkCol).cast("long").as("self_rk")),
+          Seq("q_doc"), "left")
+        .select(lit(sys).as("system"), col("q_doc"), col("self_rk"))
+
+    val semBase = qembs.select(col("q_doc"))
+    selfRank(kw, qdocs, "rk_kw", "kw")
+      .unionByName(selfRank(sem, semBase, "rk_sem", "sem"))
+      .unionByName(selfRank(hyb, qdocs, "rk_hyb", "hyb"))
+      .groupBy(col("system"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("self_rk")).as("n_found"),
+        count(when(col("self_rk") === 1, 1)).as("n_top1"),
+        count(when(col("self_rk") <= 5, 1)).as("n_top5"),
+        coalesce(sum(expr("1000000L div self_rk")), lit(0L))
+          .as("mrr_ppm_sum"))
+  }
+
+  private val q182Sql = {
+    import graft.functions.VectorFunctions.cosineSql
+    s"""$frontSql,
+       |quote_tok AS (
+       |  SELECT DISTINCT q.q_doc,
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
+       |  FROM qdocs q JOIN (
+       |    SELECT doc_id, unnest($wordsSqlExpr) AS t,
+       |      generate_subscripts($wordsSqlExpr, 1) AS o
+       |    FROM documents) x ON x.doc_id = q.q_doc
+       |  WHERE x.o BETWEEN 3 AND 10),
+       |qterms AS (
+       |  SELECT q_doc, wh, df FROM (
+       |    SELECT qt.q_doc, qt.wh, f.df, row_number() OVER (
+       |      PARTITION BY qt.q_doc ORDER BY f.df, qt.wh) AS trn
+       |    FROM quote_tok qt JOIN dfreq f ON f.wh = qt.wh)
+       |  WHERE trn <= $TermsPerQuery),
+       |khits AS (
+       |  SELECT t.q_doc, p.doc_id,
+       |    ((p.tf * 2200000) //
+       |      (p.tf * 1000 + (1200 * (250 + (750000 * l.dl) // s.avgdl_milli)) // 1000))
+       |      * ((10000 * s.n_docs) // t.df) AS contrib
+       |  FROM qterms t JOIN post p ON p.wh = t.wh
+       |  JOIN dlen l ON l.doc_id = p.doc_id CROSS JOIN stats s),
+       |kscored AS (
+       |  SELECT q_doc, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+       |  FROM khits GROUP BY q_doc, doc_id),
+       |kw AS (
+       |  SELECT q_doc, doc_id, rk_kw FROM (
+       |    SELECT q_doc, doc_id, row_number() OVER (PARTITION BY q_doc
+       |      ORDER BY score DESC, doc_id) AS rk_kw
+       |    FROM kscored) WHERE rk_kw <= $FuseDepth),
+       |sem AS (
+       |  SELECT q_doc, doc_id, rk_sem FROM (
+       |    SELECT q.q_doc, c.vec_id AS doc_id, row_number() OVER (
+       |      PARTITION BY q.q_doc ORDER BY
+       |        round(${cosineSql("qe.embedding", "c.embedding")}, 6) DESC,
+       |        c.vec_id) AS rk_sem
+       |    FROM qdocs q JOIN embeddings qe ON qe.vec_id = q.q_doc
+       |    CROSS JOIN embeddings c) WHERE rk_sem <= $FuseDepth),
+       |hyb AS (
+       |  SELECT q_doc, doc_id, row_number() OVER (PARTITION BY q_doc
+       |    ORDER BY rrf_ppm DESC, doc_id) AS rk_hyb
+       |  FROM (
+       |    SELECT coalesce(k.q_doc, s2.q_doc) AS q_doc,
+       |      coalesce(k.doc_id, s2.doc_id) AS doc_id,
+       |      coalesce(1000000 // ($RrfK + k.rk_kw), 0) +
+       |        coalesce(1000000 // ($RrfK + s2.rk_sem), 0) AS rrf_ppm
+       |    FROM kw k FULL OUTER JOIN sem s2
+       |      ON k.q_doc = s2.q_doc AND k.doc_id = s2.doc_id)),
+       |long_form AS (
+       |  SELECT 'kw' AS system, q.q_doc,
+       |    (SELECT CAST(rk_kw AS BIGINT) FROM kw
+       |     WHERE kw.q_doc = q.q_doc AND kw.doc_id = q.q_doc) AS self_rk
+       |  FROM qdocs q
+       |  UNION ALL
+       |  SELECT 'sem' AS system, qe.vec_id AS q_doc,
+       |    (SELECT CAST(rk_sem AS BIGINT) FROM sem
+       |     WHERE sem.q_doc = qe.vec_id AND sem.doc_id = qe.vec_id) AS self_rk
+       |  FROM qdocs q2 JOIN embeddings qe ON qe.vec_id = q2.q_doc
+       |  UNION ALL
+       |  SELECT 'hyb' AS system, q3.q_doc,
+       |    (SELECT CAST(rk_hyb AS BIGINT) FROM hyb
+       |     WHERE hyb.q_doc = q3.q_doc AND hyb.doc_id = q3.q_doc) AS self_rk
+       |  FROM qdocs q3)
+       |SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(count(self_rk) AS BIGINT) AS n_found,
+       |  CAST(count(CASE WHEN self_rk = 1 THEN 1 END) AS BIGINT) AS n_top1,
+       |  CAST(count(CASE WHEN self_rk <= 5 THEN 1 END) AS BIGINT) AS n_top5,
+       |  coalesce(CAST(sum(1000000 // self_rk) AS BIGINT), 0) AS mrr_ppm_sum
+       |FROM long_form GROUP BY system""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q180_keyword_search", q180, Some(q180Sql)),
-    QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)))
+    QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)),
+    QueryDef("q182_retrieval_recall", q182, Some(q182Sql)))
 }

@@ -120,10 +120,10 @@ class PlanQualitySpec extends SparkSpec {
     val nestedLoopAllowed =
       Set("q32_knn_bruteforce", "q33_ann_ivf_label", "q80_ann_recall",
         "q175_cellgrid_recall",
-        // q181's semantic side is q32's intentional shape: the build
-        // side is the ~|sources| query vectors (one content-addressed
-        // query doc per source), bounded at any corpus size.
-        "q181_hybrid_rrf")
+        // q181/q182's semantic side is q32's intentional shape: the
+        // build side is the ~|sources| query vectors (one content-
+        // addressed query doc per source), bounded at any corpus size.
+        "q181_hybrid_rrf", "q182_retrieval_recall")
     // q78 runs an iterative fixpoint at construction time — planJudged
     // via its components; skip the expensive build here.
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
