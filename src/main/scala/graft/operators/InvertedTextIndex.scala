@@ -41,6 +41,8 @@ object InvertedTextIndex {
 
   private def metaTable(table: String): String = table + "_meta"
 
+  private def posTable(table: String): String = table + "_pos"
+
   /** Posting rows stay small (~32 B: four longs), so target ≤ ~2²⁰
     * rows (≈ 32 MB heap, a few MB parquet) per bucket file at snapshot
     * scale; floor 8, rounded up to a power of two (bucket joins only
@@ -77,8 +79,13 @@ object InvertedTextIndex {
   /** Write the corpus' inverted index. `docs` must have `doc_id` and
     * `text`. `buckets` ≤ 0 (the default) derives the count from the
     * corpus token volume via [[bucketsFor]] — the sizing aggregate is
-    * the same job that produces the meta row. */
-  def build(docs: DataFrame, table: String, buckets: Int = 0): Unit = {
+    * the same job that produces the meta row. `positional = true` also
+    * writes the `<table>_pos` companion — (doc_id, pos, wh) for EVERY
+    * token occurrence, same bucket layout — enabling [[phraseSearch]];
+    * it is opt-in because positional rows are the corpus' full token
+    * volume (sum_dl rows vs the main table's distinct pairs). */
+  def build(docs: DataFrame, table: String, buckets: Int = 0,
+      positional: Boolean = false): Unit = {
     val meta = metaRow(docs)
     val nb =
       if (buckets > 0) buckets
@@ -87,6 +94,10 @@ object InvertedTextIndex {
       .write.bucketBy(nb, "wh").sortBy("wh")
       .mode("overwrite").saveAsTable(table)
     metaRow(docs).write.mode("overwrite").saveAsTable(metaTable(table))
+    if (positional)
+      RetrievalQueries.positionRows(docs)
+        .write.bucketBy(nb, "wh").sortBy("wh")
+        .mode("overwrite").saveAsTable(posTable(table))
   }
 
   /** Advance the snapshot WITHOUT a rebuild: append `admittedDocs`'
@@ -96,12 +107,17 @@ object InvertedTextIndex {
     * doc_ids that are new to the index (re-appending an indexed doc
     * would double its postings and its meta contribution). */
   def append(admittedDocs: DataFrame, table: String): Unit = {
+    val s = admittedDocs.sparkSession
     RetrievalQueries.postingRows(admittedDocs)
-      .write.bucketBy(
-        bucketCountOf(admittedDocs.sparkSession, table), "wh")
+      .write.bucketBy(bucketCountOf(s, table), "wh")
       .sortBy("wh").mode("append").saveAsTable(table)
     metaRow(admittedDocs).write.mode("append")
       .saveAsTable(metaTable(table))
+    // a positional companion, when deployed, advances in the same cut
+    if (s.catalog.tableExists(posTable(table)))
+      RetrievalQueries.positionRows(admittedDocs)
+        .write.bucketBy(bucketCountOf(s, posTable(table)), "wh")
+        .sortBy("wh").mode("append").saveAsTable(posTable(table))
   }
 
   /** Layout audit — rows-per-bucket vs the [[bucketsFor]] sizing
@@ -166,5 +182,44 @@ object InvertedTextIndex {
         RetrievalQueries.scoreCandidates(cands), "rk", k)
       .select(col("q_doc"), col("rk"), col("doc_id"), col("n_hit"),
         col("score"))
+  }
+
+  /** Exact-phrase search against the positional companion (built with
+    * `positional = true`) — q183's positional-intersection algorithm on
+    * the PRUNED index scan. `phrases` must have `q_doc` and `phrase`
+    * (the quoted text, ≥1 token); output is q183's frame (q_doc,
+    * n_docs_hit, n_occurrences, first_doc), row-for-row identical when
+    * the phrases are q183's workload (InvertedTextIndexSpec).
+    *
+    * Tokenization, alignment on `base = pos − off`, and the
+    * distinct-offset count (the repeated-word subtlety) are shared with
+    * q183 by construction; what the index buys is the same thing
+    * [[search]] buys — the driver-side IN-list over the PHRASES' term
+    * hashes (bounded by the query workload) turns the bucketed+sorted
+    * layout into bucket- and rowgroup-pruned posting reads, so a
+    * phrase pays its own terms' occurrence lists, never a corpus
+    * scan. Candidate volume is the phrase terms' positional lists; the
+    * one combine shuffles on (q_doc, doc_id, base). */
+  def phraseSearch(phrases: DataFrame, table: String): DataFrame = {
+    val s = phrases.sparkSession
+    val pterms = phrases.select(col("q_doc"),
+        posexplode(expr(RetrievalQueries.whArrayExprFor("phrase")))
+          .as(Seq("off", "wh")))
+    val whList = pterms.select(col("wh")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val plen = pterms.groupBy(col("q_doc"))
+      .agg(countDistinct(col("off")).as("plen"))
+    val matched = s.table(posTable(table)).filter(col("wh").isin(whList: _*))
+    matched.join(broadcast(pterms), "wh")
+      .select(col("q_doc"), col("doc_id"),
+        (col("pos") - col("off")).as("base"), col("off"))
+      .groupBy(col("q_doc"), col("doc_id"), col("base"))
+      .agg(countDistinct(col("off")).as("k"))
+      .join(broadcast(plen), "q_doc")
+      .filter(col("k") === col("plen"))
+      .groupBy(col("q_doc"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
   }
 }

@@ -59,12 +59,14 @@ object RetrievalQueries {
 
   // ---- shared Spark-side front (also the InvertedTextIndex kernel) --
 
-  /** text → array of 60-bit md5 token hashes (same hash as
+  /** `col` → array of 60-bit md5 token hashes (same hash as
     * TextQueries.tokenHashes — the q113 rule: the shuffle key is never
     * the string; change the hash there and here together). */
-  private[graft] val whArrayExpr: String =
-    s"transform($wordsExpr, t -> " +
+  private[graft] def whArrayExprFor(textCol: String): String =
+    s"transform(split($textCol, ' '), t -> " +
       "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+
+  private[graft] val whArrayExpr: String = whArrayExprFor("text")
 
   /** (doc_id, dl, wh, tf): distinct token-hash postings with term
     * frequency and document length. dl rides the groupBy keys (it is
@@ -81,6 +83,15 @@ object RetrievalQueries {
 
   private def postings(s: SparkSession, d: String): DataFrame =
     postingRows(Tables.documents(s, d))
+
+  /** (doc_id, pos, wh): POSITIONAL postings — every token occurrence
+    * with its 0-based position. The phrase-search kernel (q183 derives
+    * it inline from one scan; [[graft.operators.InvertedTextIndex]]
+    * materializes it bucketed by wh as the `_pos` companion table). */
+  private[graft] def positionRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(expr(whArrayExpr)).as(Seq("pos", "wh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wh"))
 
   /** 1-row corpus stats (n_docs, avgdl_milli) — attached downstream via
     * the scalar-broadcast crossJoin pattern (PlanQualitySpec proves the
@@ -461,8 +472,75 @@ object RetrievalQueries {
        |FROM long_form GROUP BY system""".stripMargin
   }
 
+  // ---- q183: positional phrase search -----------------------------
+
+  /** q183: exact-phrase retrieval — the positional-intersection
+    * algorithm every inverted-index engine runs for quoted queries.
+    * Each query doc contributes a 3-token phrase (1-based token
+    * positions 3-5 of its text); a document matches at base position p
+    * when the phrase's token hashes appear at p, p+1, p+2 — computed by
+    * joining positional postings to the phrase terms and aligning on
+    * `base = pos − offset`, then requiring all 3 DISTINCT offsets at
+    * one base (repeated words inside a phrase are handled by the
+    * distinct-offset count, the textbook subtlety). Output per query:
+    * matching docs, total occurrences, first match — the source doc
+    * always matches its own phrase, so n_docs_hit ≥ 1 is the built-in
+    * sanity pin.
+    *
+    * Scale shape: the phrase table is ≤3×|queries| rows, broadcast;
+    * candidate volume is the phrase terms' posting lists (tiny under a
+    * realistic vocabulary; on this 31-word corpus ~3/31 of all corpus
+    * positions, still one broadcast join + one (q,doc,base)-keyed
+    * combine — never a corpus self-join). The same algorithm runs
+    * against [[graft.operators.InvertedTextIndex]] postings extended
+    * with positions; the oracle form derives them inline so DuckDB can
+    * replay it. */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val th2 = positionRows(Tables.documents(s, d))
+    val phrase = th2
+      .join(broadcast(queryDocs(s, d)), col("doc_id") === col("q_doc"))
+      .filter(col("pos").between(2, 4)) // 0-based ⇔ 1-based positions 3-5
+      .select(col("q_doc"), (col("pos") - 2).as("off"), col("wh"))
+    val occ = th2.join(broadcast(phrase), "wh")
+      .select(col("q_doc"), col("doc_id"), (col("pos") - col("off")).as("base"),
+        col("off"))
+      .groupBy(col("q_doc"), col("doc_id"), col("base"))
+      .agg(countDistinct(col("off")).as("k"))
+      .filter(col("k") === 3)
+    occ.groupBy(col("q_doc"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  private val q183Sql =
+    s"""WITH th2 AS (
+       |  SELECT doc_id, o, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
+       |  FROM (SELECT doc_id, unnest($wordsSqlExpr) AS t,
+       |          generate_subscripts($wordsSqlExpr, 1) AS o
+       |        FROM documents)),
+       |qdocs AS (
+       |  SELECT doc_id AS q_doc FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(text), doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |phrase AS (
+       |  SELECT q.q_doc, t.o - 3 AS off, t.wh
+       |  FROM qdocs q JOIN th2 t ON t.doc_id = q.q_doc
+       |  WHERE t.o BETWEEN 3 AND 5),
+       |occ AS (
+       |  SELECT p.q_doc, t.doc_id, t.o - p.off AS base
+       |  FROM phrase p JOIN th2 t ON t.wh = p.wh
+       |  GROUP BY p.q_doc, t.doc_id, t.o - p.off
+       |  HAVING count(DISTINCT p.off) = 3)
+       |SELECT q_doc, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  min(doc_id) AS first_doc
+       |FROM occ GROUP BY q_doc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q180_keyword_search", q180, Some(q180Sql)),
     QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)),
-    QueryDef("q182_retrieval_recall", q182, Some(q182Sql)))
+    QueryDef("q182_retrieval_recall", q182, Some(q182Sql)),
+    QueryDef("q183_phrase_search", q183, Some(q183Sql)))
 }

@@ -17,7 +17,7 @@ class InvertedTextIndexSpec extends SparkSpec {
 
   private def cleanup(tables: String*): Unit =
     (if (tables.isEmpty) Seq("inv_idx_t") else tables)
-      .flatMap(t => Seq(t, t + "_meta")).foreach { t =>
+      .flatMap(t => Seq(t, t + "_meta", t + "_pos")).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         val p = java.nio.file.Paths.get("spark-warehouse", t)
         if (java.nio.file.Files.exists(p)) {
@@ -119,6 +119,76 @@ class InvertedTextIndexSpec extends SparkSpec {
       assert(due.getAs[Boolean]("rebucket_due"),
         s"overgrown layout not flagged: $due")
     } finally cleanup("inv_idx_aud")
+  }
+
+  /** q183's phrase workload with its text — what a caller hands to
+    * phraseSearch(): (q_doc, phrase) where phrase = 1-based tokens 3-5
+    * of the query doc. */
+  private def q183Phrases = {
+    val docs = Tables.documents(spark, sf0001)
+    RetrievalQueries.queryDocs(spark, sf0001)
+      .join(docs, col("q_doc") === col("doc_id"))
+      .select(col("q_doc"),
+        expr("array_join(slice(split(text, ' '), 3, 3), ' ')").as("phrase"))
+  }
+
+  test("positional index reproduces q183 phrase hits with a pruned, shuffle-free index side") {
+    cleanup("inv_idx_ph")
+    try {
+      InvertedTextIndex.build(Tables.documents(spark, sf0001), "inv_idx_ph",
+        positional = true)
+      val out = InvertedTextIndex.phraseSearch(q183Phrases, "inv_idx_ph")
+
+      // 1. row-for-row parity with the one-shot oracle query
+      val viaIndex = out.collect().toSet
+      val oneShot = SparkEntry.queries("q183_phrase_search")(spark, sf0001)
+        .collect().toSet
+      assert(viaIndex == oneShot,
+        s"index path diverged from q183: ${viaIndex.size} vs ${oneShot.size} rows")
+
+      // 2. the positional join streams the pruned index scan with no
+      // shuffle below it, and the IN-list actually prunes buckets
+      def flatten(p: SparkPlan): Seq[SparkPlan] = PlanGuards.flatten(p)
+      val plan = out.queryExecution.executedPlan
+      val joins = flatten(plan).collect {
+        case j: BroadcastHashJoinExec if j.toString.contains("inv_idx_ph_pos") => j
+      }
+      assert(joins.nonEmpty, s"no broadcast join over the pos index in:\n$plan")
+      joins.foreach { j =>
+        j.children.filter(_.toString.contains("inv_idx_ph_pos")).foreach { side =>
+          val shuffles = flatten(side).collect { case e: ShuffleExchangeExec => e }
+          assert(shuffles.isEmpty, s"index side of the phrase join shuffles:\n$side")
+        }
+      }
+      assert(plan.toString.contains("SelectedBucketsCount"),
+        s"pos index scan is not bucket-pruned:\n$plan")
+    } finally cleanup("inv_idx_ph")
+  }
+
+  test("phrase search honors repeated-word offsets and advances through append") {
+    cleanup("inv_idx_rw")
+    try {
+      import spark.implicits._
+      // doc 1 contains "a b a" at base 1; doc 2 has both words but never
+      // the aligned offsets (the repeated-word false-positive shape); doc
+      // 3 matches at base 2
+      val docs = Seq(
+        (1L, "x a b a y"), (2L, "a b c a b"), (3L, "b a a b a"))
+        .toDF("doc_id", "text")
+      InvertedTextIndex.build(docs, "inv_idx_rw", buckets = 8,
+        positional = true)
+      val phrases = Seq((100L, "a b a")).toDF("q_doc", "phrase")
+      val r0 = InvertedTextIndex.phraseSearch(phrases, "inv_idx_rw")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(r0 == Seq((100L, 2L, 2L, 1L)), s"got $r0")
+
+      // append Δ: the positional companion advances in the same cut
+      InvertedTextIndex.append(
+        Seq((9L, "z a b a")).toDF("doc_id", "text"), "inv_idx_rw")
+      val r1 = InvertedTextIndex.phraseSearch(phrases, "inv_idx_rw")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(r1 == Seq((100L, 3L, 3L, 1L)), s"got $r1")
+    } finally cleanup("inv_idx_rw")
   }
 
   test("bucket sizing rule scales with token volume and stays a power of two") {
