@@ -538,9 +538,166 @@ object RetrievalQueries {
        |  min(doc_id) AS first_doc
        |FROM occ GROUP BY q_doc""".stripMargin
 
+  // ---- q184: snippet extraction -----------------------------------
+
+  /** q184: search-result snippets — for every q180 top-[[TopK]] hit,
+    * the first position where one of the query's terms occurs in the
+    * doc (1-based) and the 5-token window starting ≤2 tokens before it,
+    * the result presentation every search stack builds from its
+    * positional index. Positions are integers on both engines; the
+    * snippet string itself uses only constructs proven green elsewhere
+    * (str_split + 1-based list slice + array_to_string — the q115/q174
+    * oracle kernel), never derived doubles.
+    *
+    * Scale shape: the ranked hits are ≤|queries|×[[TopK]] rows —
+    * BROADCAST twice, first onto the term-positional scan (which is
+    * itself bounded by the query terms' posting lists, q183's shape),
+    * then onto the documents scan to fetch text — the corpus never
+    * shuffles. The production path reads positions from the
+    * [[graft.operators.InvertedTextIndex]] `_pos` companion instead of
+    * deriving them (same IN-list pruning as phraseSearch). */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val post = postings(s, d)
+    val ranked = rankTop(scored(s, d), "rk", TopK)
+      .select(col("q_doc"), col("rk"), col("doc_id"))
+    val firstHit = positionRows(docs)
+      .join(broadcast(queryTerms(s, d, post).select(col("q_doc"), col("wh"))),
+        "wh")
+      .join(broadcast(ranked.select(col("q_doc"), col("doc_id"))),
+        Seq("q_doc", "doc_id"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(min(col("pos") + 1L).as("first_pos")) // 1-based on both engines
+    val hits = ranked.join(firstHit, Seq("q_doc", "doc_id"))
+      .withColumn("snip_start", greatest(lit(1L), col("first_pos") - 2L))
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(hits), "doc_id")
+      .select(col("q_doc"), col("rk"), col("doc_id"), col("first_pos"),
+        col("snip_start"),
+        expr("array_join(slice(split(text, ' '), cast(snip_start as int), 5), ' ')")
+          .as("snippet"))
+  }
+
+  private val q184Sql =
+    s"""$frontSql,
+       |ranked AS (
+       |  SELECT q_doc, rk, doc_id FROM (
+       |    SELECT q_doc, doc_id, row_number() OVER (PARTITION BY q_doc
+       |      ORDER BY score DESC, doc_id) AS rk
+       |    FROM scored) WHERE rk <= $TopK),
+       |th2 AS (
+       |  SELECT doc_id, o, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
+       |  FROM (SELECT doc_id, unnest($wordsSqlExpr) AS t,
+       |          generate_subscripts($wordsSqlExpr, 1) AS o
+       |        FROM documents)),
+       |firsthit AS (
+       |  SELECT t.q_doc, p.doc_id, CAST(min(p.o) AS BIGINT) AS first_pos
+       |  FROM terms t JOIN th2 p ON p.wh = t.wh
+       |  JOIN ranked r ON r.q_doc = t.q_doc AND r.doc_id = p.doc_id
+       |  GROUP BY t.q_doc, p.doc_id)
+       |SELECT r.q_doc, r.rk, r.doc_id, f.first_pos,
+       |  CAST(greatest(1, f.first_pos - 2) AS BIGINT) AS snip_start,
+       |  array_to_string($wordsSqlExpr[
+       |    CAST(greatest(1, f.first_pos - 2) AS BIGINT) :
+       |    CAST(greatest(1, f.first_pos - 2) + 4 AS BIGINT)], ' ') AS snippet
+       |FROM ranked r
+       |JOIN firsthit f ON f.q_doc = r.q_doc AND f.doc_id = r.doc_id
+       |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+
+  // ---- q185: pseudo-relevance-feedback expansion -------------------
+
+  /** Pseudo-relevant docs per query, expansion terms added from them. */
+  private val PrfDocs = 3
+  private val ExpTermsPerQuery = 2
+
+  /** q185: query expansion by pseudo-relevance feedback (the RM3
+    * family, Lavrenko & Croft 2001, in integer-exact form): take each
+    * query's top-[[PrfDocs]] keyword hits as pseudo-relevant, rank the
+    * terms they contain that the query did NOT use by (support across
+    * the pseudo-relevant docs DESC, df ASC, wh ASC), adopt the top
+    * [[ExpTermsPerQuery]] as expansion terms, and re-run the scored
+    * retrieval with the widened term set — the classic recall lever
+    * when the original terms under-describe the need. Ranks, supports,
+    * and scores are all integers, so the expanded ranking hash-matches
+    * under any oracle engine.
+    *
+    * Scale shape: q180's twice — the feedback round adds one broadcast
+    * of ≤|queries|×[[PrfDocs]] hit rows onto the postings scan (term
+    * harvesting) and the re-score broadcasts ≤6 terms/query instead of
+    * 4; candidate volume stays the adopted terms' posting lists, and
+    * the fixed expansion budget (with the df-ASC tiebreak preferring
+    * the rarest equally-supported terms) is the cap that keeps it so.
+    * The corpus shuffles exactly as often as q180: never. */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val post = postings(s, d)
+    val terms = queryTerms(s, d, post)
+    val prdocs = rankTop(scored(s, d), "rk", PrfDocs)
+      .select(col("q_doc"), col("doc_id"))
+    val dfreq = post.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val ew = Window.partitionBy(col("q_doc"))
+      .orderBy(col("nd").desc, col("df").asc, col("wh").asc)
+    val exps = post.select(col("doc_id"), col("wh"))
+      .join(broadcast(prdocs), "doc_id")
+      .groupBy(col("q_doc"), col("wh"))
+      .agg(count(lit(1)).as("nd"))
+      .join(terms.select(col("q_doc"), col("wh")), Seq("q_doc", "wh"),
+        "left_anti")
+      .join(dfreq, "wh")
+      .withColumn("ern", row_number().over(ew))
+      .filter(col("ern") <= ExpTermsPerQuery)
+      .select(col("q_doc"), col("wh"), col("df"))
+    val allTerms = terms.unionByName(exps)
+    rankTop(scoreCandidates(
+        post.join(broadcast(allTerms), "wh")
+          .crossJoin(broadcast(stats(s, d)))), "rk", TopK)
+      .select(col("q_doc"), col("rk"), col("doc_id"), col("n_hit"),
+        col("score"))
+  }
+
+  private val q185Sql =
+    s"""$frontSql,
+       |prdocs AS (
+       |  SELECT q_doc, doc_id FROM (
+       |    SELECT q_doc, doc_id, row_number() OVER (PARTITION BY q_doc
+       |      ORDER BY score DESC, doc_id) AS rk
+       |    FROM scored) WHERE rk <= $PrfDocs),
+       |expcand AS (
+       |  SELECT pr.q_doc, p.wh, CAST(count(*) AS BIGINT) AS nd
+       |  FROM prdocs pr JOIN post p ON p.doc_id = pr.doc_id
+       |  GROUP BY pr.q_doc, p.wh),
+       |exps AS (
+       |  SELECT q_doc, wh, df FROM (
+       |    SELECT c.q_doc, c.wh, f.df, row_number() OVER (
+       |      PARTITION BY c.q_doc
+       |      ORDER BY c.nd DESC, f.df, c.wh) AS ern
+       |    FROM expcand c JOIN dfreq f ON f.wh = c.wh
+       |    WHERE NOT EXISTS (SELECT 1 FROM terms t
+       |      WHERE t.q_doc = c.q_doc AND t.wh = c.wh))
+       |  WHERE ern <= $ExpTermsPerQuery),
+       |allterms AS (
+       |  SELECT q_doc, wh, df FROM terms
+       |  UNION ALL SELECT q_doc, wh, df FROM exps),
+       |hits2 AS (
+       |  SELECT t.q_doc, p.doc_id,
+       |    ((p.tf * 2200000) //
+       |      (p.tf * 1000 + (1200 * (250 + (750000 * l.dl) // s.avgdl_milli)) // 1000))
+       |      * ((10000 * s.n_docs) // t.df) AS contrib
+       |  FROM allterms t JOIN post p ON p.wh = t.wh
+       |  JOIN dlen l ON l.doc_id = p.doc_id CROSS JOIN stats s),
+       |scored2 AS (
+       |  SELECT q_doc, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(contrib) AS BIGINT) AS score
+       |  FROM hits2 GROUP BY q_doc, doc_id)
+       |SELECT q_doc, rk, doc_id, n_hit, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_doc
+       |    ORDER BY score DESC, doc_id) AS rk
+       |  FROM scored2) WHERE rk <= $TopK""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q180_keyword_search", q180, Some(q180Sql)),
     QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)),
     QueryDef("q182_retrieval_recall", q182, Some(q182Sql)),
-    QueryDef("q183_phrase_search", q183, Some(q183Sql)))
+    QueryDef("q183_phrase_search", q183, Some(q183Sql)),
+    QueryDef("q184_snippets", q184, Some(q184Sql)),
+    QueryDef("q185_prf_expansion", q185, Some(q185Sql)))
 }

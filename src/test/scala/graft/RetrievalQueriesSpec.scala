@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the retrieval presentation/feedback queries —
+  * properties the oracle hash can't express as invariants: snippets
+  * really are windows of their documents anchored on the first term
+  * hit, and PRF expansion really widens the term set (bounded) and
+  * really moves rankings on this corpus. */
+class RetrievalQueriesSpec extends SparkSpec {
+
+  test("q184 snippets are ≤5-token document windows anchored ≤2 tokens before the first hit") {
+    val rows = SparkEntry.queries("q184_snippets")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (doc, fp, ss) = (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("first_pos"), r.getAs[Long]("snip_start"))
+      val snip = r.getAs[String]("snippet")
+      assert(ss >= 1 && ss <= fp && fp - ss <= 2, s"window misanchored: $r")
+      val words = texts(doc).split(" ")
+      assert(fp >= 1 && fp <= words.length, s"first_pos out of doc: $r")
+      val expected = words.slice(ss.toInt - 1,
+        math.min(words.length, ss.toInt - 1 + 5)).mkString(" ")
+      assert(snip == expected, s"snippet is not the doc window: $r")
+    }
+  }
+
+  test("q185 expansion keeps the per-query term budget and changes q180's ranking") {
+    val base = SparkEntry.queries("q180_keyword_search")(spark, sf0001)
+      .select(col("q_doc"), col("rk"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exp = SparkEntry.queries("q185_prf_expansion")(spark, sf0001)
+    val rows = exp.collect()
+    // n_hit is bounded by the widened budget: 4 original + 2 expansion
+    assert(rows.forall(_.getAs[Long]("n_hit") <= 6L),
+      "a doc matched more terms than the widened budget")
+    // same frame shape as q180: every query keeps a full top-5
+    assert(rows.length == base.size,
+      s"row count diverged: ${rows.length} vs ${base.size}")
+    // and the feedback round actually moves the ranking on this corpus
+    val moved = rows.map(r =>
+      (r.getAs[Long]("q_doc"), r.getAs[Int]("rk"), r.getAs[Long]("doc_id")))
+      .count(t => !base.contains(t))
+    assert(moved > 0, "PRF expansion left every ranked row unchanged")
+  }
+}
