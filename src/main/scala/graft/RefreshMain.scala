@@ -18,8 +18,9 @@ import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
   *   per refresh batch (here: the q173/q176 deterministic slices)
   *     ├─ admit batch vs snapshot (no snapshot shuffle, no rebuild)
   *     ├─ append ADMITTED rows → snapshot advances in place
-  *     │  (the SEARCH index advances with the same admitted docs, so
-  *     │  retrieval serves the refreshed corpus without a rebuild)
+  *     │  (the SEARCH index — postings AND positional companion —
+  *     │  advances with the same admitted docs, so keyword and quoted
+  *     │  retrieval serve the refreshed corpus without a rebuild)
   *     └─ manifest delta: q177's gate funnel over the same batch
   *        (quality ∧ delta-dedup ∧ decontam → split/shard loads)
   *
@@ -35,8 +36,8 @@ object RefreshMain {
       semBatch: Long, semAdmitted: Long, textIndexRows: Long,
       semIndexRows: Long, manifestCells: Long, shippedDocs: Long,
       shippedTokens: Long, semAvgOccX100: Long, semRebuildDue: Boolean,
-      searchDocs: Long, searchHits: Long, searchHotDfBp: Long,
-      searchRebucketDue: Boolean)
+      searchDocs: Long, searchHits: Long, searchPhraseHits: Long,
+      searchHotDfBp: Long, searchRebucketDue: Boolean)
 
   def run(spark: SparkSession, sfDir: String): Summary = {
     def cleanup(t: String): Unit = {
@@ -49,7 +50,7 @@ object RefreshMain {
       }
     }
     Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
-      "refresh_search_idx_meta").foreach(cleanup)
+      "refresh_search_idx_meta", "refresh_search_idx_pos").foreach(cleanup)
 
     // snapshot cut: everything NOT in the deterministic refresh slices
     val docs = Tables.documents(spark, sfDir)
@@ -57,7 +58,7 @@ object RefreshMain {
     DeltaDedupIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
       "refresh_text_idx")
     InvertedTextIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
-      "refresh_search_idx")
+      "refresh_search_idx", positional = true)
     DeltaSemDedupIndex.build(emb.filter(col("vec_id") % 4 =!= 0),
       "refresh_sem_idx", gridN = emb.count())
 
@@ -122,6 +123,13 @@ object RefreshMain {
       .select(col("q_doc"), col("text"))
     val searchHits =
       InvertedTextIndex.search(probeQueries, "refresh_search_idx").count()
+    // quoted-query serving off the same refreshed index: the q183
+    // phrase workload against the positional companion (which advanced
+    // through the same append)
+    val phraseHits = InvertedTextIndex.phraseSearch(
+      probeQueries.select(col("q_doc"), expr(
+        "array_join(slice(split(text, ' '), 3, 3), ' ')").as("phrase")),
+      "refresh_search_idx").count()
     val searchAudit =
       InvertedTextIndex.layoutAudit(spark, "refresh_search_idx")
         .collect().head
@@ -132,6 +140,7 @@ object RefreshMain {
     BucketedIndexMaintenance.compact(spark, "refresh_text_idx")
     BucketedIndexMaintenance.compact(spark, "refresh_sem_idx")
     BucketedIndexMaintenance.compact(spark, "refresh_search_idx")
+    BucketedIndexMaintenance.compact(spark, "refresh_search_idx_pos")
 
     val summary = Summary(
       textBatch = textBatch.count(),
@@ -148,13 +157,14 @@ object RefreshMain {
       searchDocs = spark.table("refresh_search_idx")
         .select(col("doc_id")).distinct().count(),
       searchHits = searchHits,
+      searchPhraseHits = phraseHits,
       searchHotDfBp = searchAudit.getAs[Long]("hot_df_bp"),
       searchRebucketDue = searchAudit.getAs[Boolean]("rebucket_due"))
     manifest.unpersist()
     textAdmittedIds.unpersist()
     semAdmittedIds.unpersist()
     Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
-      "refresh_search_idx_meta").foreach(cleanup)
+      "refresh_search_idx_meta", "refresh_search_idx_pos").foreach(cleanup)
     summary
   }
 
@@ -178,6 +188,7 @@ object RefreshMain {
       s""""sem_avg_occ_x100":${s.semAvgOccX100},""" +
       s""""sem_rebuild_due":${s.semRebuildDue},""" +
       s""""search_docs":${s.searchDocs},"search_hits":${s.searchHits},""" +
+      s""""search_phrase_hits":${s.searchPhraseHits},""" +
       s""""search_hot_df_bp":${s.searchHotDfBp},""" +
       s""""search_rebucket_due":${s.searchRebucketDue}}""")
     spark.stop()

@@ -56,6 +56,16 @@ class RefreshMainSpec extends SparkSpec {
       .select(col("source")).distinct().count()
     assert(s.searchHits == nSources * 5,
       s"probe returned ${s.searchHits} rows, expected ${nSources * 5}")
+    // quoted-query serving: every query doc that is IN the refreshed
+    // index (snapshot members always are) self-matches its own phrase,
+    // so the phrase probe answers at least those queries and at most all
+    val snapshotQueryDocs = graft.queries.RetrievalQueries
+      .queryDocs(spark, sf0001)
+      .filter(col("q_doc") % 10 =!= 0).count()
+    assert(s.searchPhraseHits >= snapshotQueryDocs &&
+        s.searchPhraseHits <= nSources,
+      s"phrase probe answered ${s.searchPhraseHits} of $nSources " +
+        s"(≥$snapshotQueryDocs expected): $s")
     assert(s.searchHotDfBp > 0 && s.searchHotDfBp <= 10000)
     assert(!s.searchRebucketDue,
       s"one refresh should not outgrow the postings layout 2x: $s")
