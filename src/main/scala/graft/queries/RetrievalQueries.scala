@@ -693,11 +693,151 @@ object RetrievalQueries {
        |    ORDER BY score DESC, doc_id) AS rk
        |  FROM scored2) WHERE rk <= $TopK""".stripMargin
 
+  // ---- q186: MMR result diversification ---------------------------
+
+  /** MMR trade-off λ in milli (500 = equal weight). */
+  private val MmrLambdaMilli = 500L
+
+  /** q186: maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) of each query's depth-[[FuseDepth]] keyword candidates into a
+    * DIVERSIFIED top-[[TopK]] — the training-data variant of search
+    * diversification: when near-duplicate candidates crowd a ranking,
+    * pick the next result by `λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked`. All integer: relevance is the score in basis
+    * points of the query's best score (nested integer divs — never
+    * `10000·score`, which overflows BIGINT at corpus scale, the q174
+    * checksum lesson), similarity is token-set Jaccard in bp, and the
+    * MMR objective is a milli-weighted difference of the two.
+    * [[TopK]] − 1 selection rounds are UNROLLED into the plan (the
+    * sequential greedy is the definition of MMR; the unroll keeps it
+    * one declarative plan, not a driver loop of actions).
+    *
+    * Scale shape: everything after q180's scoring is query-workload-
+    * bounded — ≤[[FuseDepth]] candidates per query, ≤FuseDepth² sim
+    * pairs per query, per-round windows partitioned by q_doc; the
+    * candidate token sets come from ONE broadcast of candidate ids onto
+    * the documents scan. The corpus scales only q180's one token
+    * shuffle. */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val mw = Window.partitionBy(col("q_doc"))
+    val cands = rankTop(scored(s, d), "rk", FuseDepth)
+      .withColumn("maxs", max(col("score")).over(mw))
+      .withColumn("rel_bp", expr("score div (maxs div 10000L)"))
+      .select(col("q_doc"), col("rk"), col("doc_id"), col("rel_bp"))
+    val tsets = Tables.documents(s, d)
+      .join(broadcast(cands.select(col("doc_id")).distinct()), "doc_id")
+      .select(col("doc_id"), expr(s"array_distinct($whArrayExpr)").as("tset"))
+    val ct = cands.select(col("q_doc"), col("doc_id"))
+      .join(broadcast(tsets), "doc_id")
+    val sims = ct.select(col("q_doc"), col("doc_id").as("a"),
+        col("tset").as("ta"))
+      .join(ct.select(col("q_doc"), col("doc_id").as("b"),
+        col("tset").as("tb")), "q_doc")
+      .filter(col("a") =!= col("b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jac_bp", expr("(10000L * inter) div " +
+        "(cast(size(ta) as bigint) + cast(size(tb) as bigint) - inter)"))
+      .select(col("q_doc"), col("a"), col("b"), col("jac_bp"))
+    // The greedy recurrence is kept LINEAR in the plan: the state frame
+    // carries each remaining candidate's running max-similarity to the
+    // picked set (greatest(div, sim-to-last-pick) ≡ max over all picks),
+    // and the round's pick rides a window first() instead of a second
+    // self-join — so round t's plan embeds round t−1 ONCE, not thrice
+    // (the naive sel-referencing recurrence is 3^t copies of the
+    // scoring subtree and was measured ~50× slower for identical
+    // output).
+    val simRef = sims.select(col("q_doc").as("sq"), col("a"), col("b"),
+      col("jac_bp"))
+    val pick1Doc = max(when(col("rk") === 1, col("doc_id"))).over(mw)
+    var out = cands.filter(col("rk") === 1)
+      .select(col("q_doc"), lit(1L).as("pick"), col("doc_id"),
+        col("rel_bp"), lit(0L).as("div_bp"))
+    var st = cands.withColumn("p1doc", pick1Doc)
+      .filter(col("rk") > 1)
+      .join(simRef, col("sq") === col("q_doc") &&
+        col("a") === col("doc_id") && col("b") === col("p1doc"))
+      .select(col("q_doc"), col("doc_id"), col("rel_bp"),
+        col("jac_bp").as("div_bp"))
+    for (t <- 2 to TopK) {
+      val pw = Window.partitionBy(col("q_doc"))
+        .orderBy(col("v").desc, col("doc_id").asc)
+      val ranked = st
+        .withColumn("v", expr(s"${MmrLambdaMilli}L * rel_bp - " +
+          s"${1000L - MmrLambdaMilli}L * div_bp"))
+        .withColumn("prn", row_number().over(pw))
+        .withColumn("pdoc", first(col("doc_id")).over(pw))
+      out = out.unionByName(ranked.filter(col("prn") === 1)
+        .select(col("q_doc"), lit(t.toLong).as("pick"), col("doc_id"),
+          col("rel_bp"), col("div_bp")))
+      if (t < TopK)
+        st = ranked.filter(col("prn") > 1)
+          .join(simRef, col("sq") === col("q_doc") &&
+            col("a") === col("doc_id") && col("b") === col("pdoc"))
+          .select(col("q_doc"), col("doc_id"), col("rel_bp"),
+            greatest(col("div_bp"), col("jac_bp")).as("div_bp"))
+    }
+    out
+  }
+
+  private val q186Sql = {
+    val rounds = (2 to TopK).map { t =>
+      s"""mmr$t AS (
+         |  SELECT c.q_doc, c.doc_id, c.rel_bp,
+         |    CAST(max(s.jac_bp) AS BIGINT) AS div_bp
+         |  FROM cands c
+         |  JOIN sims s ON s.q_doc = c.q_doc AND s.a = c.doc_id
+         |  JOIN sel${t - 1} z ON z.q_doc = s.q_doc AND z.doc_id = s.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} w
+         |    WHERE w.q_doc = c.q_doc AND w.doc_id = c.doc_id)
+         |  GROUP BY c.q_doc, c.doc_id, c.rel_bp),
+         |pick$t AS (
+         |  SELECT q_doc, CAST($t AS BIGINT) AS pick, doc_id, rel_bp, div_bp
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_doc
+         |      ORDER BY $MmrLambdaMilli * rel_bp -
+         |        ${1000L - MmrLambdaMilli} * div_bp DESC, doc_id) AS prn
+         |    FROM mmr$t) WHERE prn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1}
+         |  UNION ALL SELECT * FROM pick$t)""".stripMargin
+    }.mkString(",\n")
+    s"""$frontSql,
+       |cands AS (
+       |  SELECT q_doc, rk, doc_id,
+       |    score // ((max(score) OVER (PARTITION BY q_doc)) // 10000) AS rel_bp
+       |  FROM (
+       |    SELECT q_doc, doc_id, score, row_number() OVER (
+       |      PARTITION BY q_doc ORDER BY score DESC, doc_id) AS rk
+       |    FROM scored) t WHERE rk <= $FuseDepth),
+       |tsets AS (
+       |  SELECT doc_id, list_distinct(list_transform($wordsSqlExpr,
+       |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS tset
+       |  FROM documents
+       |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM cands)),
+       |sims AS (
+       |  SELECT x.q_doc, x.doc_id AS a, y.doc_id AS b,
+       |    (10000 * CAST(len(list_intersect(xt.tset, yt.tset)) AS BIGINT)) //
+       |      (CAST(len(xt.tset) AS BIGINT) + CAST(len(yt.tset) AS BIGINT)
+       |        - CAST(len(list_intersect(xt.tset, yt.tset)) AS BIGINT))
+       |      AS jac_bp
+       |  FROM cands x JOIN cands y
+       |    ON y.q_doc = x.q_doc AND y.doc_id <> x.doc_id
+       |  JOIN tsets xt ON xt.doc_id = x.doc_id
+       |  JOIN tsets yt ON yt.doc_id = y.doc_id),
+       |sel1 AS (
+       |  SELECT q_doc, CAST(1 AS BIGINT) AS pick, doc_id, rel_bp,
+       |    CAST(0 AS BIGINT) AS div_bp
+       |  FROM cands WHERE rk = 1),
+       |$rounds
+       |SELECT q_doc, pick, doc_id, rel_bp, div_bp FROM sel$TopK""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q180_keyword_search", q180, Some(q180Sql)),
     QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)),
     QueryDef("q182_retrieval_recall", q182, Some(q182Sql)),
     QueryDef("q183_phrase_search", q183, Some(q183Sql)),
     QueryDef("q184_snippets", q184, Some(q184Sql)),
-    QueryDef("q185_prf_expansion", q185, Some(q185Sql)))
+    QueryDef("q185_prf_expansion", q185, Some(q185Sql)),
+    QueryDef("q186_mmr_diversify", q186, Some(q186Sql)))
 }

@@ -28,6 +28,32 @@ class RetrievalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q186 MMR seeds with the relevance winner and actually diversifies") {
+    val base = SparkEntry.queries("q180_keyword_search")(spark, sf0001)
+      .collect().map(r => ((r.getAs[Long]("q_doc"), r.getAs[Int]("rk")),
+        r.getAs[Long]("doc_id"))).toMap
+    val rows = SparkEntry.queries("q186_mmr_diversify")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("q_doc"), r.getAs[Long]("pick"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("div_bp")))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, picks) =>
+      // full diversified top-5, distinct docs, ordered picks 1..5
+      assert(picks.map(_._2).sorted.sameElements(1L to 5L), s"picks of $q")
+      assert(picks.map(_._3).distinct.length == 5, s"dup doc in $q")
+      // the seed is pure relevance: q180's rank-1 doc with zero penalty
+      val seed = picks.find(_._2 == 1L).get
+      assert(seed._3 == base((q, 1)), s"seed of $q is not q180's top hit")
+      assert(seed._4 == 0L, s"seed of $q carries a diversity penalty")
+    }
+    // and the penalty does real work on this corpus: some later pick
+    // deviates from q180's relevance-ordered top-5
+    val moved = rows.count { case (q, p, doc, _) =>
+      base.get((q, p.toInt)).forall(_ != doc) }
+    assert(moved > 0, "MMR never deviated from the relevance ranking")
+  }
+
   test("q185 expansion keeps the per-query term budget and changes q180's ranking") {
     val base = SparkEntry.queries("q180_keyword_search")(spark, sf0001)
       .select(col("q_doc"), col("rk"), col("doc_id")).collect()
