@@ -562,7 +562,121 @@ object TrainingQueries {
       |  p.order_checksum
       |FROM per p JOIN mr m ON m.shard = p.shard""".stripMargin
 
+  // ---- q187: data-constrained repetition plan ----------------------
+
+  /** Budget = [[BudgetEpochs]]× the corpus' unique tokens; no source
+    * repeats beyond [[RepCapEpochs]] epochs (the ~4-epoch
+    * value-retention cliff of Muennighoff et al. 2023 applied
+    * conservatively); redistribution rounds after the initial
+    * allocation. */
+  private val BudgetEpochs = 3L
+  private val RepCapEpochs = 3L
+  private val RedistRounds = 2
+
+  /** q187: REPETITION PLAN — the allocation a data-constrained
+    * pretraining run computes when the token budget exceeds the unique
+    * corpus (Muennighoff et al. 2023): each source wants
+    * `budget · weight` tokens under the α=0.5 temperature mixture
+    * (q164's weights), but no source may repeat beyond
+    * [[RepCapEpochs]] epochs of its unique mass — temperature UPWEIGHTS
+    * small sources, so exactly those saturate the cap first, and the
+    * unplaced surplus WATER-FILLS back onto the uncapped sources,
+    * weight-proportionally, for [[RedistRounds]] rounds.
+    * `residual_tokens` records what finite redistribution leaves
+    * unplaced — with budget = cap capacity (both 3×), the fixpoint is
+    * full saturation and the residual measures convergence honestly.
+    *
+    * Integer discipline: weights are quantized to milli BEFORE the
+    * budget multiply (`budget · w_milli` stays ≲10³ × corpus tokens —
+    * never `10000·score`-style products that wrap BIGINT at corpus
+    * scale), every share is an integer div, and the only double is
+    * q164's proven `floor(sqrt·10⁶ + 0.5)` weight seed. Div-by-zero
+    * guards (all-capped ⇒ `m_unc` NULL) are explicit CASEs on both
+    * engines.
+    *
+    * Scale shape: ONE corpus scan collapses to |sources| rows
+    * (map-side partial sums before the per-source exchange); every
+    * round is a 1-row global aggregate broadcast back over the
+    * |sources|-row frame — no join ever touches the corpus again. */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("m", expr(
+        "cast(floor(sqrt(cast(n_tokens as double)) * 1000000 + 0.5) as bigint)"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("m")).as("tot_m"))
+    var f = per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"${BudgetEpochs}L * tot_tokens"))
+      .withColumn("cap", expr(s"${RepCapEpochs}L * n_tokens"))
+      .withColumn("w_milli", expr("(1000L * m) div tot_m"))
+      .withColumn("a", expr("least((budget * w_milli) div 1000L, cap)"))
+      .select(col("source"), col("n_tokens"), col("m"), col("budget"),
+        col("cap"), col("w_milli"), col("a"))
+    for (_ <- 1 to RedistRounds) {
+      val t = f.agg(sum(col("a")).as("sum_a"),
+        sum(when(col("a") < col("cap"), col("m"))).as("m_unc"))
+      f = f.crossJoin(broadcast(t))
+        .withColumn("a", expr(
+          "least(a + CASE WHEN a < cap AND coalesce(m_unc, 0L) > 0L " +
+            "THEN ((budget - sum_a) * ((1000L * m) div m_unc)) div 1000L " +
+            "ELSE 0L END, cap)"))
+        .drop("sum_a", "m_unc")
+    }
+    val res = f.agg(sum(col("a")).as("alloc_total"))
+    f.crossJoin(broadcast(res))
+      .select(col("source"), col("n_tokens"), col("w_milli"),
+        col("cap").as("cap_tokens"), col("a").as("alloc_tokens"),
+        expr("(1000L * a) div n_tokens").as("epochs_milli"),
+        (col("a") === col("cap")).as("capped"),
+        expr("budget - alloc_total").as("residual_tokens"))
+  }
+
+  private val q187Sql = {
+    val rounds = (1 to RedistRounds).map { r =>
+      val prev = if (r == 1) "base" else s"f${r - 1}"
+      s"""t$r AS (
+         |  SELECT CAST(sum(a) AS BIGINT) AS sum_a,
+         |    CAST(sum(CASE WHEN a < cap THEN m END) AS BIGINT) AS m_unc
+         |  FROM $prev),
+         |f$r AS (
+         |  SELECT source, n_tokens, m, budget, cap, w_milli,
+         |    least(a + CASE WHEN a < cap AND coalesce(m_unc, 0) > 0
+         |      THEN ((budget - sum_a) * ((1000 * m) // m_unc)) // 1000
+         |      ELSE 0 END, cap) AS a
+         |  FROM $prev, t$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |mm AS (
+       |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000
+       |    + 0.5) AS BIGINT) AS m
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |    CAST(sum(m) AS BIGINT) AS tot_m
+       |  FROM mm),
+       |base AS (
+       |  SELECT source, n_tokens, m,
+       |    $BudgetEpochs * tot_tokens AS budget,
+       |    $RepCapEpochs * n_tokens AS cap,
+       |    (1000 * m) // tot_m AS w_milli,
+       |    least(($BudgetEpochs * tot_tokens * ((1000 * m) // tot_m)) // 1000,
+       |      $RepCapEpochs * n_tokens) AS a
+       |  FROM mm, tot),
+       |$rounds,
+       |res AS (
+       |  SELECT CAST(sum(a) AS BIGINT) AS alloc_total FROM f$RedistRounds)
+       |SELECT source, n_tokens, w_milli, cap AS cap_tokens,
+       |  a AS alloc_tokens, (1000 * a) // n_tokens AS epochs_milli,
+       |  a = cap AS capped, budget - alloc_total AS residual_tokens
+       |FROM f$RedistRounds, res""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q187_repetition_plan", q187, Some(q187Sql)),
     QueryDef("q174_training_order", q174, Some(q174Sql)),
     QueryDef("q143_decile_lift", q143, Some(q143Sql)),
     QueryDef("q133_priority_sample", q133, Some(q133Sql)),

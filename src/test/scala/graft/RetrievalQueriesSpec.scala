@@ -54,6 +54,30 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(moved > 0, "MMR never deviated from the relevance ranking")
   }
 
+  test("q187 repetition plan conserves the budget under the epoch cap") {
+    val rows = SparkEntry.queries("q187_repetition_plan")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val budget = 3L * rows.map(_.getAs[Long]("n_tokens")).sum
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    val residual = rows.map(_.getAs[Long]("residual_tokens")).distinct
+    // one global residual, and allocation + residual is exactly the budget
+    assert(residual.length == 1 && residual.head >= 0, s"residual: $residual")
+    assert(alloc + residual.head == budget,
+      s"leaky plan: $alloc + ${residual.head} != $budget")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens"),
+        s"cap exceeded: $r")
+      assert(r.getAs[Long]("epochs_milli") <= 3000L, s"epoch cap: $r")
+    }
+    // the temperature mixture makes the cap BIND for the upweighted
+    // sources while others stay under it — both sides must exist for
+    // the water-filling to be doing real work
+    val capped = rows.count(_.getAs[Boolean]("capped"))
+    assert(capped > 0 && capped < rows.length,
+      s"cap never/always binds ($capped of ${rows.length})")
+  }
+
   test("q185 expansion keeps the per-query term budget and changes q180's ranking") {
     val base = SparkEntry.queries("q180_keyword_search")(spark, sf0001)
       .select(col("q_doc"), col("rk"), col("doc_id")).collect()
