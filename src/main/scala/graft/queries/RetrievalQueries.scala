@@ -708,15 +708,17 @@ object RetrievalQueries {
     * `10000·score`, which overflows BIGINT at corpus scale, the q174
     * checksum lesson), similarity is token-set Jaccard in bp, and the
     * MMR objective is a milli-weighted difference of the two.
-    * [[TopK]] − 1 selection rounds are UNROLLED into the plan (the
-    * sequential greedy is the definition of MMR; the unroll keeps it
-    * one declarative plan, not a driver loop of actions).
+    * The [[TopK]] − 1 greedy rounds are UNROLLED as scalar array-HOF
+    * folds over ONE collected row per query (the sequential greedy is
+    * the definition of MMR; the fold keeps it one declarative plan,
+    * not a driver loop of actions), each round pinned behind
+    * opt_barrier so the state evaluates once per round.
     *
     * Scale shape: everything after q180's scoring is query-workload-
-    * bounded — ≤[[FuseDepth]] candidates per query, ≤FuseDepth² sim
-    * pairs per query, per-round windows partitioned by q_doc; the
-    * candidate token sets come from ONE broadcast of candidate ids onto
-    * the documents scan. The corpus scales only q180's one token
+    * bounded — each query collapses to one row of ≤[[FuseDepth]]
+    * candidate structs, similarities are computed inside that row, and
+    * the candidate token sets come from ONE broadcast of candidate ids
+    * onto the documents scan. The corpus scales only q180's one token
     * shuffle. */
   private def q186(s: SparkSession, d: String): DataFrame = {
     val mw = Window.partitionBy(col("q_doc"))
@@ -727,57 +729,64 @@ object RetrievalQueries {
     val tsets = Tables.documents(s, d)
       .join(broadcast(cands.select(col("doc_id")).distinct()), "doc_id")
       .select(col("doc_id"), expr(s"array_distinct($whArrayExpr)").as("tset"))
-    val ct = cands.select(col("q_doc"), col("doc_id"))
-      .join(broadcast(tsets), "doc_id")
-    val sims = ct.select(col("q_doc"), col("doc_id").as("a"),
-        col("tset").as("ta"))
-      .join(ct.select(col("q_doc"), col("doc_id").as("b"),
-        col("tset").as("tb")), "q_doc")
-      .filter(col("a") =!= col("b"))
-      .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("jac_bp", expr("(10000L * inter) div " +
-        "(cast(size(ta) as bigint) + cast(size(tb) as bigint) - inter)"))
-      .select(col("q_doc"), col("a"), col("b"), col("jac_bp"))
-    // The greedy recurrence is kept LINEAR in the plan: the state frame
-    // carries each remaining candidate's running max-similarity to the
-    // picked set (greatest(div, sim-to-last-pick) ≡ max over all picks),
-    // and the round's pick rides a window first() instead of a second
-    // self-join — so round t's plan embeds round t−1 ONCE, not thrice
-    // (the naive sel-referencing recurrence is 3^t copies of the
-    // scoring subtree and was measured ~50× slower for identical
-    // output).
-    val simRef = sims.select(col("q_doc").as("sq"), col("a"), col("b"),
-      col("jac_bp"))
-    val pick1Doc = max(when(col("rk") === 1, col("doc_id"))).over(mw)
-    var out = cands.filter(col("rk") === 1)
-      .select(col("q_doc"), lit(1L).as("pick"), col("doc_id"),
-        col("rel_bp"), lit(0L).as("div_bp"))
-    var st = cands.withColumn("p1doc", pick1Doc)
-      .filter(col("rk") > 1)
-      .join(simRef, col("sq") === col("q_doc") &&
-        col("a") === col("doc_id") && col("b") === col("p1doc"))
-      .select(col("q_doc"), col("doc_id"), col("rel_bp"),
-        col("jac_bp").as("div_bp"))
-    for (t <- 2 to TopK) {
-      val pw = Window.partitionBy(col("q_doc"))
-        .orderBy(col("v").desc, col("doc_id").asc)
-      val ranked = st
-        .withColumn("v", expr(s"${MmrLambdaMilli}L * rel_bp - " +
-          s"${1000L - MmrLambdaMilli}L * div_bp"))
-        .withColumn("prn", row_number().over(pw))
-        .withColumn("pdoc", first(col("doc_id")).over(pw))
-      out = out.unionByName(ranked.filter(col("prn") === 1)
-        .select(col("q_doc"), lit(t.toLong).as("pick"), col("doc_id"),
-          col("rel_bp"), col("div_bp")))
-      if (t < TopK)
-        st = ranked.filter(col("prn") > 1)
-          .join(simRef, col("sq") === col("q_doc") &&
-            col("a") === col("doc_id") && col("b") === col("pdoc"))
-          .select(col("q_doc"), col("doc_id"), col("rel_bp"),
-            greatest(col("div_bp"), col("jac_bp")).as("div_bp"))
-    }
-    out
+    // The greedy rounds run INSIDE one collected row per query, as
+    // scalar array-HOF folds (the q170 fold-chain style): a per-round
+    // DataFrame recurrence re-embeds — and re-EXECUTES — the scoring
+    // subtree once per reference (measured 245 file scans / 410
+    // exchanges, no ReuseExchange under AQE), while here the corpus
+    // work runs exactly once and the ≤FuseDepth-element greedy is
+    // per-row arithmetic. `transform(array(x), b -> …)[0]` is the
+    // let-binding idiom — it evaluates the bound expression once.
+    val lam = MmrLambdaMilli
+    val lam1 = 1000L - MmrLambdaMilli
+    def jacSql(c: String, s: String): String =
+      s"(10000L * cast(size(array_intersect($c.tset, $s.tset)) as bigint)) div " +
+        s"(cast(size($c.tset) as bigint) + cast(size($s.tset) as bigint) - " +
+        s"cast(size(array_intersect($c.tset, $s.tset)) as bigint))"
+    // each remaining candidate scored against the current picks:
+    // struct(v = λ·rel − (1−λ)·maxsim, d = maxsim, c = candidate)
+    val scoredSql =
+      "transform(st.rem, c -> transform(array(" +
+        s"array_max(transform(st.sel, s -> ${jacSql("c", "s")}))), " +
+        s"m -> named_struct('v', ${lam}L * c.rel_bp - ${lam1}L * m, " +
+        "'d', m, 'c', c))[0])"
+    val bestSql =
+      s"transform(array($scoredSql), ss -> " +
+        "aggregate(slice(ss, 2, size(ss) - 1), element_at(ss, 1), " +
+        "(acc, x) -> IF(x.v > acc.v OR (x.v = acc.v AND " +
+        "x.c.doc_id < acc.c.doc_id), x, acc)))[0]"
+    def roundSql(t: Int): String =
+      "CASE WHEN size(st.rem) = 0 THEN st ELSE " +
+        s"transform(array($bestSql), b -> named_struct(" +
+        "'sel', concat(st.sel, array(named_struct(" +
+        s"'pick', ${t}L, 'doc_id', b.c.doc_id, 'rel_bp', b.c.rel_bp, " +
+        "'div_bp', b.d, 'tset', b.c.tset))), " +
+        "'rem', filter(st.rem, c -> c.doc_id != b.c.doc_id)))[0] END"
+    var grouped = cands.join(broadcast(tsets), "doc_id")
+      .groupBy(col("q_doc"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("doc_id"),
+        col("rel_bp"), col("tset")))).as("cs"))
+      .withColumn("st", expr(
+        "named_struct(" +
+          "'sel', array(named_struct('pick', 1L, " +
+          "'doc_id', element_at(cs, 1).doc_id, " +
+          "'rel_bp', element_at(cs, 1).rel_bp, 'div_bp', 0L, " +
+          "'tset', element_at(cs, 1).tset)), " +
+          "'rem', transform(slice(cs, 2, size(cs) - 1), " +
+          "c -> named_struct('doc_id', c.doc_id, 'rel_bp', c.rel_bp, " +
+          "'tset', c.tset)))"))
+    // opt_barrier pins each round as its own Project: roundSql
+    // references `st` ~6 times, so letting CollapseProject inline the
+    // rounds into one expression is a 6^t blowup (measured 3× slower
+    // than even the DataFrame recurrence); behind the barrier each
+    // round evaluates the previous state ONCE per row
+    graft.expressions.OptimizerBarrier.register(s)
+    for (t <- 2 to TopK)
+      grouped = grouped.withColumn("st", expr(s"opt_barrier(${roundSql(t)})"))
+    grouped.select(col("q_doc"), explode(col("st.sel")).as("s"))
+      .select(col("q_doc"), col("s.pick").as("pick"),
+        col("s.doc_id").as("doc_id"), col("s.rel_bp").as("rel_bp"),
+        col("s.div_bp").as("div_bp"))
   }
 
   private val q186Sql = {
