@@ -841,6 +841,109 @@ object RetrievalQueries {
        |SELECT q_doc, pick, doc_id, rel_bp, div_bp FROM sel$TopK""".stripMargin
   }
 
+  // ---- q188: fuzzy term match (SymSpell deletion neighborhood) -----
+
+  /** q188: fuzzy dictionary matching — the "did you mean" path every
+    * search stack carries, in the SymSpell shape (Garbe's
+    * deletion-neighborhood indexing): a misspelled probe (each query
+    * doc's rarest term with its 2nd character deleted — deterministic,
+    * so the oracle can replay it) matches vocabulary word `v` iff they
+    * share a member of {x} ∪ del₁(x) — the candidate join — and the
+    * match is CONFIRMED by exact `levenshtein ≤ 1` (the shared-deletion
+    * key over-generates same-length distance-2 pairs by design; the
+    * verify closes it, both engines' levenshtein being plain edit
+    * distance). Output per query: the probe, match count, and the
+    * highest-df match as the suggestion (df desc, word asc — frequency
+    * IS the suggestion rank in SymSpell).
+    *
+    * Scale shape: everything is VOCABULARY-sized, never corpus-sized —
+    * the deletion index is \|vocab\| × (len+1) short strings (Heaps'
+    * law sublinear in the corpus), the probes broadcast (workload-
+    * bounded), and the only corpus pass is the word-df aggregation
+    * (one token shuffle, map-side combined). The verify runs only on
+    * key-join survivors. */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("df").asc, col("w").asc)
+    val probes = words.join(broadcast(queryDocs(s, d)),
+        col("doc_id") === col("q_doc"))
+      .select(col("q_doc"), col("w")).distinct()
+      .join(vocab, "w")
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") === 1)
+      .withColumn("probe", expr("CASE WHEN length(w) >= 2 " +
+        "THEN concat(substring(w, 1, 1), substring(w, 3)) ELSE w END"))
+      .select(col("q_doc"), col("probe"))
+    def delKeys(c: String): String =
+      s"array_distinct(concat(array($c), transform(sequence(1, length($c)), " +
+        s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1)))))"
+    val probeKeys = probes.select(col("q_doc"), col("probe"),
+      explode(expr(delKeys("probe"))).as("k"))
+    val vocabKeys = vocab.select(col("w"), col("df"),
+      explode(expr(delKeys("w"))).as("k"))
+    val cand = vocabKeys.join(broadcast(probeKeys), "k")
+      .select(col("q_doc"), col("probe"), col("w"), col("df")).distinct()
+      .withColumn("dist", levenshtein(col("probe"), col("w")).cast("long"))
+      .filter(col("dist") <= 1)
+    val bw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("df").desc, col("w").asc)
+    cand.withColumn("brn", row_number().over(bw))
+      .groupBy(col("q_doc"), col("probe"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(when(col("brn") === 1, col("w"))).as("best_word"),
+        max(when(col("brn") === 1, col("df"))).as("best_df"),
+        max(when(col("brn") === 1, col("dist"))).as("best_dist"))
+  }
+
+  private val q188Sql =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest($wordsSqlExpr) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM words GROUP BY 1),
+       |qdocs AS (
+       |  SELECT doc_id AS q_doc FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(text), doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_doc, CASE WHEN len(w) >= 2
+       |    THEN substr(w, 1, 1) || substr(w, 3) ELSE w END AS probe
+       |  FROM (
+       |    SELECT q.q_doc, x.w, row_number() OVER (PARTITION BY q.q_doc
+       |      ORDER BY v.df, x.w) AS rn
+       |    FROM qdocs q
+       |    JOIN (SELECT DISTINCT doc_id, w FROM words) x ON x.doc_id = q.q_doc
+       |    JOIN vocab v ON v.w = x.w) WHERE rn = 1),
+       |pk AS (
+       |  SELECT q_doc, probe, unnest(list_distinct(list_prepend(probe,
+       |    list_transform(range(1, len(probe) + 1),
+       |      i -> substr(probe, 1, i - 1) || substr(probe, i + 1))))) AS k
+       |  FROM probes),
+       |vk AS (
+       |  SELECT w, df, unnest(list_distinct(list_prepend(w,
+       |    list_transform(range(1, len(w) + 1),
+       |      i -> substr(w, 1, i - 1) || substr(w, i + 1))))) AS k
+       |  FROM vocab),
+       |cand AS (
+       |  SELECT DISTINCT p.q_doc, p.probe, v.w, v.df
+       |  FROM pk p JOIN vk v ON v.k = p.k),
+       |m AS (
+       |  SELECT *, CAST(levenshtein(probe, w) AS BIGINT) AS dist
+       |  FROM cand WHERE levenshtein(probe, w) <= 1),
+       |b AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_doc
+       |    ORDER BY df DESC, w) AS brn
+       |  FROM m)
+       |SELECT q_doc, probe, CAST(count(*) AS BIGINT) AS n_matches,
+       |  max(CASE WHEN brn = 1 THEN w END) AS best_word,
+       |  CAST(max(CASE WHEN brn = 1 THEN df END) AS BIGINT) AS best_df,
+       |  CAST(max(CASE WHEN brn = 1 THEN dist END) AS BIGINT) AS best_dist
+       |FROM b GROUP BY q_doc, probe""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q180_keyword_search", q180, Some(q180Sql)),
     QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)),
@@ -848,5 +951,6 @@ object RetrievalQueries {
     QueryDef("q183_phrase_search", q183, Some(q183Sql)),
     QueryDef("q184_snippets", q184, Some(q184Sql)),
     QueryDef("q185_prf_expansion", q185, Some(q185Sql)),
-    QueryDef("q186_mmr_diversify", q186, Some(q186Sql)))
+    QueryDef("q186_mmr_diversify", q186, Some(q186Sql)),
+    QueryDef("q188_fuzzy_term_match", q188, Some(q188Sql)))
 }

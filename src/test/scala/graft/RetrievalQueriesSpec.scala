@@ -54,6 +54,34 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(moved > 0, "MMR never deviated from the relevance ranking")
   }
 
+  test("q188 suggestions are genuine distance-≤1 vocabulary words") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val rows = SparkEntry.queries("q188_fuzzy_term_match")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (probe, best, dist) = (r.getAs[String]("probe"),
+        r.getAs[String]("best_word"), r.getAs[Long]("best_dist"))
+      assert(r.getAs[Long]("n_matches") >= 1, s"no match: $r")
+      assert(vocab.contains(best), s"suggestion not in vocabulary: $r")
+      assert(lev(probe, best) == dist && dist <= 1,
+        s"claimed distance wrong: $r (lev=${lev(probe, best)})")
+      // the deterministic misspelling (2nd char deleted) is NOT a
+      // vocabulary word here — the fuzzy path did real work
+      assert(!vocab.contains(probe) || dist == 0, s"trivial probe: $r")
+    }
+  }
+
   test("q187 repetition plan conserves the budget under the epoch cap") {
     val rows = SparkEntry.queries("q187_repetition_plan")(spark, sf0001)
       .collect()
