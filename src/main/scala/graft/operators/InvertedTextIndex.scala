@@ -160,7 +160,13 @@ object InvertedTextIndex {
     * term's TRUE corpus df, append-stable by construction. */
   def search(queries: DataFrame, table: String,
       termsPerQuery: Int = RetrievalQueries.TermsPerQuery,
-      k: Int = 5): DataFrame = {
+      k: Int = 5): DataFrame =
+    searchPlan(queries, table, termsPerQuery, k)._1
+
+  /** The shared serving plan: (ranked top-k, selected terms, the
+    * driver-side IN-list of the workload's token hashes). */
+  private def searchPlan(queries: DataFrame, table: String,
+      termsPerQuery: Int, k: Int): (DataFrame, DataFrame, Seq[Long]) = {
     val s = queries.sparkSession
     val qtok = queries
       .select(col("q_doc"),
@@ -178,10 +184,45 @@ object InvertedTextIndex {
       .select(col("q_doc"), col("wh"), col("df"))
     val cands = matched.join(broadcast(terms), "wh")
       .crossJoin(broadcast(stats(s, table)))
-    RetrievalQueries.rankTop(
+    val ranked = RetrievalQueries.rankTop(
         RetrievalQueries.scoreCandidates(cands), "rk", k)
       .select(col("q_doc"), col("rk"), col("doc_id"), col("n_hit"),
         col("score"))
+    (ranked, terms, whList)
+  }
+
+  /** q184's production form: top-k search plus first-hit snippets read
+    * from the positional companion (built with `positional = true`)
+    * instead of re-deriving positions from a corpus scan. `docs` is the
+    * corpus (doc_id, text) — the index stores postings, not text, so
+    * the snippet fetch joins the ≤|queries|·k hit rows back onto the
+    * caller's documents source by BROADCAST (the corpus never
+    * shuffles). Output is q184's frame (q_doc, rk, doc_id, first_pos,
+    * snip_start, snippet), row-for-row identical on q184's workload
+    * (InvertedTextIndexSpec). The `_pos` scan reuses the search's
+    * IN-list, so it is bucket- and rowgroup-pruned the same way —
+    * serving cost stays the touched posting lists. */
+  def snippets(queries: DataFrame, docs: DataFrame, table: String,
+      termsPerQuery: Int = RetrievalQueries.TermsPerQuery,
+      k: Int = 5): DataFrame = {
+    val s = queries.sparkSession
+    val (ranked, terms, whList) = searchPlan(queries, table, termsPerQuery, k)
+    val firstHit = s.table(posTable(table))
+      .filter(col("wh").isin(whList: _*))
+      .join(broadcast(terms.select(col("q_doc"), col("wh"))), "wh")
+      .join(broadcast(ranked.select(col("q_doc"), col("doc_id"))),
+        Seq("q_doc", "doc_id"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(min(col("pos") + 1L).as("first_pos"))
+    val hits = ranked.select(col("q_doc"), col("rk"), col("doc_id"))
+      .join(firstHit, Seq("q_doc", "doc_id"))
+      .withColumn("snip_start", greatest(lit(1L), col("first_pos") - 2L))
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(hits), "doc_id")
+      .select(col("q_doc"), col("rk"), col("doc_id"), col("first_pos"),
+        col("snip_start"),
+        expr("array_join(slice(split(text, ' '), cast(snip_start as int), 5), ' ')")
+          .as("snippet"))
   }
 
   /** Exact-phrase search against the positional companion (built with

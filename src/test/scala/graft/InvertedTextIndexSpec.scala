@@ -165,6 +165,36 @@ class InvertedTextIndexSpec extends SparkSpec {
     } finally cleanup("inv_idx_ph")
   }
 
+  test("index-served snippets reproduce q184 with a pruned positional scan") {
+    cleanup("inv_idx_sn")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      InvertedTextIndex.build(docs, "inv_idx_sn", positional = true)
+      val out = InvertedTextIndex.snippets(q180Queries, docs, "inv_idx_sn")
+
+      val viaIndex = out.collect().toSet
+      val oneShot = SparkEntry.queries("q184_snippets")(spark, sf0001)
+        .collect().toSet
+      assert(viaIndex == oneShot,
+        s"index path diverged from q184: ${viaIndex.size} vs ${oneShot.size} rows")
+
+      def flatten(p: SparkPlan): Seq[SparkPlan] = PlanGuards.flatten(p)
+      val plan = out.queryExecution.executedPlan
+      val joins = flatten(plan).collect {
+        case j: BroadcastHashJoinExec if j.toString.contains("inv_idx_sn_pos") => j
+      }
+      assert(joins.nonEmpty, s"no broadcast join over the pos index in:\n$plan")
+      joins.foreach { j =>
+        j.children.filter(_.toString.contains("inv_idx_sn_pos")).foreach { side =>
+          val shuffles = flatten(side).collect { case e: ShuffleExchangeExec => e }
+          assert(shuffles.isEmpty, s"pos side of the snippet join shuffles:\n$side")
+        }
+      }
+      assert(plan.toString.contains("SelectedBucketsCount"),
+        s"index scans are not bucket-pruned:\n$plan")
+    } finally cleanup("inv_idx_sn")
+  }
+
   test("phrase search honors repeated-word offsets and advances through append") {
     cleanup("inv_idx_rw")
     try {
