@@ -944,6 +944,109 @@ object RetrievalQueries {
        |  CAST(max(CASE WHEN brn = 1 THEN dist END) AS BIGINT) AS best_dist
        |FROM b GROUP BY q_doc, probe""".stripMargin
 
+  // ---- q189: learning-to-rank feature extraction -------------------
+
+  /** q189: the RERANKER TRAINING SET — per (query, candidate) feature
+    * rows a cross-encoder/LTR reranker trains on, built from the same
+    * candidate pool the first-stage ranker emits (q180's depth-
+    * [[FuseDepth]] list): lexical features (keyword rank, integer BM25
+    * score, matched-term count, document length), the set-overlap
+    * feature (token Jaccard to the query doc in bp, q186's kernel), the
+    * semantic feature (embedding cosine at 6dp, q181's proven form,
+    * with `has_emb` flagging corpus docs without an embedding row), and
+    * the known-item LABEL (candidate == query doc — q182's task
+    * definition, which is what makes this a supervised set without
+    * human judgments). The pool is retrieved ∪ known-positive — the
+    * target doc always contributes its feature row (rk_kw = 0 when the
+    * first stage missed it), so every query has exactly one positive
+    * and ≤[[FuseDepth]] hard negatives at any corpus scale.
+    *
+    * Scale shape: q180's scoring plus three broadcasts of the
+    * ≤|queries|×[[FuseDepth]] candidate frame — onto the documents scan
+    * (token sets), the embeddings scan (vectors), and the query-side
+    * payloads; per-query feature math is workload-bounded. The corpus
+    * scales only the one token shuffle. */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    // retrieved ∪ known-positive: the target doc always joins the pool
+    // (rk_kw = 0 marks "scored but not retrieved" — it shares its own
+    // query terms, so it is always in the scored frame), the standard
+    // LTR training-set construction when first-stage recall is imperfect
+    val cands = rankTop(scored(s, d), "rk", Int.MaxValue)
+      .filter(col("rk") <= FuseDepth || col("doc_id") === col("q_doc"))
+      .select(col("q_doc"),
+        when(col("rk") <= FuseDepth, col("rk")).otherwise(lit(0))
+          .as("rk_kw"),
+        col("doc_id"), col("n_hit"), col("score"))
+    val tsets = Tables.documents(s, d)
+      .join(broadcast(cands.select(col("doc_id")).unionByName(
+        cands.select(col("q_doc").as("doc_id"))).distinct()), "doc_id")
+      .select(col("doc_id"),
+        expr(s"array_distinct($whArrayExpr)").as("tset"),
+        size(expr(wordsExpr)).cast("long").as("dl"))
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("embedding")))
+    val qSide = tsets.select(col("doc_id").as("q_doc"),
+        col("tset").as("q_tset"))
+      .join(emb.select(col("vec_id").as("q_doc"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm")), Seq("q_doc"),
+        "left")
+    val cSide = tsets.select(col("doc_id"), col("tset"), col("dl"))
+      .join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm")),
+        Seq("doc_id"), "left")
+    cands
+      .join(broadcast(qSide), "q_doc")
+      .join(broadcast(cSide), "doc_id")
+      .withColumn("inter",
+        size(array_intersect(col("q_tset"), col("tset"))).cast("long"))
+      .withColumn("jac_bp", expr("(10000L * inter) div " +
+        "(cast(size(q_tset) as bigint) + cast(size(tset) as bigint) - inter)"))
+      .withColumn("has_emb",
+        col("q_emb").isNotNull && col("c_emb").isNotNull)
+      .withColumn("cos_sim", when(col("has_emb"),
+        round(expr("float_vector_dot(q_emb, c_emb)") /
+          (col("q_nrm") * col("c_nrm")), 6)).otherwise(lit(0.0)))
+      .select(col("q_doc"), col("doc_id"), col("rk_kw"), col("n_hit"),
+        col("score"), col("dl"), col("jac_bp"), col("has_emb"),
+        col("cos_sim"), (col("doc_id") === col("q_doc")).as("label"))
+  }
+
+  private val q189Sql = {
+    import graft.functions.VectorFunctions.cosineSql
+    s"""$frontSql,
+       |cands AS (
+       |  SELECT q_doc, CASE WHEN rk <= $FuseDepth THEN rk ELSE 0 END AS rk_kw,
+       |    doc_id, n_hit, score FROM (
+       |    SELECT q_doc, doc_id, n_hit, score, row_number() OVER (
+       |      PARTITION BY q_doc ORDER BY score DESC, doc_id) AS rk
+       |    FROM scored) WHERE rk <= $FuseDepth OR doc_id = q_doc),
+       |tsets AS (
+       |  SELECT doc_id, list_distinct(list_transform($wordsSqlExpr,
+       |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS tset,
+       |    CAST(len($wordsSqlExpr) AS BIGINT) AS dl
+       |  FROM documents),
+       |feat AS (
+       |  SELECT c.q_doc, c.doc_id, c.rk_kw, c.n_hit, c.score, ct.dl,
+       |    CAST(len(list_intersect(qt.tset, ct.tset)) AS BIGINT) AS inter,
+       |    CAST(len(qt.tset) AS BIGINT) AS qn,
+       |    CAST(len(ct.tset) AS BIGINT) AS cn,
+       |    qe.embedding AS q_emb, ce.embedding AS c_emb
+       |  FROM cands c
+       |  JOIN tsets qt ON qt.doc_id = c.q_doc
+       |  JOIN tsets ct ON ct.doc_id = c.doc_id
+       |  LEFT JOIN embeddings qe ON qe.vec_id = c.q_doc
+       |  LEFT JOIN embeddings ce ON ce.vec_id = c.doc_id)
+       |SELECT q_doc, doc_id, rk_kw, n_hit, score, dl,
+       |  (10000 * inter) // (qn + cn - inter) AS jac_bp,
+       |  q_emb IS NOT NULL AND c_emb IS NOT NULL AS has_emb,
+       |  CASE WHEN q_emb IS NOT NULL AND c_emb IS NOT NULL
+       |    THEN round(${cosineSql("q_emb", "c_emb")}, 6)
+       |    ELSE 0.0 END AS cos_sim,
+       |  doc_id = q_doc AS label
+       |FROM feat""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q180_keyword_search", q180, Some(q180Sql)),
     QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)),
@@ -952,5 +1055,6 @@ object RetrievalQueries {
     QueryDef("q184_snippets", q184, Some(q184Sql)),
     QueryDef("q185_prf_expansion", q185, Some(q185Sql)),
     QueryDef("q186_mmr_diversify", q186, Some(q186Sql)),
-    QueryDef("q188_fuzzy_term_match", q188, Some(q188Sql)))
+    QueryDef("q188_fuzzy_term_match", q188, Some(q188Sql)),
+    QueryDef("q189_ltr_features", q189, Some(q189Sql)))
 }

@@ -82,6 +82,26 @@ class RetrievalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q189 training set has one positive and bounded hard negatives per query") {
+    val rows = SparkEntry.queries("q189_ltr_features")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_doc"))
+    byQ.foreach { case (q, rs) =>
+      val pos = rs.filter(_.getAs[Boolean]("label"))
+      assert(pos.length == 1, s"query $q has ${pos.length} positives")
+      assert(pos.head.getAs[Long]("doc_id") == q, s"wrong positive for $q")
+      // the positive always carries full-overlap features even when the
+      // first stage missed it (rk_kw = 0 marks that honestly)
+      assert(pos.head.getAs[Long]("jac_bp") == 10000L,
+        s"self Jaccard must be exact: ${pos.head}")
+      assert(rs.length <= 21, s"pool overflow for $q: ${rs.length}")
+      val retrieved = rs.filter(_.getAs[Int]("rk_kw") > 0)
+      assert(retrieved.map(_.getAs[Int]("rk_kw")).distinct.length ==
+        retrieved.length, s"duplicate ranks for $q")
+    }
+  }
+
   test("q187 repetition plan conserves the budget under the epoch cap") {
     val rows = SparkEntry.queries("q187_repetition_plan")(spark, sf0001)
       .collect()
