@@ -10,9 +10,10 @@ import graft.functions.VectorFunctions.norm
 /** The PRODUCTION shape of the IVF search family (q33/q110/q130/q148):
   * the corpus is a MATERIALIZED index — vectors bucketed by their IVF
   * cell, the coarse-quantizer centroids persisted beside them as exact
-  * integer micro-unit sums (q110's engine-exact centroid math) — so a
-  * query batch pays ONLY its own probe scoring plus a scan of the
-  * probed buckets. Query-time properties, proven by AnnIvfIndexSpec:
+  * integers (q110's engine-exact centroid math, occupancy-bounded: see
+  * `cbarq` below) — so a query batch pays ONLY its own probe scoring
+  * plus a scan of the probed buckets. Query-time properties, proven by
+  * AnnIvfIndexSpec:
   *
   *   - result-for-result parity with q110 (same probe ranking, same
   *     exact-cosine re-rank) when built over the same assignment;
@@ -31,9 +32,10 @@ import graft.functions.VectorFunctions.norm
   * any practical k), the corpus never re-shuffles at query time, and
   * search cost per query batch is probe-scoring (rows: |queries|·k)
   * plus the probed buckets' bytes. The `search` API collects the
-  * probed cell ids (≤ |queries|·nprobe longs) to drive bucket
-  * pruning — the one deliberate driver-side step, the same size as
-  * the probe plan itself. */
+  * probe result (≤ |queries|·nprobe (q_id, cell) pairs) to drive
+  * bucket pruning AND re-inject the probes as a local relation — the
+  * one deliberate driver-side step, the same size as the probe plan
+  * itself, executed once. */
 object AnnIvfIndex {
 
   /** Corpus-table bucket sizing — [[DeltaSemDedupIndex.bucketsFor]]'s
@@ -57,17 +59,32 @@ object AnnIvfIndex {
     vecs.select(col(idCol), posexplode(col("embedding")).as(Seq("dim", "v")))
       .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
 
-  /** q110's probe score of exact integer sums: dot(query, centroid
-    * numerator) / ‖centroid numerator‖ — the query's own norm is
-    * rank-invariant. */
+  /** Probe score against the QUANTIZED centroid mean: dot(query,
+    * cbarq) / ‖cbarq‖ — the query's own norm is rank-invariant, and the
+    * `greatest(1, ·)` guard pins the (degenerate: sub-micro-unit mean in
+    * every dim) zero-norm cell to score 0 instead of NaN. Every term is
+    * bounded by dims·10¹² regardless of cell occupancy — see [[build]]. */
   private def probeScore: Column =
-    col("dotnum").cast("double") / sqrt(col("csumsq").cast("double"))
+    col("dotnum").cast("double") /
+      sqrt(greatest(col("cnormsq"), lit(1L)).cast("double"))
 
   /** Build the index from an ASSIGNED corpus (`vec_id`, `cell`,
     * `embedding`): the corpus table bucketed by cell, plus the
-    * centroid table (cell, dim, csum, csumsq, n) from exact integer
-    * micro-unit sums. The assignment is the caller's coarse quantizer
-    * output — labels (q33's contract) or a q125 Lloyd sweep. */
+    * centroid table (cell, dim, csum, n, cbarq, cnormsq).
+    *
+    * `cbarq` is the centroid MEAN in micro-units — `csum div n`,
+    * truncation toward zero on both engines — NOT the raw sum: with
+    * unit-norm micro-unit vectors, Σ csum² ≤ n²·10¹² wraps BIGINT once
+    * a cell holds ~3k aligned members, silently corrupting probe
+    * ranking (Spark's non-ANSI wrap), while |cbarq| ≤ 10⁶ bounds every
+    * probe product — Σ cbarq² and Σ u·cbarq are each ≤ dims·10¹² — at
+    * ANY cell occupancy (the same reason VectorQueries.pqOrthantCodebook
+    * ranks from `cbar`, kept integer here so centroids stay
+    * order-independent and oracle-replayable). The ≤1 micro-unit
+    * quantization of the mean is immaterial to coarse-probe ranking —
+    * AnnIvfIndexSpec pins result parity with q110's full-precision
+    * probe. The assignment is the caller's coarse quantizer output —
+    * labels (q33's contract) or a q125 Lloyd sweep. */
   def build(vecs: DataFrame, table: String, buckets: Int = 0): Unit = {
     val nb = if (buckets > 0) buckets else bucketsFor(vecs.count())
     vecs.select(col("vec_id"), col("cell"), col("embedding"),
@@ -76,10 +93,12 @@ object AnnIvfIndex {
       .mode("overwrite").saveAsTable(table)
     val cs = dimRows(vecs.select(col("cell"), col("embedding")), "cell")
       .groupBy(col("cell"), col("dim")).agg(sum(col("u")).as("csum"))
-    val meta = cs.groupBy(col("cell"))
-      .agg(sum(col("csum") * col("csum")).as("csumsq"))
     val n = vecs.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    cs.join(meta, "cell").join(n, "cell")
+    val withBar = cs.join(n, "cell")
+      .withColumn("cbarq", expr("csum div n"))
+    val meta = withBar.groupBy(col("cell"))
+      .agg(sum(col("cbarq") * col("cbarq")).as("cnormsq"))
+    withBar.join(meta, "cell")
       .write.mode("overwrite").saveAsTable(centTable(table))
   }
 
@@ -92,11 +111,11 @@ object AnnIvfIndex {
     val s = newVecs.sparkSession
     val cent = s.table(centTable(table))
     val assign = dimRows(newVecs, "vec_id")
-      .join(broadcast(cent.select(col("cell"), col("dim"), col("csum"))),
+      .join(broadcast(cent.select(col("cell"), col("dim"), col("cbarq"))),
         "dim")
       .groupBy(col("vec_id"), col("cell"))
-      .agg(sum(col("u") * col("csum")).as("dotnum"))
-      .join(broadcast(cent.select(col("cell"), col("csumsq")).distinct()),
+      .agg(sum(col("u") * col("cbarq")).as("dotnum"))
+      .join(broadcast(cent.select(col("cell"), col("cnormsq")).distinct()),
         "cell")
       .groupBy(col("vec_id"))
       .agg(max(struct(probeScore.as("score"),
@@ -145,24 +164,29 @@ object AnnIvfIndex {
     graft.expressions.FloatVectorDot.register(s)
     val cent = s.table(centTable(table))
     val dots = dimRows(queries, "q_id")
-      .join(broadcast(cent.select(col("cell"), col("dim"), col("csum"))),
+      .join(broadcast(cent.select(col("cell"), col("dim"), col("cbarq"))),
         "dim")
       .groupBy(col("q_id"), col("cell"))
-      .agg(sum(col("u") * col("csum")).as("dotnum"))
+      .agg(sum(col("u") * col("cbarq")).as("dotnum"))
     val probes = dots
-      .join(broadcast(cent.select(col("cell"), col("csumsq")).distinct()),
+      .join(broadcast(cent.select(col("cell"), col("cnormsq")).distinct()),
         "cell")
       .withColumn("score", probeScore)
       .withColumn("pk", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("cell").asc)))
       .filter(col("pk") <= nprobe)
       .select(col("q_id"), col("cell"))
-    // the ONE driver-side step: the probed cell ids (≤ |queries|·nprobe
-    // longs) become a literal In-filter so the bucketed scan prunes to
-    // the probed buckets — collect() here is the probe plan itself,
-    // not corpus data
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // the ONE driver-side step: the probe plan runs ONCE, its collected
+    // rows (≤ |queries|·nprobe (q_id, cell) pairs) feed BOTH the
+    // literal In-filter that bucket-prunes the corpus scan AND — as a
+    // local relation — the candidate join's probe side, so the
+    // latency-sensitive serving path never re-executes the probe
+    // scoring subplan. collect() here is the probe plan itself, not
+    // corpus data.
+    import scala.jdk.CollectionConverters._
+    val probeRows = probes.collect().toSeq
+    val probedCells = probeRows.map(_.getLong(1)).distinct
+    val probesLocal = s.createDataFrame(probeRows.asJava, probes.schema)
     val qPayload = queries
       .select(col("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
@@ -171,7 +195,7 @@ object AnnIvfIndex {
       .select(col("vec_id").as("c_id"), col("cell"),
         col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     corpus
-      .join(broadcast(probes.join(qPayload, "q_id")), "cell")
+      .join(broadcast(probesLocal.join(qPayload, "q_id")), "cell")
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         round(expr("float_vector_dot(q_emb, c_emb)") /

@@ -86,14 +86,21 @@ object InvertedTextIndex {
     * volume (sum_dl rows vs the main table's distinct pairs). */
   def build(docs: DataFrame, table: String, buckets: Int = 0,
       positional: Boolean = false): Unit = {
-    val meta = metaRow(docs)
+    import scala.jdk.CollectionConverters._
+    val metaPlan = metaRow(docs)
+    // ONE corpus tokenization pass serves both bucket sizing and the
+    // meta write: the collected row is re-injected as a local relation
+    // (re-evaluating metaRow would cost a second full scan — and two
+    // independent evaluations of a possibly nondeterministic input)
+    val metaVal = metaPlan.collect().head
     val nb =
       if (buckets > 0) buckets
-      else bucketsFor(meta.collect().head.getAs[Long]("sum_dl"))
+      else bucketsFor(metaVal.getAs[Long]("sum_dl"))
     RetrievalQueries.postingRows(docs)
       .write.bucketBy(nb, "wh").sortBy("wh")
       .mode("overwrite").saveAsTable(table)
-    metaRow(docs).write.mode("overwrite").saveAsTable(metaTable(table))
+    docs.sparkSession.createDataFrame(Seq(metaVal).asJava, metaPlan.schema)
+      .write.mode("overwrite").saveAsTable(metaTable(table))
     if (positional)
       RetrievalQueries.positionRows(docs)
         .write.bucketBy(nb, "wh").sortBy("wh")
@@ -144,37 +151,67 @@ object InvertedTextIndex {
         expr("(10000L * max_df) div n_docs").as("hot_df_bp"))
   }
 
+  /** Ceiling on the literal IN-list the workload's distinct token
+    * hashes may become. Below it, the `.isin` filter is what turns the
+    * bucketed+sorted layout into bucket- and rowgroup-pruned reads;
+    * above it the literal predicate itself degenerates (a multi-
+    * thousand-element In expression bloats the plan, codegen, and the
+    * parquet pushdown it exists to feed), so the scan switches to a
+    * broadcast LEFT SEMI join on the workload's term frame — same
+    * rows, no file pruning, still zero corpus shuffle. The cutover is
+    * result-invariant (InvertedTextIndexSpec pins both sides). */
+  private[graft] val MaxInList = 4096
+
+  /** Prune an index-table scan to the workload's token hashes:
+    * literal In-filter under [[MaxInList]], broadcast semi-join on the
+    * (already driver-local) term frame above it. */
+  private def pruneByWh(idx: DataFrame, whList: Seq[Long],
+      whFrame: DataFrame, maxInList: Int): DataFrame =
+    if (whList.size <= maxInList) idx.filter(col("wh").isin(whList: _*))
+    else idx.join(broadcast(whFrame.select(col("wh")).distinct()),
+      Seq("wh"), "left_semi")
+
   /** Top-k keyword search against the prebuilt index. `queries` must
     * have `q_doc` and `text`; output is q180's frame (q_doc, rk,
     * doc_id, n_hit, score) — rank-for-rank identical when `queries`
     * are q180's query docs, proven by InvertedTextIndexSpec.
     *
     * The ONE driver-side step is collecting the query docs' distinct
-    * token hashes into the scan's IN-list — bounded by the query
-    * workload (|queries| × tokens/query), never the corpus, and it is
-    * precisely what lets the bucketed+sorted layout prune buckets and
-    * row groups instead of streaming every posting (the ResultStore
-    * precedent: a bounded, documented collect at the serving seam).
-    * df for each queried term is counted over that pruned scan — all
-    * of a term's postings survive the IN filter, so the count is the
+    * (q_doc, token-hash) rows — bounded by the query workload
+    * (|queries| × tokens/query), never the corpus. The collected rows
+    * serve three masters at once: the scan's IN-list (what lets the
+    * bucketed+sorted layout prune buckets and row groups instead of
+    * streaming every posting — the ResultStore precedent: a bounded,
+    * documented collect at the serving seam), the [[MaxInList]] guard
+    * that swaps the literal filter for a broadcast semi-join when the
+    * workload outgrows a sane predicate, and the term frame itself as
+    * a LOCAL relation — so the query-side tokenization plan executes
+    * exactly once, never re-derived inside the candidate join.
+    * df for each queried term is counted over the pruned scan — all
+    * of a term's postings survive the wh filter, so the count is the
     * term's TRUE corpus df, append-stable by construction. */
   def search(queries: DataFrame, table: String,
       termsPerQuery: Int = RetrievalQueries.TermsPerQuery,
-      k: Int = 5): DataFrame =
-    searchPlan(queries, table, termsPerQuery, k)._1
+      k: Int = 5, maxInList: Int = MaxInList): DataFrame =
+    searchPlan(queries, table, termsPerQuery, k, maxInList)._1
 
   /** The shared serving plan: (ranked top-k, selected terms, the
-    * driver-side IN-list of the workload's token hashes). */
+    * workload-pruned scan of any companion index table). */
   private def searchPlan(queries: DataFrame, table: String,
-      termsPerQuery: Int, k: Int): (DataFrame, DataFrame, Seq[Long]) = {
+      termsPerQuery: Int, k: Int, maxInList: Int)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
+    import scala.jdk.CollectionConverters._
     val s = queries.sparkSession
-    val qtok = queries
+    val qtokPlan = queries
       .select(col("q_doc"),
         explode(expr(RetrievalQueries.whArrayExpr)).as("wh"))
       .distinct()
-    val whList = qtok.select(col("wh")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val matched = s.table(table).filter(col("wh").isin(whList: _*))
+    val qtokRows = qtokPlan.collect().toSeq
+    val qtok = s.createDataFrame(qtokRows.asJava, qtokPlan.schema)
+    val whList = qtokRows.map(_.getAs[Long]("wh")).distinct
+    def pruned(idx: DataFrame): DataFrame =
+      pruneByWh(idx, whList, qtok, maxInList)
+    val matched = pruned(s.table(table))
     val dfreq = matched.groupBy(col("wh")).agg(count(lit(1)).as("df"))
     val tw = Window.partitionBy(col("q_doc"))
       .orderBy(col("df").asc, col("wh").asc)
@@ -188,7 +225,7 @@ object InvertedTextIndex {
         RetrievalQueries.scoreCandidates(cands), "rk", k)
       .select(col("q_doc"), col("rk"), col("doc_id"), col("n_hit"),
         col("score"))
-    (ranked, terms, whList)
+    (ranked, terms, pruned)
   }
 
   /** q184's production form: top-k search plus first-hit snippets read
@@ -204,11 +241,11 @@ object InvertedTextIndex {
     * serving cost stays the touched posting lists. */
   def snippets(queries: DataFrame, docs: DataFrame, table: String,
       termsPerQuery: Int = RetrievalQueries.TermsPerQuery,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, maxInList: Int = MaxInList): DataFrame = {
     val s = queries.sparkSession
-    val (ranked, terms, whList) = searchPlan(queries, table, termsPerQuery, k)
-    val firstHit = s.table(posTable(table))
-      .filter(col("wh").isin(whList: _*))
+    val (ranked, terms, pruned) =
+      searchPlan(queries, table, termsPerQuery, k, maxInList)
+    val firstHit = pruned(s.table(posTable(table)))
       .join(broadcast(terms.select(col("q_doc"), col("wh"))), "wh")
       .join(broadcast(ranked.select(col("q_doc"), col("doc_id"))),
         Seq("q_doc", "doc_id"))
@@ -241,16 +278,23 @@ object InvertedTextIndex {
     * phrase pays its own terms' occurrence lists, never a corpus
     * scan. Candidate volume is the phrase terms' positional lists; the
     * one combine shuffles on (q_doc, doc_id, base). */
-  def phraseSearch(phrases: DataFrame, table: String): DataFrame = {
+  def phraseSearch(phrases: DataFrame, table: String,
+      maxInList: Int = MaxInList): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val s = phrases.sparkSession
-    val pterms = phrases.select(col("q_doc"),
+    // the phrase tokenization collects once (workload-bounded, like
+    // searchPlan) and feeds the IN-list/semi-join guard, the broadcast
+    // candidate side, and the per-phrase length — never re-executed
+    val ptermsPlan = phrases.select(col("q_doc"),
         posexplode(expr(RetrievalQueries.whArrayExprFor("phrase")))
           .as(Seq("off", "wh")))
-    val whList = pterms.select(col("wh")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val ptermRows = ptermsPlan.collect().toSeq
+    val pterms = s.createDataFrame(ptermRows.asJava, ptermsPlan.schema)
+    val whList = ptermRows.map(_.getAs[Long]("wh")).distinct
     val plen = pterms.groupBy(col("q_doc"))
       .agg(countDistinct(col("off")).as("plen"))
-    val matched = s.table(posTable(table)).filter(col("wh").isin(whList: _*))
+    val matched = pruneByWh(s.table(posTable(table)), whList, pterms,
+      maxInList)
     matched.join(broadcast(pterms), "wh")
       .select(col("q_doc"), col("doc_id"),
         (col("pos") - col("off")).as("base"), col("off"))

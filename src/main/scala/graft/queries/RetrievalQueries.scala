@@ -722,9 +722,14 @@ object RetrievalQueries {
     * shuffle. */
   private def q186(s: SparkSession, d: String): DataFrame = {
     val mw = Window.partitionBy(col("q_doc"))
+    // greatest(1, ·) guards the denominator: a best score < 10000 is
+    // possible under extreme doc-length skew (all-zero tfsat contribs),
+    // and Spark's div-by-zero returns NULL while DuckDB's // raises —
+    // the guard is applied identically on both engines
     val cands = rankTop(scored(s, d), "rk", FuseDepth)
       .withColumn("maxs", max(col("score")).over(mw))
-      .withColumn("rel_bp", expr("score div (maxs div 10000L)"))
+      .withColumn("rel_bp",
+        expr("score div greatest(1L, maxs div 10000L)"))
       .select(col("q_doc"), col("rk"), col("doc_id"), col("rel_bp"))
     val tsets = Tables.documents(s, d)
       .join(broadcast(cands.select(col("doc_id")).distinct()), "doc_id")
@@ -813,7 +818,8 @@ object RetrievalQueries {
     s"""$frontSql,
        |cands AS (
        |  SELECT q_doc, rk, doc_id,
-       |    score // ((max(score) OVER (PARTITION BY q_doc)) // 10000) AS rel_bp
+       |    score // greatest(1, (max(score) OVER (PARTITION BY q_doc)) // 10000)
+       |      AS rel_bp
        |  FROM (
        |    SELECT q_doc, doc_id, score, row_number() OVER (
        |      PARTITION BY q_doc ORDER BY score DESC, doc_id) AS rk

@@ -221,6 +221,41 @@ class InvertedTextIndexSpec extends SparkSpec {
     } finally cleanup("inv_idx_rw")
   }
 
+  test("IN-list guard: the semi-join fallback is result-identical to the literal filter") {
+    cleanup("inv_idx_guard")
+    try {
+      InvertedTextIndex.build(Tables.documents(spark, sf0001),
+        "inv_idx_guard", positional = true)
+      // maxInList = 0 forces every scan onto the broadcast-semi-join
+      // side of the cutover; results must match the pruned default
+      // for search, snippets, and phrase search alike
+      val viaIn = InvertedTextIndex.search(q180Queries, "inv_idx_guard")
+        .collect().toSet
+      val viaSemi = InvertedTextIndex.search(q180Queries, "inv_idx_guard",
+        maxInList = 0).collect().toSet
+      assert(viaIn == viaSemi,
+        s"IN-list cutover changed search results: ${viaIn.size} vs ${viaSemi.size}")
+      assert(viaIn.nonEmpty)
+
+      val phrases = q180Queries.select(col("q_doc"), expr(
+        "array_join(slice(split(text, ' '), 3, 3), ' ')").as("phrase"))
+      val phIn = InvertedTextIndex.phraseSearch(phrases, "inv_idx_guard")
+        .collect().toSet
+      val phSemi = InvertedTextIndex.phraseSearch(phrases, "inv_idx_guard",
+        maxInList = 0).collect().toSet
+      assert(phIn == phSemi, "IN-list cutover changed phrase results")
+
+      // the semi-join side must still broadcast (never shuffle the index)
+      val semiPlan = InvertedTextIndex.search(q180Queries, "inv_idx_guard",
+        maxInList = 0).queryExecution.executedPlan
+      val idxShuffles = PlanGuards.flatten(semiPlan).collect {
+        case e: ShuffleExchangeExec if e.toString.contains("inv_idx_guard") => e
+      }
+      assert(idxShuffles.isEmpty,
+        s"semi-join fallback shuffles the index:\n$semiPlan")
+    } finally cleanup("inv_idx_guard")
+  }
+
   test("bucket sizing rule scales with token volume and stays a power of two") {
     import graft.operators.InvertedTextIndex.bucketsFor
     assert(bucketsFor(60000L) == 8)                  // sf0.001: floor
