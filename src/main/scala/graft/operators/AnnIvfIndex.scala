@@ -155,11 +155,15 @@ object AnnIvfIndex {
           .as("retrain_due"))
 
   /** Search the index: for each query row (`q_id`, `embedding`), rank
-    * cells by q110's exact-integer probe score, take `nprobe`, scan
-    * ONLY the probed buckets, and exact-cosine re-rank to top `k`.
-    * Output (q_id, c_id, cos_sim, rk) — q110's frame. */
+    * cells by the exact-integer probe score, take `nprobe`, scan ONLY
+    * the probed buckets, and exact-cosine re-rank to top `k`. Output
+    * (q_id, c_id, cos_sim, rk) — q110's frame. `excludeSelf` (default
+    * true: a corpus vector querying for neighbors is not its own
+    * answer) drops candidates whose id equals the query id — known-item
+    * evaluation (q190) sets it false, because there the query doc's own
+    * indexed row IS the target being measured. */
   def search(queries: DataFrame, table: String, nprobe: Int = 2,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, excludeSelf: Boolean = true): DataFrame = {
     val s = queries.sparkSession
     graft.expressions.FloatVectorDot.register(s)
     val cent = s.table(centTable(table))
@@ -196,7 +200,7 @@ object AnnIvfIndex {
         col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     corpus
       .join(broadcast(probesLocal.join(qPayload, "q_id")), "cell")
-      .filter(col("c_id") =!= col("q_id"))
+      .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("c_id"),
         round(expr("float_vector_dot(q_emb, c_emb)") /
           (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))

@@ -28,15 +28,17 @@ import org.apache.spark.sql.functions._
 object HybridRetrieval {
 
   /** `queries`: (q_doc, text); `qVecs`: (q_doc, embedding). Output:
-    * (q_doc, rk, doc_id, rrf_ppm, rk_kw, rk_sem) — q181's frame. */
+    * (q_doc, rk, doc_id, rrf_ppm, rk_kw, rk_sem) — q181's frame.
+    * `excludeSelf` passes through to [[AnnIvfIndex.search]] (false for
+    * known-item evaluation — q190's production-recall measurement). */
   def search(queries: DataFrame, qVecs: DataFrame, textTable: String,
       annTable: String, fuseDepth: Int = 20, k: Int = 5,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60, excludeSelf: Boolean = true): DataFrame = {
     val kw = InvertedTextIndex.search(queries, textTable, k = fuseDepth)
       .select(col("q_doc"), col("doc_id"), col("rk").as("rk_kw"))
     val sem = AnnIvfIndex.search(
         qVecs.select(col("q_doc").as("q_id"), col("embedding")),
-        annTable, k = fuseDepth)
+        annTable, k = fuseDepth, excludeSelf = excludeSelf)
       .select(col("q_id").as("q_doc"), col("c_id").as("doc_id"),
         col("rk").as("rk_sem"))
     val w = Window.partitionBy(col("q_doc"))

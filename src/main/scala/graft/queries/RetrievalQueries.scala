@@ -326,12 +326,10 @@ object RetrievalQueries {
     * Scale shape: identical to q180/q181 (fixed query workload,
     * broadcast terms, partitioned windows); the measurement adds only
     * ≤3×|queries|-row bookkeeping on top. */
-  private def q182(s: SparkSession, d: String): DataFrame = {
-    graft.expressions.FloatVectorDot.register(s)
-    val post = postings(s, d)
-    val qdocs = queryDocs(s, d)
-
-    // quote terms: rarest TermsPerQuery tokens among positions 3-10
+  /** q182/q190's known-item query terms: rarest [[TermsPerQuery]]
+    * tokens among quote positions 3-10 (1-based) of each query doc. */
+  private def quoteTerms(s: SparkSession, d: String,
+      post: DataFrame, qdocs: DataFrame): DataFrame = {
     val quoteTok = Tables.documents(s, d)
       .join(broadcast(qdocs), col("doc_id") === col("q_doc"))
       .select(col("q_doc"), posexplode(expr(whArrayExpr)).as(Seq("p", "wh")))
@@ -340,10 +338,38 @@ object RetrievalQueries {
     val dfreq = post.groupBy(col("wh")).agg(count(lit(1)).as("df"))
     val tw = Window.partitionBy(col("q_doc"))
       .orderBy(col("df").asc, col("wh").asc)
-    val terms = quoteTok.join(dfreq, "wh")
+    quoteTok.join(dfreq, "wh")
       .withColumn("trn", row_number().over(tw))
       .filter(col("trn") <= TermsPerQuery)
       .select(col("q_doc"), col("wh"), col("df"))
+  }
+
+  /** Per-system self-rank rows for the known-item aggregation:
+    * (system, q_doc, self_rk) — NULL self_rk when the target is absent
+    * from `list`. */
+  private def selfRank(list: DataFrame, base: DataFrame, rkCol: String,
+      sys: String): DataFrame =
+    base.join(
+        list.filter(col("doc_id") === col("q_doc"))
+          .select(col("q_doc"), col(rkCol).cast("long").as("self_rk")),
+        Seq("q_doc"), "left")
+      .select(lit(sys).as("system"), col("q_doc"), col("self_rk"))
+
+  /** The known-item recall aggregation shared by q182/q190. */
+  private def recallAgg(rows: DataFrame): DataFrame =
+    rows.groupBy(col("system"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("self_rk")).as("n_found"),
+        count(when(col("self_rk") === 1, 1)).as("n_top1"),
+        count(when(col("self_rk") <= 5, 1)).as("n_top5"),
+        coalesce(sum(expr("1000000L div self_rk")), lit(0L))
+          .as("mrr_ppm_sum"))
+
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    val post = postings(s, d)
+    val qdocs = queryDocs(s, d)
+    val terms = quoteTerms(s, d, post, qdocs)
 
     val kw = rankTop(
       scoreCandidates(post.join(broadcast(terms), "wh")
@@ -378,31 +404,17 @@ object RetrievalQueries {
       .withColumn("rk_hyb", row_number().over(rrfW))
       .select(col("q_doc"), col("doc_id"), col("rk_hyb"))
 
-    def selfRank(list: DataFrame, base: DataFrame, rkCol: String,
-        sys: String): DataFrame =
-      base.join(
-          list.filter(col("doc_id") === col("q_doc"))
-            .select(col("q_doc"), col(rkCol).cast("long").as("self_rk")),
-          Seq("q_doc"), "left")
-        .select(lit(sys).as("system"), col("q_doc"), col("self_rk"))
-
     val semBase = qembs.select(col("q_doc"))
-    selfRank(kw, qdocs, "rk_kw", "kw")
+    recallAgg(selfRank(kw, qdocs, "rk_kw", "kw")
       .unionByName(selfRank(sem, semBase, "rk_sem", "sem"))
-      .unionByName(selfRank(hyb, qdocs, "rk_hyb", "hyb"))
-      .groupBy(col("system"))
-      .agg(count(lit(1)).as("n_queries"),
-        count(col("self_rk")).as("n_found"),
-        count(when(col("self_rk") === 1, 1)).as("n_top1"),
-        count(when(col("self_rk") <= 5, 1)).as("n_top5"),
-        coalesce(sum(expr("1000000L div self_rk")), lit(0L))
-          .as("mrr_ppm_sum"))
+      .unionByName(selfRank(hyb, qdocs, "rk_hyb", "hyb")))
   }
 
-  private val q182Sql = {
-    import graft.functions.VectorFunctions.cosineSql
-    s"""$frontSql,
-       |quote_tok AS (
+  /** Shared oracle CTEs for the known-item KEYWORD leg (q182/q190):
+    * quote-term selection and the integer BM25 ranking to depth
+    * [[FuseDepth]]. Appends to [[frontSql]]'s CTE list. */
+  private val knownItemKwSql =
+    s"""quote_tok AS (
        |  SELECT DISTINCT q.q_doc,
        |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS wh
        |  FROM qdocs q JOIN (
@@ -430,7 +442,12 @@ object RetrievalQueries {
        |  SELECT q_doc, doc_id, rk_kw FROM (
        |    SELECT q_doc, doc_id, row_number() OVER (PARTITION BY q_doc
        |      ORDER BY score DESC, doc_id) AS rk_kw
-       |    FROM kscored) WHERE rk_kw <= $FuseDepth),
+       |    FROM kscored) WHERE rk_kw <= $FuseDepth)""".stripMargin
+
+  private val q182Sql = {
+    import graft.functions.VectorFunctions.cosineSql
+    s"""$frontSql,
+       |$knownItemKwSql,
        |sem AS (
        |  SELECT q_doc, doc_id, rk_sem FROM (
        |    SELECT q.q_doc, c.vec_id AS doc_id, row_number() OVER (
@@ -1013,9 +1030,15 @@ object RetrievalQueries {
       .withColumn("cos_sim", when(col("has_emb"),
         round(expr("float_vector_dot(q_emb, c_emb)") /
           (col("q_nrm") * col("c_nrm")), 6)).otherwise(lit(0.0)))
-      .select(col("q_doc"), col("doc_id"), col("rk_kw"), col("n_hit"),
-        col("score"), col("dl"), col("jac_bp"), col("has_emb"),
-        col("cos_sim"), (col("doc_id") === col("q_doc")).as("label"))
+      // group_n: the query's candidate-list size — rerankers train
+      // LISTWISE/grouped (q_doc is the group key), so the set is
+      // consumable without a second grouping pass over it
+      .withColumn("group_n",
+        count(lit(1)).over(Window.partitionBy(col("q_doc"))))
+      .select(col("q_doc"), col("group_n"), col("doc_id"), col("rk_kw"),
+        col("n_hit"), col("score"), col("dl"), col("jac_bp"),
+        col("has_emb"), col("cos_sim"),
+        (col("doc_id") === col("q_doc")).as("label"))
   }
 
   private val q189Sql = {
@@ -1043,7 +1066,9 @@ object RetrievalQueries {
        |  JOIN tsets ct ON ct.doc_id = c.doc_id
        |  LEFT JOIN embeddings qe ON qe.vec_id = c.q_doc
        |  LEFT JOIN embeddings ce ON ce.vec_id = c.doc_id)
-       |SELECT q_doc, doc_id, rk_kw, n_hit, score, dl,
+       |SELECT q_doc,
+       |  CAST(count(*) OVER (PARTITION BY q_doc) AS BIGINT) AS group_n,
+       |  doc_id, rk_kw, n_hit, score, dl,
        |  (10000 * inter) // (qn + cn - inter) AS jac_bp,
        |  q_emb IS NOT NULL AND c_emb IS NOT NULL AS has_emb,
        |  CASE WHEN q_emb IS NOT NULL AND c_emb IS NOT NULL
@@ -1051,6 +1076,229 @@ object RetrievalQueries {
        |    ELSE 0.0 END AS cos_sim,
        |  doc_id = q_doc AS label
        |FROM feat""".stripMargin
+  }
+
+  // ---- q190: recall of the DEPLOYED retrieval stack ----------------
+
+  /** IVF probes for the deployed semantic leg — the measurement's
+    * documented cost knob (each probe pays one more cell's bucket). */
+  private[graft] val IvfNprobe = 2
+
+  /** q190: q182's known-item task answered by the math the PRODUCTION
+    * stack actually ships (the q155/q175 measure-what-you-serve
+    * discipline — q182 pins the idealized exact stack; this pins the
+    * deployed one, and the gap between the two tables IS the measured
+    * cost of approximation):
+    *
+    *   - `kw_idx`  — [[graft.operators.InvertedTextIndex.search]]'s
+    *     scoring, formula-identical to q182's kw leg (the index is a
+    *     pure layout change, so its recall row doubles as the
+    *     cross-check between the two tables);
+    *   - `sem_ivf` — [[graft.operators.AnnIvfIndex.search]]'s two-stage
+    *     ANN: probe the [[IvfNprobe]] nearest cells by the quantized-
+    *     centroid score (cbarq = csum div n in micro-units — bounded,
+    *     order-independent integers at any occupancy), then exact
+    *     cosine top-[[FuseDepth]] WITHIN the probed cells only. No
+    *     self-exclusion: the target is the query doc's own indexed row
+    *     (AnnIvfIndex.search(excludeSelf = false)). Recall < 100% here
+    *     is the price of scanning nprobe/k_cells of the corpus;
+    *   - `sem_ivf4` — the same leg at DOUBLE the probe budget: with
+    *     `nprobe` as the cost column, the two rows pin the
+    *     recall-vs-probes curve the operator's knob actually trades
+    *     (the testdata label cells are deliberately noisy — own-cell
+    *     probe rank spreads across all cells — so the curve is steep
+    *     and meaningfully measured, not saturated at 1.0);
+    *   - `hyb_ivf` — [[graft.operators.HybridRetrieval]]'s RRF fusion
+    *     of the two production legs (q181's integer-ppm formula) at
+    *     the deployed [[IvfNprobe]].
+    *
+    * Output per system: queries answered, target found in the candidate
+    * list, found at rank 1 / ≤5, reciprocal-rank mass in ppm, and the
+    * probe count as the cost column. RetrievalQueriesSpec additionally
+    * pins that this inline math is row-for-row the materialized
+    * operators' output on the same corpus — so the oracle-checked
+    * numbers ARE the deployed stack's numbers.
+    *
+    * Scale shape: the keyword leg is q180's (one token shuffle, terms
+    * broadcast); the semantic leg is q110's (centroid build is one
+    * (cell, dim) shuffle producing cells×dims rows, probe scoring joins
+    * the broadcast centroid table, the candidate join keys on the cell
+    * — against the materialized index it is the pruned-bucket scan);
+    * the fusion and recall bookkeeping are ≤3×|queries| rows. */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    val post = postings(s, d)
+    val qdocs = queryDocs(s, d)
+    val terms = quoteTerms(s, d, post, qdocs)
+
+    // keyword leg — InvertedTextIndex.search's formula
+    val kw = rankTop(
+      scoreCandidates(post.join(broadcast(terms), "wh")
+        .crossJoin(broadcast(stats(s, d)))),
+      "rk_kw", FuseDepth)
+      .select(col("q_doc"), col("doc_id"), col("rk_kw"))
+
+    // semantic leg — AnnIvfIndex.search's math over the label cells
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("embedding")))
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
+    val cs = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("u")).as("csum"), count(lit(1)).as("n"))
+      .withColumn("cbarq", expr("csum div n"))
+    val cmeta = cs.groupBy(col("label"))
+      .agg(sum(col("cbarq") * col("cbarq")).as("cnormsq"))
+    val qdots = dims.join(broadcast(qdocs), col("vec_id") === col("q_doc"))
+      .select(col("q_doc"), col("dim"), col("u"))
+      .join(broadcast(cs.select(col("label").as("c_label"), col("dim"),
+        col("cbarq"))), "dim")
+      .groupBy(col("q_doc"), col("c_label"))
+      .agg(sum(col("u") * col("cbarq")).as("dotnum"))
+    val probeRk = qdots
+      .join(broadcast(cmeta.withColumnRenamed("label", "c_label")),
+        "c_label")
+      .withColumn("score", col("dotnum").cast("double") /
+        sqrt(greatest(col("cnormsq"), lit(1L)).cast("double")))
+      .withColumn("pk", row_number().over(Window.partitionBy(col("q_doc"))
+        .orderBy(col("score").desc, col("c_label").asc)))
+    val qembs = emb.join(broadcast(qdocs), col("vec_id") === col("q_doc"))
+      .select(col("q_doc"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val sw = Window.partitionBy(col("q_doc"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    // the probed-cell ranking at a given probe budget — the recall-vs-
+    // cost curve's x axis (each probe adds one more cell's bucket scan)
+    def semAt(nprobe: Int): DataFrame = {
+      val probes = probeRk.filter(col("pk") <= nprobe)
+        .select(col("q_doc"), col("c_label"))
+      emb.select(col("vec_id").as("doc_id"),
+          col("label").as("c_label"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+        .join(broadcast(probes.join(qembs, "q_doc")), "c_label")
+        .select(col("q_doc"), col("doc_id"),
+          round(expr("float_vector_dot(q_emb, c_emb)") /
+            (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+        .withColumn("rk_sem", row_number().over(sw))
+        .filter(col("rk_sem") <= FuseDepth)
+        .select(col("q_doc"), col("doc_id"), col("rk_sem"))
+    }
+    val sem = semAt(IvfNprobe)
+    val sem4 = semAt(2 * IvfNprobe)
+
+    // hybrid — HybridRetrieval's RRF over the two production legs
+    val rrfW = Window.partitionBy(col("q_doc"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    val hyb = kw.join(sem, Seq("q_doc", "doc_id"), "full_outer")
+      .select(col("q_doc"), col("doc_id"),
+        (coalesce(expr(s"1000000L div ($RrfK + rk_kw)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($RrfK + rk_sem)"), lit(0L)))
+          .as("rrf_ppm"))
+      .withColumn("rk_hyb", row_number().over(rrfW))
+      .select(col("q_doc"), col("doc_id"), col("rk_hyb"))
+
+    val semBase = qembs.select(col("q_doc"))
+    recallAgg(selfRank(kw, qdocs, "rk_kw", "kw_idx")
+      .unionByName(selfRank(sem, semBase, "rk_sem", "sem_ivf"))
+      .unionByName(selfRank(sem4, semBase, "rk_sem", "sem_ivf4"))
+      .unionByName(selfRank(hyb, qdocs, "rk_hyb", "hyb_ivf")))
+      .withColumn("nprobe",
+        when(col("system") === "kw_idx", lit(0L))
+          .when(col("system") === "sem_ivf4", lit(2L * IvfNprobe))
+          .otherwise(lit(IvfNprobe.toLong)))
+  }
+
+  private val q190Sql = {
+    import graft.functions.VectorFunctions.cosineSql
+    s"""$frontSql,
+       |$knownItemKwSql,
+       |edims AS (
+       |  SELECT vec_id, label, i - 1 AS dim,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+       |cent AS (
+       |  SELECT label, dim, CAST(sum(u) AS BIGINT) AS csum,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM edims GROUP BY 1, 2),
+       |cbar AS (SELECT label, dim, csum // n AS cbarq FROM cent),
+       |cmeta AS (
+       |  SELECT label, CAST(sum(cbarq * cbarq) AS BIGINT) AS cnormsq
+       |  FROM cbar GROUP BY 1),
+       |qdots AS (
+       |  SELECT e.vec_id AS q_doc, c.label AS c_label,
+       |    CAST(sum(e.u * c.cbarq) AS BIGINT) AS dotnum
+       |  FROM edims e JOIN cbar c ON c.dim = e.dim
+       |  WHERE e.vec_id IN (SELECT q_doc FROM qdocs)
+       |  GROUP BY 1, 2),
+       |probe_rk AS (
+       |  SELECT q.q_doc, q.c_label, row_number() OVER (PARTITION BY q.q_doc
+       |    ORDER BY CAST(q.dotnum AS DOUBLE) /
+       |      sqrt(CAST(greatest(1, m.cnormsq) AS DOUBLE)) DESC,
+       |      q.c_label) AS pk
+       |  FROM qdots q JOIN cmeta m ON m.label = q.c_label),
+       |sem AS (
+       |  SELECT q_doc, doc_id, rk_sem FROM (
+       |    SELECT p.q_doc, c.vec_id AS doc_id, row_number() OVER (
+       |      PARTITION BY p.q_doc ORDER BY
+       |        round(${cosineSql("qe.embedding", "c.embedding")}, 6) DESC,
+       |        c.vec_id) AS rk_sem
+       |    FROM probe_rk p
+       |    JOIN embeddings qe ON qe.vec_id = p.q_doc
+       |    JOIN embeddings c ON c.label = p.c_label
+       |    WHERE p.pk <= $IvfNprobe)
+       |  WHERE rk_sem <= $FuseDepth),
+       |sem4 AS (
+       |  SELECT q_doc, doc_id, rk_sem FROM (
+       |    SELECT p.q_doc, c.vec_id AS doc_id, row_number() OVER (
+       |      PARTITION BY p.q_doc ORDER BY
+       |        round(${cosineSql("qe.embedding", "c.embedding")}, 6) DESC,
+       |        c.vec_id) AS rk_sem
+       |    FROM probe_rk p
+       |    JOIN embeddings qe ON qe.vec_id = p.q_doc
+       |    JOIN embeddings c ON c.label = p.c_label
+       |    WHERE p.pk <= ${2 * IvfNprobe})
+       |  WHERE rk_sem <= $FuseDepth),
+       |hyb AS (
+       |  SELECT q_doc, doc_id, row_number() OVER (PARTITION BY q_doc
+       |    ORDER BY rrf_ppm DESC, doc_id) AS rk_hyb
+       |  FROM (
+       |    SELECT coalesce(k.q_doc, s2.q_doc) AS q_doc,
+       |      coalesce(k.doc_id, s2.doc_id) AS doc_id,
+       |      coalesce(1000000 // ($RrfK + k.rk_kw), 0) +
+       |        coalesce(1000000 // ($RrfK + s2.rk_sem), 0) AS rrf_ppm
+       |    FROM kw k FULL OUTER JOIN sem s2
+       |      ON k.q_doc = s2.q_doc AND k.doc_id = s2.doc_id)),
+       |long_form AS (
+       |  SELECT 'kw_idx' AS system, q.q_doc,
+       |    (SELECT CAST(rk_kw AS BIGINT) FROM kw
+       |     WHERE kw.q_doc = q.q_doc AND kw.doc_id = q.q_doc) AS self_rk
+       |  FROM qdocs q
+       |  UNION ALL
+       |  SELECT 'sem_ivf' AS system, qe.vec_id AS q_doc,
+       |    (SELECT CAST(rk_sem AS BIGINT) FROM sem
+       |     WHERE sem.q_doc = qe.vec_id AND sem.doc_id = qe.vec_id) AS self_rk
+       |  FROM qdocs q2 JOIN embeddings qe ON qe.vec_id = q2.q_doc
+       |  UNION ALL
+       |  SELECT 'sem_ivf4' AS system, qe4.vec_id AS q_doc,
+       |    (SELECT CAST(rk_sem AS BIGINT) FROM sem4
+       |     WHERE sem4.q_doc = qe4.vec_id AND sem4.doc_id = qe4.vec_id)
+       |      AS self_rk
+       |  FROM qdocs q4 JOIN embeddings qe4 ON qe4.vec_id = q4.q_doc
+       |  UNION ALL
+       |  SELECT 'hyb_ivf' AS system, q3.q_doc,
+       |    (SELECT CAST(rk_hyb AS BIGINT) FROM hyb
+       |     WHERE hyb.q_doc = q3.q_doc AND hyb.doc_id = q3.q_doc) AS self_rk
+       |  FROM qdocs q3)
+       |SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(count(self_rk) AS BIGINT) AS n_found,
+       |  CAST(count(CASE WHEN self_rk = 1 THEN 1 END) AS BIGINT) AS n_top1,
+       |  CAST(count(CASE WHEN self_rk <= 5 THEN 1 END) AS BIGINT) AS n_top5,
+       |  coalesce(CAST(sum(1000000 // self_rk) AS BIGINT), 0) AS mrr_ppm_sum,
+       |  CASE WHEN system = 'kw_idx' THEN CAST(0 AS BIGINT)
+       |    WHEN system = 'sem_ivf4' THEN CAST(${2 * IvfNprobe} AS BIGINT)
+       |    ELSE CAST($IvfNprobe AS BIGINT) END AS nprobe
+       |FROM long_form GROUP BY system""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1062,5 +1310,6 @@ object RetrievalQueries {
     QueryDef("q185_prf_expansion", q185, Some(q185Sql)),
     QueryDef("q186_mmr_diversify", q186, Some(q186Sql)),
     QueryDef("q188_fuzzy_term_match", q188, Some(q188Sql)),
-    QueryDef("q189_ltr_features", q189, Some(q189Sql)))
+    QueryDef("q189_ltr_features", q189, Some(q189Sql)),
+    QueryDef("q190_deployed_recall", q190, Some(q190Sql)))
 }

@@ -144,4 +144,86 @@ class RetrievalQueriesSpec extends SparkSpec {
       .count(t => !base.contains(t))
     assert(moved > 0, "PRF expansion left every ranked row unchanged")
   }
+
+  test("q190 oracle math IS the deployed operators' output (measure what you ship)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{AnnIvfIndex, HybridRetrieval, InvertedTextIndex}
+    def cleanup(): Unit =
+      Seq("q190_text_idx", "q190_text_idx_meta", "q190_text_idx_pos",
+        "q190_ann_idx", "q190_ann_idx_cent").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = java.nio.file.Paths.get("spark-warehouse", t)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    cleanup()
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val emb = Tables.embeddings(spark, sf0001)
+      InvertedTextIndex.build(docs, "q190_text_idx")
+      AnnIvfIndex.build(
+        emb.select(col("vec_id"), col("label").cast("long").as("cell"),
+          col("embedding")),
+        "q190_ann_idx")
+      val qd = graft.queries.RetrievalQueries.queryDocs(spark, sf0001)
+      // the known-item workload: the 8-token quote (positions 3-10) is
+      // the TEXT handed to the keyword index — its rarest-4 term pick
+      // then matches q190's quote-term selection
+      val quoteQueries = qd.join(docs, col("q_doc") === col("doc_id"))
+        .select(col("q_doc"), expr(
+          "array_join(slice(split(text, ' '), 3, 8), ' ')").as("text"))
+      val qVecs = qd.join(emb, col("q_doc") === col("vec_id"))
+        .select(col("q_doc"), col("embedding"))
+
+      val kw = InvertedTextIndex.search(quoteQueries, "q190_text_idx", k = 20)
+        .select(col("q_doc"), col("doc_id"), col("rk").as("r"))
+      def semAt(np: Int): DataFrame = AnnIvfIndex.search(
+          qVecs.select(col("q_doc").as("q_id"), col("embedding")),
+          "q190_ann_idx", nprobe = np, k = 20, excludeSelf = false)
+        .select(col("q_id").as("q_doc"), col("c_id").as("doc_id"),
+          col("rk").as("r"))
+      // k = 40 keeps the FULL fused list (2 × depth-20 legs), matching
+      // q190's uncapped hybrid self-rank
+      val hyb = HybridRetrieval.search(quoteQueries, qVecs, "q190_text_idx",
+          "q190_ann_idx", fuseDepth = 20, k = 40, excludeSelf = false)
+        .select(col("q_doc"), col("doc_id"), col("rk").as("r"))
+
+      def agg(list: DataFrame, base: DataFrame, sys: String,
+          np: Long): (String, Seq[Long]) = {
+        val self = base.join(
+            list.filter(col("doc_id") === col("q_doc"))
+              .select(col("q_doc"), col("r").cast("long").as("self_rk")),
+            Seq("q_doc"), "left")
+        val r = self.agg(count(lit(1)), count(col("self_rk")),
+            count(when(col("self_rk") === 1, 1)),
+            count(when(col("self_rk") <= 5, 1)),
+            coalesce(sum(expr("1000000L div self_rk")), lit(0L)))
+          .collect().head
+        sys -> (Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)) :+ np)
+      }
+      val semBase = qVecs.select(col("q_doc"))
+      val viaOps = Seq(
+        agg(kw, qd, "kw_idx", 0L),
+        agg(semAt(2), semBase, "sem_ivf", 2L),
+        agg(semAt(4), semBase, "sem_ivf4", 4L),
+        agg(hyb, qd, "hyb_ivf", 2L)).toMap
+
+      val viaQuery = SparkEntry.queries("q190_deployed_recall")(spark, sf0001)
+        .collect().map(r => r.getAs[String]("system") -> Seq(
+          r.getAs[Long]("n_queries"), r.getAs[Long]("n_found"),
+          r.getAs[Long]("n_top1"), r.getAs[Long]("n_top5"),
+          r.getAs[Long]("mrr_ppm_sum"), r.getAs[Long]("nprobe"))).toMap
+      assert(viaQuery == viaOps,
+        s"q190's oracle math diverged from the deployed stack:\n" +
+          s"  query: $viaQuery\n  ops:   $viaOps")
+      // and the measurement is non-degenerate: fusion recovers recall
+      // the probed semantic leg alone gives up
+      assert(viaQuery("hyb_ivf")(1) >= viaQuery("sem_ivf")(1))
+    } finally cleanup()
+  }
 }
