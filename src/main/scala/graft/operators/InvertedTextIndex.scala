@@ -43,6 +43,8 @@ object InvertedTextIndex {
 
   private def posTable(table: String): String = table + "_pos"
 
+  private def fwdTable(table: String): String = table + "_fwd"
+
   /** Posting rows stay small (~32 B: four longs), so target ≤ ~2²⁰
     * rows (≈ 32 MB heap, a few MB parquet) per bucket file at snapshot
     * scale; floor 8, rounded up to a power of two (bucket joins only
@@ -76,6 +78,16 @@ object InvertedTextIndex {
       .select(col("n_docs"),
         expr("(1000L * sum_dl) div n_docs").as("avgdl_milli"))
 
+  /** (doc_id, tset, dl): the FORWARD index row — each doc's distinct
+    * token-hash set (q186's `tset` kernel) and its length. The `_fwd`
+    * companion materializes this bucketed by doc_id so doc-keyed
+    * serving lookups (PRF term harvesting, MMR similarity sets) prune
+    * to the touched documents instead of rescanning the corpus. */
+  private def forwardRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"array_distinct(${RetrievalQueries.whArrayExpr})").as("tset"),
+      size(expr("split(text, ' ')")).cast("long").as("dl"))
+
   /** Write the corpus' inverted index. `docs` must have `doc_id` and
     * `text`. `buckets` ≤ 0 (the default) derives the count from the
     * corpus token volume via [[bucketsFor]] — the sizing aggregate is
@@ -83,9 +95,13 @@ object InvertedTextIndex {
     * writes the `<table>_pos` companion — (doc_id, pos, wh) for EVERY
     * token occurrence, same bucket layout — enabling [[phraseSearch]];
     * it is opt-in because positional rows are the corpus' full token
-    * volume (sum_dl rows vs the main table's distinct pairs). */
+    * volume (sum_dl rows vs the main table's distinct pairs).
+    * `forward = true` also writes the `<table>_fwd` companion — one
+    * (doc_id, tset, dl) row per doc, bucketed by doc_id — enabling
+    * [[prfSearch]] and [[mmrSearch]] (the docvalues/forward-index half
+    * every production search stack keeps beside its postings). */
   def build(docs: DataFrame, table: String, buckets: Int = 0,
-      positional: Boolean = false): Unit = {
+      positional: Boolean = false, forward: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
     val metaPlan = metaRow(docs)
     // ONE corpus tokenization pass serves both bucket sizing and the
@@ -105,6 +121,10 @@ object InvertedTextIndex {
       RetrievalQueries.positionRows(docs)
         .write.bucketBy(nb, "wh").sortBy("wh")
         .mode("overwrite").saveAsTable(posTable(table))
+    if (forward)
+      forwardRows(docs)
+        .write.bucketBy(nb, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable(fwdTable(table))
   }
 
   /** Advance the snapshot WITHOUT a rebuild: append `admittedDocs`'
@@ -120,11 +140,16 @@ object InvertedTextIndex {
       .sortBy("wh").mode("append").saveAsTable(table)
     metaRow(admittedDocs).write.mode("append")
       .saveAsTable(metaTable(table))
-    // a positional companion, when deployed, advances in the same cut
+    // positional/forward companions, when deployed, advance in the
+    // same cut
     if (s.catalog.tableExists(posTable(table)))
       RetrievalQueries.positionRows(admittedDocs)
         .write.bucketBy(bucketCountOf(s, posTable(table)), "wh")
         .sortBy("wh").mode("append").saveAsTable(posTable(table))
+    if (s.catalog.tableExists(fwdTable(table)))
+      forwardRows(admittedDocs)
+        .write.bucketBy(bucketCountOf(s, fwdTable(table)), "doc_id")
+        .sortBy("doc_id").mode("append").saveAsTable(fwdTable(table))
   }
 
   /** Layout audit — rows-per-bucket vs the [[bucketsFor]] sizing
@@ -167,9 +192,29 @@ object InvertedTextIndex {
     * (already driver-local) term frame above it. */
   private def pruneByWh(idx: DataFrame, whList: Seq[Long],
       whFrame: DataFrame, maxInList: Int): DataFrame =
-    if (whList.size <= maxInList) idx.filter(col("wh").isin(whList: _*))
-    else idx.join(broadcast(whFrame.select(col("wh")).distinct()),
-      Seq("wh"), "left_semi")
+    pruneByKey(idx, "wh", whList, whFrame, maxInList)
+
+  private def pruneByKey(idx: DataFrame, keyCol: String, keys: Seq[Long],
+      keyFrame: DataFrame, maxInList: Int): DataFrame =
+    if (keys.size <= maxInList) idx.filter(col(keyCol).isin(keys: _*))
+    else idx.join(broadcast(keyFrame.select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_semi")
+
+  /** Pin bucketed scans ON for an eagerly-executed serving stage:
+    * Spark's DisableUnnecessaryBucketedScan drops bucketed reading
+    * when no downstream operator wants the partitioning — which
+    * forfeits the BUCKET PRUNING these lookups exist for (notably the
+    * `_fwd` fetches, whose subplans are filter-only). Scoped and
+    * restored, never leaked. */
+  private def withBucketedScan[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 
   /** Top-k keyword search against the prebuilt index. `queries` must
     * have `q_doc` and `text`; output is q180's frame (q_doc, rk,
@@ -306,5 +351,112 @@ object InvertedTextIndex {
       .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
         count(lit(1)).as("n_occurrences"),
         min(col("doc_id")).as("first_doc"))
+  }
+
+  /** q185's production form: pseudo-relevance-feedback expansion served
+    * from the index — initial top-`prfDocs` retrieval off the pruned
+    * postings scan, term harvesting off the doc_id-PRUNED `_fwd`
+    * forward companion (built with `forward = true`; the harvest leg is
+    * exactly why the forward index exists — harvesting from postings
+    * would need an un-prunable corpus scan), candidate-df counting and
+    * the re-score off pruned postings scans again. Row-for-row q185's
+    * output on q185's workload (InvertedTextIndexSpec).
+    *
+    * Driver-side steps, all query-workload-bounded and all feeding
+    * IN-list pruning (each guarded by [[MaxInList]]): the initial terms
+    * (≤|queries|·termsPerQuery), the pseudo-relevant hits
+    * (≤|queries|·prfDocs), the harvested expansion candidates
+    * (≤|queries|·prfDocs·doc-length hashes), and the adopted expansions
+    * (≤|queries|·expTerms). Serving cost = the touched posting lists +
+    * the prfDocs forward rows per query; the corpus never shuffles. */
+  def prfSearch(queries: DataFrame, table: String,
+      prfDocs: Int = RetrievalQueries.PrfDocs,
+      expTerms: Int = RetrievalQueries.ExpTermsPerQuery,
+      termsPerQuery: Int = RetrievalQueries.TermsPerQuery,
+      k: Int = 5, maxInList: Int = MaxInList): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val s = queries.sparkSession
+    val (prRanked, terms, _) =
+      searchPlan(queries, table, termsPerQuery, prfDocs, maxInList)
+    val termRows = terms.collect().toSeq
+    val termsLocal = s.createDataFrame(termRows.asJava, terms.schema)
+    val prPlan = prRanked.select(col("q_doc"), col("doc_id"))
+    val prRows = withBucketedScan(s)(prPlan.collect()).toSeq
+    val prLocal = s.createDataFrame(prRows.asJava, prPlan.schema)
+    val prIds = prRows.map(_.getAs[Long]("doc_id")).distinct
+    // harvest: expansion candidates with their pseudo-relevant support
+    val fwdPruned = pruneByKey(s.table(fwdTable(table)), "doc_id", prIds,
+      prLocal, maxInList)
+    val expCand = fwdPruned
+      .select(col("doc_id"), explode(col("tset")).as("wh"))
+      .join(broadcast(prLocal), "doc_id")
+      .groupBy(col("q_doc"), col("wh"))
+      .agg(count(lit(1)).as("nd"))
+      .join(termsLocal.select(col("q_doc"), col("wh")), Seq("q_doc", "wh"),
+        "left_anti")
+    val candRows = withBucketedScan(s)(expCand.collect()).toSeq
+    val candLocal = s.createDataFrame(candRows.asJava, expCand.schema)
+    val candWhs = candRows.map(_.getAs[Long]("wh")).distinct
+    // candidate df over the pruned postings scan = the TRUE corpus df
+    // (all of a term's postings survive the wh filter)
+    val dfreq2 = pruneByWh(s.table(table), candWhs, candLocal, maxInList)
+      .groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val ew = Window.partitionBy(col("q_doc"))
+      .orderBy(col("nd").desc, col("df").asc, col("wh").asc)
+    val exps = candLocal.join(dfreq2, "wh")
+      .withColumn("ern", row_number().over(ew))
+      .filter(col("ern") <= expTerms)
+      .select(col("q_doc"), col("wh"), col("df"))
+    val expRows = withBucketedScan(s)(exps.collect()).toSeq
+    val expsLocal = s.createDataFrame(expRows.asJava, exps.schema)
+    // re-score with the widened term set — q185's second round
+    val allTerms = termsLocal.unionByName(expsLocal)
+    val allWhs =
+      (termRows.map(_.getAs[Long]("wh")) ++
+        expRows.map(_.getAs[Long]("wh"))).distinct
+    val cands = pruneByWh(s.table(table), allWhs, allTerms, maxInList)
+      .join(broadcast(allTerms), "wh")
+      .crossJoin(broadcast(stats(s, table)))
+    RetrievalQueries.rankTop(RetrievalQueries.scoreCandidates(cands), "rk", k)
+      .select(col("q_doc"), col("rk"), col("doc_id"), col("n_hit"),
+        col("score"))
+  }
+
+  /** q186's production form: MMR diversification served from the index
+    * — the depth-`fuseDepth` candidates come off the pruned postings
+    * scan, their token sets off the doc_id-PRUNED `_fwd` forward
+    * companion (q186 re-derives them from a corpus scan; the index
+    * reads exactly the ≤|queries|·fuseDepth touched rows), and the
+    * greedy rounds are the SAME barriered array-fold
+    * ([[RetrievalQueries.mmrFold]] — fold-for-fold the oracle's).
+    * Row-for-row q186's output on q186's workload
+    * (InvertedTextIndexSpec).
+    *
+    * The candidate frame is collected once (≤|queries|·fuseDepth rows —
+    * the MMR fold collapses per-query state to single rows anyway) and
+    * re-injected: it prunes the `_fwd` scan and feeds the fold without
+    * re-executing the retrieval subtree. */
+  def mmrSearch(queries: DataFrame, table: String,
+      fuseDepth: Int = RetrievalQueries.FuseDepth,
+      k: Int = RetrievalQueries.TopK,
+      termsPerQuery: Int = RetrievalQueries.TermsPerQuery,
+      maxInList: Int = MaxInList): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val s = queries.sparkSession
+    val (ranked, _, _) =
+      searchPlan(queries, table, termsPerQuery, fuseDepth, maxInList)
+    val mw = Window.partitionBy(col("q_doc"))
+    val candsPlan = ranked
+      .withColumn("maxs", max(col("score")).over(mw))
+      .withColumn("rel_bp",
+        expr("score div greatest(1L, maxs div 10000L)"))
+      .select(col("q_doc"), col("rk"), col("doc_id"), col("rel_bp"))
+    val candRows = withBucketedScan(s)(candsPlan.collect()).toSeq
+    val candsLocal = s.createDataFrame(candRows.asJava, candsPlan.schema)
+    val candIds = candRows.map(_.getAs[Long]("doc_id")).distinct
+    val tsets = pruneByKey(s.table(fwdTable(table)), "doc_id", candIds,
+        candsLocal, maxInList)
+      .select(col("doc_id"), col("tset"))
+    RetrievalQueries.mmrFold(candsLocal.join(broadcast(tsets), "doc_id"), k)
   }
 }

@@ -53,9 +53,9 @@ object RetrievalQueries {
 
   /** Terms per query doc, fused result depth, emitted top-k. */
   private[graft] val TermsPerQuery = 4
-  private val FuseDepth = 20
-  private val TopK = 5
-  private val RrfK = 60
+  private[graft] val FuseDepth = 20
+  private[graft] val TopK = 5
+  private[graft] val RrfK = 60
 
   // ---- shared Spark-side front (also the InvertedTextIndex kernel) --
 
@@ -624,8 +624,8 @@ object RetrievalQueries {
   // ---- q185: pseudo-relevance-feedback expansion -------------------
 
   /** Pseudo-relevant docs per query, expansion terms added from them. */
-  private val PrfDocs = 3
-  private val ExpTermsPerQuery = 2
+  private[graft] val PrfDocs = 3
+  private[graft] val ExpTermsPerQuery = 2
 
   /** q185: query expansion by pseudo-relevance feedback (the RM3
     * family, Lavrenko & Croft 2001, in integer-exact form): take each
@@ -713,7 +713,7 @@ object RetrievalQueries {
   // ---- q186: MMR result diversification ---------------------------
 
   /** MMR trade-off λ in milli (500 = equal weight). */
-  private val MmrLambdaMilli = 500L
+  private[graft] val MmrLambdaMilli = 500L
 
   /** q186: maximal-marginal-relevance re-ranking (Carbonell & Goldstein
     * 1998) of each query's depth-[[FuseDepth]] keyword candidates into a
@@ -751,14 +751,26 @@ object RetrievalQueries {
     val tsets = Tables.documents(s, d)
       .join(broadcast(cands.select(col("doc_id")).distinct()), "doc_id")
       .select(col("doc_id"), expr(s"array_distinct($whArrayExpr)").as("tset"))
-    // The greedy rounds run INSIDE one collected row per query, as
-    // scalar array-HOF folds (the q170 fold-chain style): a per-round
-    // DataFrame recurrence re-embeds — and re-EXECUTES — the scoring
-    // subtree once per reference (measured 245 file scans / 410
-    // exchanges, no ReuseExchange under AQE), while here the corpus
-    // work runs exactly once and the ≤FuseDepth-element greedy is
-    // per-row arithmetic. `transform(array(x), b -> …)[0]` is the
-    // let-binding idiom — it evaluates the bound expression once.
+    mmrFold(cands.join(broadcast(tsets), "doc_id"), TopK)
+  }
+
+  /** The MMR greedy over per-query candidate rows (q_doc, rk, doc_id,
+    * rel_bp, tset) → the diversified picks (q_doc, pick, doc_id,
+    * rel_bp, div_bp). Shared by q186 and
+    * [[graft.operators.InvertedTextIndex.mmrSearch]] so the index-
+    * served form is fold-for-fold the oracle's.
+    *
+    * The `topK` − 1 greedy rounds run INSIDE one collected row per
+    * query, as scalar array-HOF folds (the q170 fold-chain style): a
+    * per-round DataFrame recurrence re-embeds — and re-EXECUTES — the
+    * scoring subtree once per reference (measured 245 file scans / 410
+    * exchanges, no ReuseExchange under AQE), while here the upstream
+    * work runs exactly once and the ≤FuseDepth-element greedy is
+    * per-row arithmetic. `transform(array(x), b -> …)[0]` is the
+    * let-binding idiom — it evaluates the bound expression once. */
+  private[graft] def mmrFold(candsWithTsets: DataFrame, topK: Int)
+      : DataFrame = {
+    val s = candsWithTsets.sparkSession
     val lam = MmrLambdaMilli
     val lam1 = 1000L - MmrLambdaMilli
     def jacSql(c: String, s: String): String =
@@ -784,7 +796,7 @@ object RetrievalQueries {
         s"'pick', ${t}L, 'doc_id', b.c.doc_id, 'rel_bp', b.c.rel_bp, " +
         "'div_bp', b.d, 'tset', b.c.tset))), " +
         "'rem', filter(st.rem, c -> c.doc_id != b.c.doc_id)))[0] END"
-    var grouped = cands.join(broadcast(tsets), "doc_id")
+    var grouped = candsWithTsets
       .groupBy(col("q_doc"))
       .agg(sort_array(collect_list(struct(col("rk"), col("doc_id"),
         col("rel_bp"), col("tset")))).as("cs"))
@@ -803,7 +815,7 @@ object RetrievalQueries {
     // than even the DataFrame recurrence); behind the barrier each
     // round evaluates the previous state ONCE per row
     graft.expressions.OptimizerBarrier.register(s)
-    for (t <- 2 to TopK)
+    for (t <- 2 to topK)
       grouped = grouped.withColumn("st", expr(s"opt_barrier(${roundSql(t)})"))
     grouped.select(col("q_doc"), explode(col("st.sel")).as("s"))
       .select(col("q_doc"), col("s.pick").as("pick"),
@@ -885,24 +897,41 @@ object RetrievalQueries {
     * bounded), and the only corpus pass is the word-df aggregation
     * (one token shuffle, map-side combined). The verify runs only on
     * key-join survivors. */
-  private def q188(s: SparkSession, d: String): DataFrame = {
+  /** The SymSpell deletion neighborhood {x} ∪ del₁(x) of a string
+    * column — shared with [[graft.operators.FuzzyVocabIndex]] (the
+    * materialized form of this query's candidate join; change the
+    * neighborhood here and there together). */
+  private[graft] def delKeysExpr(c: String): String =
+    s"array_distinct(concat(array($c), transform(sequence(1, length($c)), " +
+      s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1)))))"
+
+  /** q188's deterministic misspelled probes — each query doc's rarest
+    * term with its 2nd character deleted: (q_doc, probe). Exposed so
+    * FuzzyVocabIndexSpec can replay the exact workload against the
+    * materialized index. */
+  private[graft] def fuzzyProbes(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val vocab = words.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val qw = Window.partitionBy(col("q_doc"))
       .orderBy(col("df").asc, col("w").asc)
-    val probes = words.join(broadcast(queryDocs(s, d)),
-        col("doc_id") === col("q_doc"))
+    words.join(broadcast(queryDocs(s, d)), col("doc_id") === col("q_doc"))
       .select(col("q_doc"), col("w")).distinct()
       .join(vocab, "w")
       .withColumn("rn", row_number().over(qw)).filter(col("rn") === 1)
       .withColumn("probe", expr("CASE WHEN length(w) >= 2 " +
         "THEN concat(substring(w, 1, 1), substring(w, 3)) ELSE w END"))
       .select(col("q_doc"), col("probe"))
-    def delKeys(c: String): String =
-      s"array_distinct(concat(array($c), transform(sequence(1, length($c)), " +
-        s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1)))))"
+  }
+
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val probes = fuzzyProbes(s, d)
+    def delKeys(c: String): String = delKeysExpr(c)
     val probeKeys = probes.select(col("q_doc"), col("probe"),
       explode(expr(delKeys("probe"))).as("k"))
     val vocabKeys = vocab.select(col("w"), col("df"),

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyVocabIndex
+import graft.queries.RetrievalQueries
+
+/** The materialized SymSpell dictionary must be a pure layout change:
+  * suggestion-for-suggestion identical to q188 (which derives the
+  * deletion neighborhood from one corpus scan), with the key scan
+  * bucket-pruned to the probes' neighborhoods, advancing through
+  * append exactly like a rebuild. */
+class FuzzyVocabIndexSpec extends SparkSpec {
+
+  private def cleanup(tables: String*): Unit =
+    tables.flatMap(t => Seq(t + "_vocab", t + "_keys")).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+
+  test("dictionary search reproduces q188 with a pruned key scan") {
+    cleanup("fuzzy_idx")
+    try {
+      FuzzyVocabIndex.build(Tables.documents(spark, sf0001), "fuzzy_idx")
+      val probes = RetrievalQueries.fuzzyProbes(spark, sf0001)
+      val out = FuzzyVocabIndex.search(probes, "fuzzy_idx")
+      val viaIndex = out.collect().toSet
+      val oneShot = SparkEntry.queries("q188_fuzzy_term_match")(spark, sf0001)
+        .collect().toSet
+      assert(viaIndex == oneShot,
+        s"index path diverged from q188: ${viaIndex.size} vs ${oneShot.size}")
+      assert(viaIndex.nonEmpty)
+      // the returned plan reads the vocab table PRUNED and shuffle-free
+      // (the key scan ran inside search()'s candidate collect — its
+      // pruning is proven below on the same filter shape)
+      val plan = out.queryExecution.executedPlan
+      val vocabScan = PlanGuards.flatten(plan)
+        .find(p => p.nodeName.contains("Scan") &&
+          p.toString.contains("fuzzy_idx_vocab"))
+        .map(_.toString).getOrElse("")
+      assert(vocabScan.contains("SelectedBucketsCount"),
+        s"vocab scan is not bucket-pruned:\n$vocabScan")
+      val idxShuffles = PlanGuards.flatten(plan).collect {
+        case e: ShuffleExchangeExec
+          if e.toString.contains("fuzzy_idx") => e
+      }
+      assert(idxShuffles.isEmpty, s"dictionary scan shuffles:\n$plan")
+      // the candidate stage's key-table read (an IN-filter over the
+      // probes' deletion keys, exactly search()'s shape, under the same
+      // pinned-bucketed-scan conf) bucket-prunes
+      val someKeys = probes.select(expr(
+          "explode(array_distinct(concat(array(probe), " +
+            "transform(sequence(1, length(probe)), " +
+            "i -> concat(substring(probe, 1, i - 1), substring(probe, i + 1))))))"))
+        .collect().map(_.getString(0)).distinct.toSeq
+      val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "false")
+      val keyScan =
+        try spark.table("fuzzy_idx_keys")
+          .filter(col("k").isin(someKeys: _*))
+          .queryExecution.executedPlan.toString
+        finally prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      assert(keyScan.contains("SelectedBucketsCount"),
+        s"key scan is not bucket-pruned:\n$keyScan")
+
+      // the IN-list guard's semi-join side is result-identical
+      val viaSemi = FuzzyVocabIndex.search(probes, "fuzzy_idx",
+        maxInList = 0).collect().toSet
+      assert(viaSemi == viaIndex, "IN-list cutover changed fuzzy results")
+    } finally cleanup("fuzzy_idx")
+  }
+
+  test("append advances the dictionary exactly like a rebuild") {
+    cleanup("fuzzy_inc", "fuzzy_full")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val snap = docs.filter(col("doc_id") % 3 =!= 0)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      FuzzyVocabIndex.build(snap, "fuzzy_inc")
+      FuzzyVocabIndex.append(delta, "fuzzy_inc")
+      FuzzyVocabIndex.build(docs, "fuzzy_full")
+      // summed per-word dfs equal the rebuild's exactly
+      val inc = spark.table("fuzzy_inc_vocab").groupBy("w")
+        .agg(sum("df").as("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val full = spark.table("fuzzy_full_vocab").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(inc == full, "append-advanced vocab dfs != rebuild")
+      // served suggestions identical over the appended dictionary
+      val probes = RetrievalQueries.fuzzyProbes(spark, sf0001)
+      val viaInc = FuzzyVocabIndex.search(probes, "fuzzy_inc")
+        .collect().toSet
+      val viaFull = FuzzyVocabIndex.search(probes, "fuzzy_full")
+        .collect().toSet
+      assert(viaInc == viaFull, "appended dictionary serves different matches")
+      // and the lifecycle audit reads the deployed layout
+      val audit = FuzzyVocabIndex.layoutAudit(spark, "fuzzy_inc")
+        .collect().head
+      assert(audit.getAs[Long]("n_keys") > 0)
+      assert(!audit.getAs[Boolean]("rebucket_due"))
+    } finally cleanup("fuzzy_inc", "fuzzy_full")
+  }
+}

@@ -17,7 +17,7 @@ class InvertedTextIndexSpec extends SparkSpec {
 
   private def cleanup(tables: String*): Unit =
     (if (tables.isEmpty) Seq("inv_idx_t") else tables)
-      .flatMap(t => Seq(t, t + "_meta", t + "_pos")).foreach { t =>
+      .flatMap(t => Seq(t, t + "_meta", t + "_pos", t + "_fwd")).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         val p = java.nio.file.Paths.get("spark-warehouse", t)
         if (java.nio.file.Files.exists(p)) {
@@ -219,6 +219,79 @@ class InvertedTextIndexSpec extends SparkSpec {
         .as[(Long, Long, Long, Long)].collect().toSeq
       assert(r1 == Seq((100L, 3L, 3L, 1L)), s"got $r1")
     } finally cleanup("inv_idx_rw")
+  }
+
+  test("index-served PRF expansion reproduces q185 off pruned postings + forward rows") {
+    cleanup("inv_idx_prf")
+    try {
+      InvertedTextIndex.build(Tables.documents(spark, sf0001), "inv_idx_prf",
+        forward = true)
+      val out = InvertedTextIndex.prfSearch(q180Queries, "inv_idx_prf")
+      val viaIndex = out.collect().toSet
+      val oneShot = SparkEntry.queries("q185_prf_expansion")(spark, sf0001)
+        .collect().toSet
+      assert(viaIndex == oneShot,
+        s"PRF index path diverged from q185: ${viaIndex.size} vs ${oneShot.size}")
+      assert(viaIndex.nonEmpty)
+      // the final plan's index side stays shuffle-free and pruned
+      def flatten(p: SparkPlan): Seq[SparkPlan] = PlanGuards.flatten(p)
+      val plan = out.queryExecution.executedPlan
+      val idxShuffles = flatten(plan).collect {
+        case e: ShuffleExchangeExec if e.toString.contains("inv_idx_prf") => e
+      }
+      assert(idxShuffles.isEmpty, s"PRF re-score shuffles the index:\n$plan")
+      assert(plan.toString.contains("SelectedBucketsCount"),
+        s"PRF re-score scan is not bucket-pruned:\n$plan")
+    } finally cleanup("inv_idx_prf")
+  }
+
+  test("index-served MMR reproduces q186 off pruned postings + forward rows") {
+    cleanup("inv_idx_mmr")
+    try {
+      InvertedTextIndex.build(Tables.documents(spark, sf0001), "inv_idx_mmr",
+        forward = true)
+      val out = InvertedTextIndex.mmrSearch(q180Queries, "inv_idx_mmr")
+      val viaIndex = out.collect().toSet
+      val oneShot = SparkEntry.queries("q186_mmr_diversify")(spark, sf0001)
+        .collect().toSet
+      assert(viaIndex == oneShot,
+        s"MMR index path diverged from q186: ${viaIndex.size} vs ${oneShot.size}")
+      assert(viaIndex.nonEmpty)
+      // the forward-index fetch is bucket-pruned to the candidates
+      def flatten(p: SparkPlan): Seq[SparkPlan] = PlanGuards.flatten(p)
+      val plan = out.queryExecution.executedPlan
+      val fwdScan = flatten(plan)
+        .find(p => p.nodeName.contains("Scan") &&
+          p.toString.contains("inv_idx_mmr_fwd"))
+        .map(_.toString).getOrElse("")
+      assert(fwdScan.contains("SelectedBucketsCount"),
+        s"forward-index scan is not bucket-pruned:\n$fwdScan")
+    } finally cleanup("inv_idx_mmr")
+  }
+
+  test("forward companion advances through append exactly like a rebuild") {
+    cleanup("inv_idx_fwd_inc", "inv_idx_fwd_full")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val snap = docs.filter(col("doc_id") % 3 =!= 0)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      InvertedTextIndex.build(snap, "inv_idx_fwd_inc", forward = true)
+      InvertedTextIndex.append(delta, "inv_idx_fwd_inc")
+      InvertedTextIndex.build(docs, "inv_idx_fwd_full", forward = true)
+      val inc = spark.table("inv_idx_fwd_inc_fwd").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+        .toSet
+      val full = spark.table("inv_idx_fwd_full_fwd").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+        .toSet
+      assert(inc == full, "append-advanced forward index != rebuild")
+      // served results identical over the appended index
+      val viaInc = InvertedTextIndex.mmrSearch(q180Queries, "inv_idx_fwd_inc")
+        .collect().toSet
+      val viaFull = InvertedTextIndex.mmrSearch(q180Queries, "inv_idx_fwd_full")
+        .collect().toSet
+      assert(viaInc == viaFull)
+    } finally cleanup("inv_idx_fwd_inc", "inv_idx_fwd_full")
   }
 
   test("IN-list guard: the semi-join fallback is result-identical to the literal filter") {
