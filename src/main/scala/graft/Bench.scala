@@ -122,7 +122,10 @@ object Bench {
     // sessionizer under a file-source stream + RocksDB state store — not
     // the batch q15 proxy. Sustained events/s excludes stream startup;
     // p50/p99 are per-trigger latencies from the query's own telemetry.
-    val stream = try StreamBench.run(spark, sfDir)
+    // Median-of-3 (VERDICT r12 #2): the bulk point has only 12 triggers,
+    // so single-run quantiles are unstable — the recorded number is the
+    // median-eps run's full Result, reproducible by construction.
+    val stream = try StreamBench.runMedian3(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
         StreamBench.Result(0L, 0, 0.0, 0.0, 0.0, 0.0, 0L, 0L)

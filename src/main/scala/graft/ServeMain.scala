@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIvfIndex, HybridRetrieval, InvertedTextIndex}
+import graft.operators.{AnnIvfIndex, FuzzyVocabIndex, HybridRetrieval,
+  InvertedTextIndex}
 import graft.queries.RetrievalQueries
 
 /** The SERVING story assembled end-to-end as ONE runnable job — what a
@@ -11,36 +12,60 @@ import graft.queries.RetrievalQueries
   * the production pieces the oracle queries pin individually:
   *
   *   snapshot cut
-  *     ├─ keyword: InvertedTextIndex.build (postings + `_pos`, bucketed)
-  *     └─ semantic: AnnIvfIndex.build     (cells + centroids, bucketed)
+  *     ├─ keyword: InvertedTextIndex.build (postings + `_pos` + `_fwd`)
+  *     ├─ semantic: AnnIvfIndex.build      (cells + centroids, bucketed)
+  *     └─ fuzzy:    FuzzyVocabIndex.build  (SymSpell dictionary)
   *   per query batch (here: the q180 content-addressed workload)
   *     ├─ keyword top-k      (pruned postings scan)
   *     ├─ exact-phrase       (pruned positional scan, q183's algorithm)
   *     ├─ snippets           (q184's frame off the same `_pos` table)
   *     ├─ hybrid RRF         (both indexes fused, q181's integer ppm)
+  *     ├─ PRF expansion      (q185 off pruned postings + `_fwd` rows)
+  *     ├─ MMR diversify      (q186 off pruned postings + `_fwd` rows)
+  *     ├─ fuzzy suggest      (q188 off the pruned deletion dictionary)
   *     └─ layout audits      (rebucket / hot-token / cell-skew triggers)
   *
-  * Prints one JSON summary line (the PipelineMain contract): per-leg
-  * answer counts and wall millis, index row counts, audit signals.
-  * ServeMainSpec ties every count to the oracle query it serves.
+  * Every leg runs `reps` times (default 20) and reports its hit count
+  * plus p50/p99 wall millis — the StreamBench quantile discipline
+  * applied to QUERIES instead of ingest, so "flat per-query serving
+  * cost" is pinned in latency terms, not just scaling shape (each rep
+  * re-plans and re-executes the full leg: plan + pruned scans +
+  * collect — what a serving request actually pays). Prints one JSON
+  * summary line (the PipelineMain contract): per-leg counts and
+  * quantiles, index row counts, audit signals. ServeMainSpec ties
+  * every count to the oracle query it serves.
   *
-  * Usage: runMain graft.ServeMain [sfDir]
+  * Usage: runMain graft.ServeMain [sfDir] [reps]
   */
 object ServeMain {
 
+  final case class Leg(hits: Long, p50Ms: Long, p99Ms: Long)
+
   final case class Summary(nQueries: Long, postings: Long, positions: Long,
-      annRows: Long, searchHits: Long, searchMs: Long, phraseHits: Long,
-      phraseMs: Long, snippetRows: Long, snippetMs: Long, hybridRows: Long,
-      hybridMs: Long, hotDfBp: Long, rebucketDue: Boolean,
+      fwdRows: Long, annRows: Long, keyRows: Long,
+      search: Leg, phrase: Leg, snippets: Leg, hybrid: Leg,
+      prf: Leg, mmr: Leg, fuzzy: Leg,
+      hotDfBp: Long, rebucketDue: Boolean,
       annImbalanceX100: Long, annRetrainDue: Boolean)
 
-  private def timed(f: => Long): (Long, Long) = {
-    val t0 = System.nanoTime()
-    val n = f
-    (n, (System.nanoTime() - t0) / 1000000L)
+  /** Run a serving leg `reps` times; quantiles over the per-rep wall
+    * millis (each rep re-plans and re-executes — a fresh request). */
+  private def leg(reps: Int)(f: => Long): Leg = {
+    val times = new Array[Long](reps)
+    var hits = 0L
+    var i = 0
+    while (i < reps) {
+      val t0 = System.nanoTime()
+      hits = f
+      times(i) = (System.nanoTime() - t0) / 1000000L
+      i += 1
+    }
+    val sorted = times.sorted
+    def pct(q: Double): Long = sorted(math.min(reps - 1, (q * reps).toInt))
+    Leg(hits, pct(0.50), pct(0.99))
   }
 
-  def run(spark: SparkSession, sfDir: String): Summary = {
+  def run(spark: SparkSession, sfDir: String, reps: Int = 20): Summary = {
     def cleanup(t: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val p = java.nio.file.Paths.get("spark-warehouse", t)
@@ -51,16 +76,20 @@ object ServeMain {
       }
     }
     val tables = Seq("serve_text_idx", "serve_text_idx_meta",
-      "serve_text_idx_pos", "serve_ann_idx", "serve_ann_idx_cent")
+      "serve_text_idx_pos", "serve_text_idx_fwd",
+      "serve_ann_idx", "serve_ann_idx_cent",
+      "serve_fuzzy_vocab", "serve_fuzzy_keys")
     tables.foreach(cleanup)
 
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
-    InvertedTextIndex.build(docs, "serve_text_idx", positional = true)
+    InvertedTextIndex.build(docs, "serve_text_idx", positional = true,
+      forward = true)
     AnnIvfIndex.build(
       emb.select(col("vec_id"), col("label").cast("long").as("cell"),
         col("embedding")),
       "serve_ann_idx")
+    FuzzyVocabIndex.build(docs, "serve_fuzzy")
 
     val qd = RetrievalQueries.queryDocs(spark, sfDir)
     val queries = qd.join(docs, col("q_doc") === col("doc_id"))
@@ -69,17 +98,24 @@ object ServeMain {
       .select(col("q_doc"), col("embedding"))
     val phrases = queries.select(col("q_doc"), expr(
       "array_join(slice(split(text, ' '), 3, 3), ' ')").as("phrase"))
+    val probes = RetrievalQueries.fuzzyProbes(spark, sfDir)
 
     def count(df: DataFrame): Long = df.count()
-    val (searchHits, searchMs) =
-      timed(count(InvertedTextIndex.search(queries, "serve_text_idx")))
-    val (phraseHits, phraseMs) =
-      timed(count(InvertedTextIndex.phraseSearch(phrases, "serve_text_idx")))
-    val (snippetRows, snippetMs) =
-      timed(count(InvertedTextIndex.snippets(queries, docs, "serve_text_idx")))
-    val (hybridRows, hybridMs) = timed(count(
+    val search = leg(reps)(
+      count(InvertedTextIndex.search(queries, "serve_text_idx")))
+    val phrase = leg(reps)(
+      count(InvertedTextIndex.phraseSearch(phrases, "serve_text_idx")))
+    val snippets = leg(reps)(
+      count(InvertedTextIndex.snippets(queries, docs, "serve_text_idx")))
+    val hybrid = leg(reps)(count(
       HybridRetrieval.search(queries, qVecs, "serve_text_idx",
         "serve_ann_idx")))
+    val prf = leg(reps)(
+      count(InvertedTextIndex.prfSearch(queries, "serve_text_idx")))
+    val mmr = leg(reps)(
+      count(InvertedTextIndex.mmrSearch(queries, "serve_text_idx")))
+    val fuzzy = leg(reps)(
+      count(FuzzyVocabIndex.search(probes, "serve_fuzzy")))
 
     val audit = InvertedTextIndex.layoutAudit(spark, "serve_text_idx")
       .collect().head
@@ -89,11 +125,11 @@ object ServeMain {
       nQueries = queries.count(),
       postings = spark.table("serve_text_idx").count(),
       positions = spark.table("serve_text_idx_pos").count(),
+      fwdRows = spark.table("serve_text_idx_fwd").count(),
       annRows = spark.table("serve_ann_idx").count(),
-      searchHits = searchHits, searchMs = searchMs,
-      phraseHits = phraseHits, phraseMs = phraseMs,
-      snippetRows = snippetRows, snippetMs = snippetMs,
-      hybridRows = hybridRows, hybridMs = hybridMs,
+      keyRows = spark.table("serve_fuzzy_keys").count(),
+      search = search, phrase = phrase, snippets = snippets,
+      hybrid = hybrid, prf = prf, mmr = mmr, fuzzy = fuzzy,
       hotDfBp = audit.getAs[Long]("hot_df_bp"),
       rebucketDue = audit.getAs[Boolean]("rebucket_due"),
       annImbalanceX100 = bal.getAs[Long]("imbalance_x100"),
@@ -104,6 +140,7 @@ object ServeMain {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val reps = if (args.length > 1) args(1).toInt else 20
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -113,13 +150,21 @@ object ServeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = run(spark, sfDir)
-    println(s"""{"n_queries":${s.nQueries},"postings":${s.postings},""" +
-      s""""positions":${s.positions},"ann_rows":${s.annRows},""" +
-      s""""search_hits":${s.searchHits},"search_ms":${s.searchMs},""" +
-      s""""phrase_hits":${s.phraseHits},"phrase_ms":${s.phraseMs},""" +
-      s""""snippet_rows":${s.snippetRows},"snippet_ms":${s.snippetMs},""" +
-      s""""hybrid_rows":${s.hybridRows},"hybrid_ms":${s.hybridMs},""" +
+    val s = run(spark, sfDir, reps)
+    def legJson(name: String, l: Leg): String =
+      s""""${name}_hits":${l.hits},"${name}_p50_ms":${l.p50Ms},""" +
+        s""""${name}_p99_ms":${l.p99Ms}"""
+    println(s"""{"n_queries":${s.nQueries},"reps":$reps,""" +
+      s""""postings":${s.postings},"positions":${s.positions},""" +
+      s""""fwd_rows":${s.fwdRows},"ann_rows":${s.annRows},""" +
+      s""""fuzzy_keys":${s.keyRows},""" +
+      legJson("search", s.search) + "," +
+      legJson("phrase", s.phrase) + "," +
+      legJson("snippet", s.snippets) + "," +
+      legJson("hybrid", s.hybrid) + "," +
+      legJson("prf", s.prf) + "," +
+      legJson("mmr", s.mmr) + "," +
+      legJson("fuzzy", s.fuzzy) + "," +
       s""""hot_df_bp":${s.hotDfBp},"rebucket_due":${s.rebucketDue},""" +
       s""""ann_imbalance_x100":${s.annImbalanceX100},""" +
       s""""ann_retrain_due":${s.annRetrainDue}}""")

@@ -84,6 +84,21 @@ object StreamBench {
           shufflePartitions = parts, changelogCheckpoint = changelog)
     }
 
+  /** Median-of-3 for quantile stability at low trigger counts
+    * (VERDICT r12 #2): the default bulk point covers only 12 triggers,
+    * so a single run's p50 is a quantile over 12 samples — r12's
+    * committed bulk headline (22.4k eps / 276 ms) did not reproduce in
+    * the gate's own run (11.4k / 611 ms). Three full runs, keep the
+    * one with MEDIAN sustained eps: every recorded number then comes
+    * from one real run that sits in the middle of the observed spread,
+    * not a best-of that a re-run can't match. */
+  def runMedian3(spark: SparkSession, sfDir: String,
+      workDir: String = "/tmp/graft_stream_bench"): Result = {
+    val runs = (1 to 3).map(i =>
+      run(spark, sfDir, workDir = s"${workDir}_m$i"))
+    runs.sortBy(_.epsSustained).apply(1)
+  }
+
   def run(spark: SparkSession, sfDir: String,
       workDir: String = "/tmp/graft_stream_bench",
       stageFiles: Int = 24,

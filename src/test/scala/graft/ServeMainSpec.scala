@@ -3,24 +3,39 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** The end-to-end serving cycle must answer exactly what the one-shot
-  * oracle queries answer: every leg's count ties to its query, and the
-  * index row counts tie to the corpus token structure. */
+  * oracle queries answer: every leg's count ties to its query, the
+  * index row counts tie to the corpus token structure, and every leg
+  * carries its latency quantiles (the StreamBench discipline applied
+  * to queries). */
 class ServeMainSpec extends SparkSpec {
 
   test("serve summary agrees with the oracle queries it serves") {
-    val s = ServeMain.run(spark, sf0001)
+    val s = ServeMain.run(spark, sf0001, reps = 3)
 
     def rows(q: String): Long =
       SparkEntry.queries(q)(spark, sf0001).count()
-    assert(s.searchHits == rows("q180_keyword_search"),
+    assert(s.search.hits == rows("q180_keyword_search"),
       s"search leg diverged: $s")
-    assert(s.phraseHits == rows("q183_phrase_search"),
+    assert(s.phrase.hits == rows("q183_phrase_search"),
       s"phrase leg diverged: $s")
-    assert(s.snippetRows == rows("q184_snippets"),
+    assert(s.snippets.hits == rows("q184_snippets"),
       s"snippet leg diverged: $s")
+    assert(s.prf.hits == rows("q185_prf_expansion"),
+      s"PRF leg diverged: $s")
+    assert(s.mmr.hits == rows("q186_mmr_diversify"),
+      s"MMR leg diverged: $s")
+    assert(s.fuzzy.hits == rows("q188_fuzzy_term_match"),
+      s"fuzzy leg diverged: $s")
     // hybrid serving is IVF-probed (not the brute-force oracle), but
     // the frame contract holds: a full top-5 per query
-    assert(s.hybridRows == s.nQueries * 5, s"hybrid leg diverged: $s")
+    assert(s.hybrid.hits == s.nQueries * 5, s"hybrid leg diverged: $s")
+
+    // every leg pins its latency quantiles: measured, ordered
+    for (l <- Seq(s.search, s.phrase, s.snippets, s.hybrid, s.prf,
+        s.mmr, s.fuzzy)) {
+      assert(l.p50Ms > 0 && l.p99Ms >= l.p50Ms,
+        s"leg quantiles unmeasured or unordered: $l in $s")
+    }
 
     // index volumes tie to the corpus token structure
     val docs = Tables.documents(spark, sf0001)
@@ -29,7 +44,9 @@ class ServeMainSpec extends SparkSpec {
     assert(s.positions == toks.count(), s"positions != token volume: $s")
     assert(s.postings == toks.distinct().count(),
       s"postings != distinct (doc, token) pairs: $s")
+    assert(s.fwdRows == docs.count(), s"fwd rows != docs: $s")
     assert(s.annRows == Tables.embeddings(spark, sf0001).count())
+    assert(s.keyRows > 0)
 
     // audits are sane at this scale
     assert(s.hotDfBp > 0 && s.hotDfBp <= 10000)
