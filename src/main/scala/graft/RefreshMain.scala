@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
-  DeltaSemDedupIndex, InvertedTextIndex}
+  DeltaSemDedupIndex, FuzzyVocabIndex, InvertedTextIndex}
 
 /** The DELTA story assembled end-to-end as ONE runnable job — the
   * refresh cycle a continuously-updated training corpus actually
@@ -14,13 +14,15 @@ import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
   *   snapshot cut
   *     ├─ text:      DeltaDedupIndex.build    (band table, bucketed)
   *     ├─ embedding: DeltaSemDedupIndex.build (cell table, bucketed)
-  *     └─ serving:   InvertedTextIndex.build  (postings, bucketed)
+  *     ├─ serving:   InvertedTextIndex.build  (postings, bucketed)
+  *     └─ fuzzy:     FuzzyVocabIndex.build    (SymSpell dictionary)
   *   per refresh batch (here: the q173/q176 deterministic slices)
   *     ├─ admit batch vs snapshot (no snapshot shuffle, no rebuild)
   *     ├─ append ADMITTED rows → snapshot advances in place
   *     │  (the SEARCH index — postings AND positional companion —
-  *     │  advances with the same admitted docs, so keyword and quoted
-  *     │  retrieval serve the refreshed corpus without a rebuild)
+  *     │  and the FUZZY dictionary advance with the same admitted
+  *     │  docs, so keyword, quoted, and did-you-mean retrieval all
+  *     │  serve the refreshed corpus without a rebuild)
   *     └─ manifest delta: q177's gate funnel over the same batch
   *        (quality ∧ delta-dedup ∧ decontam → split/shard loads)
   *
@@ -37,7 +39,8 @@ object RefreshMain {
       semIndexRows: Long, manifestCells: Long, shippedDocs: Long,
       shippedTokens: Long, semAvgOccX100: Long, semRebuildDue: Boolean,
       searchDocs: Long, searchHits: Long, searchPhraseHits: Long,
-      searchHotDfBp: Long, searchRebucketDue: Boolean)
+      searchHotDfBp: Long, searchRebucketDue: Boolean,
+      fuzzyVocabWords: Long, fuzzySuggestHits: Long)
 
   def run(spark: SparkSession, sfDir: String): Summary = {
     def cleanup(t: String): Unit = {
@@ -50,7 +53,8 @@ object RefreshMain {
       }
     }
     Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
-      "refresh_search_idx_meta", "refresh_search_idx_pos").foreach(cleanup)
+      "refresh_search_idx_meta", "refresh_search_idx_pos",
+      "refresh_fuzzy_vocab", "refresh_fuzzy_keys").foreach(cleanup)
 
     // snapshot cut: everything NOT in the deterministic refresh slices
     val docs = Tables.documents(spark, sfDir)
@@ -59,6 +63,8 @@ object RefreshMain {
       "refresh_text_idx")
     InvertedTextIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
       "refresh_search_idx", positional = true)
+    FuzzyVocabIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
+      "refresh_fuzzy")
     DeltaSemDedupIndex.build(emb.filter(col("vec_id") % 4 =!= 0),
       "refresh_sem_idx", gridN = emb.count())
 
@@ -91,6 +97,10 @@ object RefreshMain {
       textBatch.join(textAdmittedIds, "doc_id")
         .select(col("doc_id"), col("text")),
       "refresh_search_idx")
+    FuzzyVocabIndex.append(
+      textBatch.join(textAdmittedIds, "doc_id")
+        .select(col("doc_id"), col("text")),
+      "refresh_fuzzy")
     DeltaDedupIndex.append(
       textBatch.join(textAdmittedIds, "doc_id")
         .select(col("doc_id"), col("text")),
@@ -133,6 +143,11 @@ object RefreshMain {
     val searchAudit =
       InvertedTextIndex.layoutAudit(spark, "refresh_search_idx")
         .collect().head
+    // did-you-mean serving off the refreshed dictionary (advanced by
+    // the same admitted docs): q188's probe workload
+    val fuzzyHits = FuzzyVocabIndex.search(
+      graft.queries.RetrievalQueries.fuzzyProbes(spark, sfDir),
+      "refresh_fuzzy").count()
 
     // retention pass: collapse the appended file generation back to
     // one file per bucket (the summary counts below read the
@@ -141,6 +156,8 @@ object RefreshMain {
     BucketedIndexMaintenance.compact(spark, "refresh_sem_idx")
     BucketedIndexMaintenance.compact(spark, "refresh_search_idx")
     BucketedIndexMaintenance.compact(spark, "refresh_search_idx_pos")
+    BucketedIndexMaintenance.compact(spark, "refresh_fuzzy_vocab")
+    BucketedIndexMaintenance.compact(spark, "refresh_fuzzy_keys")
 
     val summary = Summary(
       textBatch = textBatch.count(),
@@ -159,12 +176,16 @@ object RefreshMain {
       searchHits = searchHits,
       searchPhraseHits = phraseHits,
       searchHotDfBp = searchAudit.getAs[Long]("hot_df_bp"),
-      searchRebucketDue = searchAudit.getAs[Boolean]("rebucket_due"))
+      searchRebucketDue = searchAudit.getAs[Boolean]("rebucket_due"),
+      fuzzyVocabWords = spark.table("refresh_fuzzy_vocab")
+        .select(col("w")).distinct().count(),
+      fuzzySuggestHits = fuzzyHits)
     manifest.unpersist()
     textAdmittedIds.unpersist()
     semAdmittedIds.unpersist()
     Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
-      "refresh_search_idx_meta", "refresh_search_idx_pos").foreach(cleanup)
+      "refresh_search_idx_meta", "refresh_search_idx_pos",
+      "refresh_fuzzy_vocab", "refresh_fuzzy_keys").foreach(cleanup)
     summary
   }
 
@@ -190,7 +211,9 @@ object RefreshMain {
       s""""search_docs":${s.searchDocs},"search_hits":${s.searchHits},""" +
       s""""search_phrase_hits":${s.searchPhraseHits},""" +
       s""""search_hot_df_bp":${s.searchHotDfBp},""" +
-      s""""search_rebucket_due":${s.searchRebucketDue}}""")
+      s""""search_rebucket_due":${s.searchRebucketDue},""" +
+      s""""fuzzy_vocab_words":${s.fuzzyVocabWords},""" +
+      s""""fuzzy_suggest_hits":${s.fuzzySuggestHits}}""")
     spark.stop()
   }
 }

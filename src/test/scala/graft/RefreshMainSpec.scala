@@ -69,5 +69,15 @@ class RefreshMainSpec extends SparkSpec {
     assert(s.searchHotDfBp > 0 && s.searchHotDfBp <= 10000)
     assert(!s.searchRebucketDue,
       s"one refresh should not outgrow the postings layout 2x: $s")
+
+    // the fuzzy dictionary advanced in the same cut: the did-you-mean
+    // probe answers every query doc (each probe's source word is at
+    // distance ≤1 and survives in the refreshed dictionary — this
+    // corpus's vocabulary is shared across many docs)
+    assert(s.fuzzyVocabWords > 0)
+    val nQueryDocs = graft.queries.RetrievalQueries
+      .queryDocs(spark, sf0001).count()
+    assert(s.fuzzySuggestHits == nQueryDocs,
+      s"fuzzy probe answered ${s.fuzzySuggestHits} of $nQueryDocs: $s")
   }
 }
