@@ -1070,10 +1070,11 @@ object RetrievalQueries {
         (col("doc_id") === col("q_doc")).as("label"))
   }
 
-  private val q189Sql = {
+  /** q189's oracle CTEs + final feature projection, shared with q191
+    * (which applies the deployed reranker over the same feature set). */
+  private val q189Ctes = {
     import graft.functions.VectorFunctions.cosineSql
-    s"""$frontSql,
-       |cands AS (
+    s"""cands AS (
        |  SELECT q_doc, CASE WHEN rk <= $FuseDepth THEN rk ELSE 0 END AS rk_kw,
        |    doc_id, n_hit, score FROM (
        |    SELECT q_doc, doc_id, n_hit, score, row_number() OVER (
@@ -1094,18 +1095,26 @@ object RetrievalQueries {
        |  JOIN tsets qt ON qt.doc_id = c.q_doc
        |  JOIN tsets ct ON ct.doc_id = c.doc_id
        |  LEFT JOIN embeddings qe ON qe.vec_id = c.q_doc
-       |  LEFT JOIN embeddings ce ON ce.vec_id = c.doc_id)
-       |SELECT q_doc,
-       |  CAST(count(*) OVER (PARTITION BY q_doc) AS BIGINT) AS group_n,
-       |  doc_id, rk_kw, n_hit, score, dl,
-       |  (10000 * inter) // (qn + cn - inter) AS jac_bp,
-       |  q_emb IS NOT NULL AND c_emb IS NOT NULL AS has_emb,
-       |  CASE WHEN q_emb IS NOT NULL AND c_emb IS NOT NULL
-       |    THEN round(${cosineSql("q_emb", "c_emb")}, 6)
-       |    ELSE 0.0 END AS cos_sim,
-       |  doc_id = q_doc AS label
-       |FROM feat""".stripMargin
+       |  LEFT JOIN embeddings ce ON ce.vec_id = c.doc_id),
+       |ltr AS (
+       |  SELECT q_doc,
+       |    CAST(count(*) OVER (PARTITION BY q_doc) AS BIGINT) AS group_n,
+       |    doc_id, rk_kw, n_hit, score, dl,
+       |    (10000 * inter) // (qn + cn - inter) AS jac_bp,
+       |    q_emb IS NOT NULL AND c_emb IS NOT NULL AS has_emb,
+       |    CASE WHEN q_emb IS NOT NULL AND c_emb IS NOT NULL
+       |      THEN round(${cosineSql("q_emb", "c_emb")}, 6)
+       |      ELSE 0.0 END AS cos_sim,
+       |    doc_id = q_doc AS label
+       |  FROM feat)""".stripMargin
   }
+
+  private val q189Sql =
+    s"""$frontSql,
+       |$q189Ctes
+       |SELECT q_doc, group_n, doc_id, rk_kw, n_hit, score, dl, jac_bp,
+       |  has_emb, cos_sim, label
+       |FROM ltr""".stripMargin
 
   // ---- q190: recall of the DEPLOYED retrieval stack ----------------
 
@@ -1330,6 +1339,90 @@ object RetrievalQueries {
        |FROM long_form GROUP BY system""".stripMargin
   }
 
+  // ---- q191: reranker APPLY + measured lift ------------------------
+
+  /** q191: the second half of the LTR story — q189 BUILDS the reranker
+    * training set; this query APPLIES a deployed reranker over the same
+    * feature rows and pins the measured lift, closing
+    * train → apply → evaluate in one oracle-checked loop.
+    *
+    * The model is a fixed INTEGER linear scorer
+    * `2·cos_µ + 100·jac_bp + rr_kw_ppm` (cosine in exact micro-units,
+    * Jaccard in bp, the first-stage reciprocal rank in ppm) — the
+    * weights are a deployment artifact like the reference's model
+    * files (`stt/service.py` loads Whisper, it doesn't train it); what
+    * the ENGINE owns is the apply + evaluation pipeline, and integer
+    * weights make the scores — and the emitted metrics — engine-exact.
+    *
+    * Output: q182's recall frame for two systems over the SAME
+    * candidate pool — `first_stage` (the keyword ranking, rk_kw;
+    * target missed when the first stage missed it) and `reranked`
+    * (the model ordering of the pool). The pool includes the known
+    * positive by q189's construction, so `reranked` n_found equals
+    * n_queries BY DESIGN — the honest lift numbers are top1/top5/MRR
+    * (the semantic feature puts the cos=1 target first unless an
+    * exact-duplicate ties it).
+    *
+    * Scale shape: q189's (one token shuffle + workload-bounded
+    * broadcasts) plus one ≤21-row-per-query window — apply cost is the
+    * feature-set cost. */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val feats = q189(s, d)
+    val scored = feats
+      .withColumn("cos_u",
+        expr("cast(round(cos_sim * 1000000.0) as bigint)"))
+      .withColumn("rr_kw_ppm",
+        expr("CASE WHEN rk_kw > 0 THEN 1000000L div rk_kw ELSE 0L END"))
+      .withColumn("model_score",
+        expr("2L * cos_u + 100L * jac_bp + rr_kw_ppm"))
+      .withColumn("rerank", row_number().over(
+        Window.partitionBy(col("q_doc"))
+          .orderBy(col("model_score").desc, col("doc_id").asc)))
+    val qdocs = queryDocs(s, d)
+    val first = qdocs.join(
+        scored.filter(col("label") && col("rk_kw") > 0)
+          .select(col("q_doc"), col("rk_kw").cast("long").as("self_rk")),
+        Seq("q_doc"), "left")
+      .select(lit("first_stage").as("system"), col("q_doc"), col("self_rk"))
+    val reranked = qdocs.join(
+        scored.filter(col("label"))
+          .select(col("q_doc"), col("rerank").cast("long").as("self_rk")),
+        Seq("q_doc"), "left")
+      .select(lit("reranked").as("system"), col("q_doc"), col("self_rk"))
+    recallAgg(first.unionByName(reranked))
+  }
+
+  private val q191Sql =
+    s"""$frontSql,
+       |$q189Ctes,
+       |rscored AS (
+       |  SELECT q_doc, doc_id, rk_kw, label,
+       |    2 * CAST(round(cos_sim * 1000000.0) AS BIGINT)
+       |      + 100 * jac_bp
+       |      + CASE WHEN rk_kw > 0 THEN 1000000 // rk_kw ELSE 0 END
+       |      AS model_score
+       |  FROM ltr),
+       |rranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_doc
+       |    ORDER BY model_score DESC, doc_id) AS rerank
+       |  FROM rscored),
+       |long_form AS (
+       |  SELECT 'first_stage' AS system, q.q_doc,
+       |    (SELECT CAST(rk_kw AS BIGINT) FROM rranked r
+       |     WHERE r.q_doc = q.q_doc AND r.label AND r.rk_kw > 0) AS self_rk
+       |  FROM qdocs q
+       |  UNION ALL
+       |  SELECT 'reranked' AS system, q2.q_doc,
+       |    (SELECT CAST(rerank AS BIGINT) FROM rranked r2
+       |     WHERE r2.q_doc = q2.q_doc AND r2.label) AS self_rk
+       |  FROM qdocs q2)
+       |SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(count(self_rk) AS BIGINT) AS n_found,
+       |  CAST(count(CASE WHEN self_rk = 1 THEN 1 END) AS BIGINT) AS n_top1,
+       |  CAST(count(CASE WHEN self_rk <= 5 THEN 1 END) AS BIGINT) AS n_top5,
+       |  coalesce(CAST(sum(1000000 // self_rk) AS BIGINT), 0) AS mrr_ppm_sum
+       |FROM long_form GROUP BY system""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q180_keyword_search", q180, Some(q180Sql)),
     QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)),
@@ -1340,5 +1433,6 @@ object RetrievalQueries {
     QueryDef("q186_mmr_diversify", q186, Some(q186Sql)),
     QueryDef("q188_fuzzy_term_match", q188, Some(q188Sql)),
     QueryDef("q189_ltr_features", q189, Some(q189Sql)),
-    QueryDef("q190_deployed_recall", q190, Some(q190Sql)))
+    QueryDef("q190_deployed_recall", q190, Some(q190Sql)),
+    QueryDef("q191_reranker_lift", q191, Some(q191Sql)))
 }

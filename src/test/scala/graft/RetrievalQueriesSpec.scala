@@ -145,6 +145,25 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(moved > 0, "PRF expansion left every ranked row unchanged")
   }
 
+  test("q191 reranker apply: pool-complete by construction, and it genuinely lifts") {
+    val rows = SparkEntry.queries("q191_reranker_lift")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("system") -> (
+        r.getAs[Long]("n_queries"), r.getAs[Long]("n_found"),
+        r.getAs[Long]("n_top1"), r.getAs[Long]("n_top5"),
+        r.getAs[Long]("mrr_ppm_sum"))).toMap
+    val first = rows("first_stage")
+    val rr = rows("reranked")
+    assert(rr._1 == first._1)
+    // the pool includes the known positive (q189's construction), so
+    // reranked recall@pool is total BY DESIGN — the lift numbers are
+    // rank quality
+    assert(rr._2 == rr._1, s"reranked pool lost the positive: $rows")
+    assert(rr._3 >= first._3 && rr._4 >= first._4 && rr._5 >= first._5,
+      s"reranker did not dominate the first stage: $rows")
+    assert(rr._3 > first._3,
+      s"reranker produced no top-1 lift on this corpus: $rows")
+  }
+
   test("q190 oracle math IS the deployed operators' output (measure what you ship)") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
