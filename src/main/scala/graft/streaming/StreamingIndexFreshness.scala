@@ -67,6 +67,10 @@ object StreamingIndexFreshness {
       annTable: Option[String] = None): Boolean = {
     val s = batch.sparkSession
     val lt = ledgerTable(textTable)
+    // an EMPTY batch (AvailableNow's closer, an idle trigger) advances
+    // nothing: no meta slice, no ledger row — so reconcile()'s
+    // slices-1 == applied invariant holds on both sides
+    if (batch.isEmpty) return false
     val applied = s.catalog.tableExists(lt) &&
       !s.table(lt).filter(col("batch_id") === batchId).isEmpty
     if (applied) false
