@@ -139,7 +139,12 @@ object FuzzyVocabIndex {
     * survivors (the candidate pairs q188's own doc admits are the small
     * set the exact-distance verify runs on — they prune the vocab scan,
     * whose df aggregation is then exchange-free under the w
-    * bucketing). */
+    * bucketing). Candidate volume caveat: VERY short probes
+    * over-generate (a 1-char deletion key touches every 1-2 char
+    * vocabulary word), so production probe batches should be
+    * length-filtered upstream — q188's probes are each doc's RAREST
+    * term, which is naturally long; SymSpell deployments impose the
+    * same minimum-length rule. */
   def search(probes: DataFrame, table: String,
       maxInList: Int = 4096): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -376,10 +376,19 @@ object InvertedTextIndex {
       k: Int = 5, maxInList: Int = MaxInList): DataFrame = {
     import scala.jdk.CollectionConverters._
     val s = queries.sparkSession
-    val (prRanked, terms, _) =
+    // collect the selected terms FIRST and build the first-stage
+    // ranking from the LOCAL rows — using searchPlan's own ranked
+    // frame would embed (and re-execute) the term-selection subtree a
+    // second time when the pseudo-relevant hits are collected below
+    val (_, terms, pruned) =
       searchPlan(queries, table, termsPerQuery, prfDocs, maxInList)
-    val termRows = terms.collect().toSeq
+    val termRows = withBucketedScan(s)(terms.collect()).toSeq
     val termsLocal = s.createDataFrame(termRows.asJava, terms.schema)
+    val prRanked = RetrievalQueries.rankTop(
+      RetrievalQueries.scoreCandidates(
+        pruned(s.table(table)).join(broadcast(termsLocal), "wh")
+          .crossJoin(broadcast(stats(s, table)))),
+      "rk", prfDocs)
     val prPlan = prRanked.select(col("q_doc"), col("doc_id"))
     val prRows = withBucketedScan(s)(prPlan.collect()).toSeq
     val prLocal = s.createDataFrame(prRows.asJava, prPlan.schema)

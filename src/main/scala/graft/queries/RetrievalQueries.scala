@@ -1188,7 +1188,13 @@ object RetrievalQueries {
       .withColumn("cbarq", expr("csum div n"))
     val cmeta = cs.groupBy(col("label"))
       .agg(sum(col("cbarq") * col("cbarq")).as("cnormsq"))
-    val qdots = dims.join(broadcast(qdocs), col("vec_id") === col("q_doc"))
+    // query-side dim rows: join BEFORE the explode, so only the
+    // ~|sources| query vectors generate dim rows (the centroid pass
+    // above is the one full-corpus explode)
+    val qdots = Tables.embeddings(s, d)
+      .join(broadcast(qdocs), col("vec_id") === col("q_doc"))
+      .select(col("q_doc"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
       .select(col("q_doc"), col("dim"), col("u"))
       .join(broadcast(cs.select(col("label").as("c_label"), col("dim"),
         col("cbarq"))), "dim")
