@@ -77,6 +77,10 @@ class FuzzyVocabIndexSpec extends SparkSpec {
       val viaSemi = FuzzyVocabIndex.search(probes, "fuzzy_idx",
         maxInList = 0).collect().toSet
       assert(viaSemi == viaIndex, "IN-list cutover changed fuzzy results")
+
+      // an empty probe batch (idle poll tick) serves an empty frame
+      assert(FuzzyVocabIndex.search(probes.filter(col("q_doc") < 0),
+        "fuzzy_idx").collect().isEmpty)
     } finally cleanup("fuzzy_idx")
   }
 

@@ -329,6 +329,28 @@ class InvertedTextIndexSpec extends SparkSpec {
     } finally cleanup("inv_idx_guard")
   }
 
+  test("empty query batches serve empty frames on every leg (the idle poll tick)") {
+    cleanup("inv_idx_empty")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      InvertedTextIndex.build(docs, "inv_idx_empty", positional = true,
+        forward = true)
+      val noQueries = q180Queries.filter(col("q_doc") < 0)
+      assert(InvertedTextIndex.search(noQueries, "inv_idx_empty")
+        .collect().isEmpty)
+      assert(InvertedTextIndex.snippets(noQueries, docs, "inv_idx_empty")
+        .collect().isEmpty)
+      assert(InvertedTextIndex.prfSearch(noQueries, "inv_idx_empty")
+        .collect().isEmpty)
+      assert(InvertedTextIndex.mmrSearch(noQueries, "inv_idx_empty")
+        .collect().isEmpty)
+      val noPhrases = noQueries.select(col("q_doc"),
+        col("text").as("phrase"))
+      assert(InvertedTextIndex.phraseSearch(noPhrases, "inv_idx_empty")
+        .collect().isEmpty)
+    } finally cleanup("inv_idx_empty")
+  }
+
   test("bucket sizing rule scales with token volume and stays a power of two") {
     import graft.operators.InvertedTextIndex.bucketsFor
     assert(bucketsFor(60000L) == 8)                  // sf0.001: floor
