@@ -89,6 +89,7 @@ object AnnIvfIndex {
     val nb = if (buckets > 0) buckets else bucketsFor(vecs.count())
     vecs.select(col("vec_id"), col("cell"), col("embedding"),
         norm(col("embedding")).as("nrm"))
+      .withColumn("batch_id", lit(InvertedTextIndex.BaseBatchId))
       .write.bucketBy(nb, "cell").sortBy("cell")
       .mode("overwrite").saveAsTable(table)
     val cs = dimRows(vecs.select(col("cell"), col("embedding")), "cell")
@@ -106,9 +107,17 @@ object AnnIvfIndex {
     * each is assigned to its nearest DEPLOYED centroid (max probe
     * score — the quantizer is fixed at build time; appending does not
     * move centroids, exactly like [[DeltaSemDedupIndex.append]] keeps
-    * the deployed grid) and appended into the bucket layout. */
-  def append(newVecs: DataFrame, table: String): Unit = {
+    * the deployed grid) and appended into the bucket layout.
+    * `batchId`/`skipExisting` are [[InvertedTextIndex.append]]'s
+    * idempotent-replay contract: rows are stamped with their batch's
+    * provenance, and `skipExisting = true` turns a crash-replay into a
+    * footer-bounded no-op when the batch already landed. */
+  def append(newVecs: DataFrame, table: String,
+      batchId: Long = InvertedTextIndex.BaseBatchId,
+      skipExisting: Boolean = false): Unit = {
     val s = newVecs.sparkSession
+    if (skipExisting && InvertedTextIndex.hasBatch(s, table, batchId))
+      return
     val cent = s.table(centTable(table))
     val assign = dimRows(newVecs, "vec_id")
       .join(broadcast(cent.select(col("cell"), col("dim"), col("cbarq"))),
@@ -124,6 +133,7 @@ object AnnIvfIndex {
     newVecs.join(assign, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"),
         norm(col("embedding")).as("nrm"))
+      .withColumn("batch_id", lit(batchId))
       .write.bucketBy(bucketCountOf(s, table), "cell").sortBy("cell")
       .mode("append").saveAsTable(table)
   }

@@ -100,10 +100,31 @@ object InvertedTextIndex {
     * (doc_id, tset, dl) row per doc, bucketed by doc_id — enabling
     * [[prfSearch]] and [[mmrSearch]] (the docvalues/forward-index half
     * every production search stack keeps beside its postings). */
+  /** Every index-family row carries a `batch_id` provenance column
+    * (LAST, so positional readers of the data columns are unchanged):
+    * -1 for the base [[build]], the caller's id for an [[append]].
+    * Each append's files then hold one constant batch_id, so parquet
+    * footer stats answer "did batch N's rows land in this table?"
+    * without touching data pages — the probe [[hasBatch]] runs and the
+    * foundation of [[graft.streaming.StreamingIndexFreshness]]'s
+    * idempotent replay (a crash between an append and its ledger row
+    * is repaired by re-running the append with `skipExisting = true`,
+    * which re-appends ONLY into the tables the crash left behind). */
+  private[graft] val BaseBatchId = -1L
+
+  /** Footer-bounded presence probe: does `table` already hold rows of
+    * `batchId`? Each append job writes files whose batch_id column is
+    * a single constant, so min/max stats prune every file but the
+    * probed batch's own. */
+  private[graft] def hasBatch(s: SparkSession, table: String,
+      batchId: Long): Boolean =
+    !s.table(table).filter(col("batch_id") === batchId).isEmpty
+
   def build(docs: DataFrame, table: String, buckets: Int = 0,
       positional: Boolean = false, forward: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
     val metaPlan = metaRow(docs)
+      .withColumn("batch_id", lit(BaseBatchId))
     // ONE corpus tokenization pass serves both bucket sizing and the
     // meta write: the collected row is re-injected as a local relation
     // (re-evaluating metaRow would cost a second full scan — and two
@@ -113,16 +134,19 @@ object InvertedTextIndex {
       if (buckets > 0) buckets
       else bucketsFor(metaVal.getAs[Long]("sum_dl"))
     RetrievalQueries.postingRows(docs)
+      .withColumn("batch_id", lit(BaseBatchId))
       .write.bucketBy(nb, "wh").sortBy("wh")
       .mode("overwrite").saveAsTable(table)
     docs.sparkSession.createDataFrame(Seq(metaVal).asJava, metaPlan.schema)
       .write.mode("overwrite").saveAsTable(metaTable(table))
     if (positional)
       RetrievalQueries.positionRows(docs)
+        .withColumn("batch_id", lit(BaseBatchId))
         .write.bucketBy(nb, "wh").sortBy("wh")
         .mode("overwrite").saveAsTable(posTable(table))
     if (forward)
       forwardRows(docs)
+        .withColumn("batch_id", lit(BaseBatchId))
         .write.bucketBy(nb, "doc_id").sortBy("doc_id")
         .mode("overwrite").saveAsTable(fwdTable(table))
   }
@@ -132,24 +156,41 @@ object InvertedTextIndex {
     * row. Same contract as [[DeltaDedupIndex.append]]: callers append
     * only docs the pipeline's dedup gates ADMITTED, with batch-unique
     * doc_ids that are new to the index (re-appending an indexed doc
-    * would double its postings and its meta contribution). */
-  def append(admittedDocs: DataFrame, table: String): Unit = {
+    * would double its postings and its meta contribution).
+    *
+    * `batchId` stamps the appended rows' provenance column;
+    * `skipExisting = true` makes the append IDEMPOTENT PER TABLE: each
+    * of the (up to four) family tables is probed via [[hasBatch]] and
+    * only the ones the batch has not yet reached are written — the
+    * replay semantics a crash between two table appends needs. The
+    * probe costs footer reads only, and the gate pays it exclusively
+    * on crash-replay, never on the first delivery. */
+  def append(admittedDocs: DataFrame, table: String,
+      batchId: Long = BaseBatchId, skipExisting: Boolean = false): Unit = {
     val s = admittedDocs.sparkSession
-    RetrievalQueries.postingRows(admittedDocs)
-      .write.bucketBy(bucketCountOf(s, table), "wh")
-      .sortBy("wh").mode("append").saveAsTable(table)
-    metaRow(admittedDocs).write.mode("append")
-      .saveAsTable(metaTable(table))
+    def need(t: String): Boolean =
+      !skipExisting || !hasBatch(s, t, batchId)
+    if (need(table))
+      RetrievalQueries.postingRows(admittedDocs)
+        .withColumn("batch_id", lit(batchId))
+        .write.bucketBy(bucketCountOf(s, table), "wh")
+        .sortBy("wh").mode("append").saveAsTable(table)
     // positional/forward companions, when deployed, advance in the
-    // same cut
-    if (s.catalog.tableExists(posTable(table)))
+    // same cut; the meta row goes LAST so a crash mid-family always
+    // leaves meta ≤ data (reconcile()'s drift signal stays one-sided)
+    if (s.catalog.tableExists(posTable(table)) && need(posTable(table)))
       RetrievalQueries.positionRows(admittedDocs)
+        .withColumn("batch_id", lit(batchId))
         .write.bucketBy(bucketCountOf(s, posTable(table)), "wh")
         .sortBy("wh").mode("append").saveAsTable(posTable(table))
-    if (s.catalog.tableExists(fwdTable(table)))
+    if (s.catalog.tableExists(fwdTable(table)) && need(fwdTable(table)))
       forwardRows(admittedDocs)
+        .withColumn("batch_id", lit(batchId))
         .write.bucketBy(bucketCountOf(s, fwdTable(table)), "doc_id")
         .sortBy("doc_id").mode("append").saveAsTable(fwdTable(table))
+    if (need(metaTable(table)))
+      metaRow(admittedDocs).withColumn("batch_id", lit(batchId))
+        .write.mode("append").saveAsTable(metaTable(table))
   }
 
   /** Layout audit — rows-per-bucket vs the [[bucketsFor]] sizing

@@ -15,8 +15,12 @@ class StreamingIndexFreshnessSpec extends SparkSpec {
 
   private def cleanup(): Unit = {
     Seq("fresh_idx", "fresh_idx_meta", "fresh_idx_pos", "fresh_idx_fwd",
-      "fresh_idx_applied", "fresh_ann", "fresh_ann_cent",
-      "fresh_full", "fresh_full_meta", "fresh_full_pos", "fresh_full_fwd")
+      "fresh_idx_applied", "fresh_idx_staged", "fresh_ann",
+      "fresh_ann_cent",
+      "fresh_full", "fresh_full_meta", "fresh_full_pos", "fresh_full_fwd",
+      "crash_idx", "crash_idx_meta", "crash_idx_pos", "crash_idx_fwd",
+      "crash_idx_applied", "crash_idx_staged", "crash_ann",
+      "crash_ann_cent")
       .foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         val p = java.nio.file.Paths.get("spark-warehouse", t)
@@ -138,7 +142,99 @@ class StreamingIndexFreshnessSpec extends SparkSpec {
       val rec = StreamingIndexFreshness.reconcile(spark, "fresh_idx")
         .collect().head
       assert(rec.getAs[Long]("slice_drift") == 0L &&
-        !rec.getAs[Boolean]("rebuild_due"), s"audit flagged drift: $rec")
+        !rec.getAs[Boolean]("repair_due"), s"audit flagged drift: $rec")
+    } finally cleanup()
+  }
+
+  test("crash between append and ledger: replay completes, never doubles") {
+    cleanup()
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val emb = Tables.embeddings(spark, sf0001)
+      val withEmb = docs
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"), "left")
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val snap = withEmb.filter(col("doc_id") % 3 =!= 0)
+      InvertedTextIndex.build(snap.select(col("doc_id"), col("text")),
+        "crash_idx", positional = true, forward = true)
+      AnnIvfIndex.build(
+        emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id"), col("label").cast("long").as("cell"),
+            col("embedding")),
+        "crash_ann")
+      StreamingIndexFreshness.init(spark, "crash_idx")
+
+      val batch = withEmb.filter(col("doc_id") % 9 === 0)
+
+      // INJECTED CRASH #1 — after ALL appends, before the ledger row:
+      // run exactly applyBatch's internals minus writeLedger
+      StreamingIndexFreshness.stage(batch, 0L, "crash_idx")
+      StreamingIndexFreshness.appendIndexes(batch, 0L, "crash_idx",
+        Some("crash_ann"), skipExisting = false)
+      val rec0 = StreamingIndexFreshness.reconcile(spark, "crash_idx")
+        .collect().head
+      assert(rec0.getAs[Boolean]("repair_due"),
+        s"crash window not detected: $rec0")
+      val counts0 = Seq("crash_idx", "crash_idx_pos", "crash_idx_fwd",
+        "crash_idx_meta", "crash_ann").map(t => t -> spark.table(t).count())
+
+      // replay the SAME batch through applyBatch — served counts must
+      // end exactly where the crash-free run put them (no doubling)
+      assert(StreamingIndexFreshness.applyBatch(batch, 0L, "crash_idx",
+        Some("crash_ann")), "crash-replay was skipped outright")
+      counts0.foreach { case (t, n) =>
+        assert(spark.table(t).count() == n,
+          s"replay changed $t: ${spark.table(t).count()} != $n")
+      }
+      val rec1 = StreamingIndexFreshness.reconcile(spark, "crash_idx")
+        .collect().head
+      assert(rec1.getAs[Long]("slice_drift") == 0L &&
+        !rec1.getAs[Boolean]("repair_due"), s"replay left drift: $rec1")
+      // and a ledgered re-delivery is still a no-op
+      assert(!StreamingIndexFreshness.applyBatch(batch, 0L, "crash_idx",
+        Some("crash_ann")))
+
+      // INJECTED CRASH #2 — MID-appendIndexes (the text family landed,
+      // the ANN append and the ledger row did not): repair() completes
+      // from the STAGED copy, no stream restart involved
+      val batch2 = withEmb.filter(col("doc_id") % 9 === 3)
+      StreamingIndexFreshness.stage(batch2, 1L, "crash_idx")
+      InvertedTextIndex.append(batch2.select(col("doc_id"), col("text")),
+        "crash_idx", 1L)
+      val postAfterCrash = spark.table("crash_idx").count()
+      val annBeforeRepair = spark.table("crash_ann").count()
+      assert(StreamingIndexFreshness.repair(spark, "crash_idx",
+        Some("crash_ann")), "repair did not run")
+      // text family untouched (footer probe skipped it), ANN completed,
+      // ledger advanced, audit clean
+      assert(spark.table("crash_idx").count() == postAfterCrash,
+        "repair re-appended the postings that already landed")
+      assert(spark.table("crash_ann").count() > annBeforeRepair,
+        "repair did not complete the missing ANN append")
+      val rec2 = StreamingIndexFreshness.reconcile(spark, "crash_idx")
+        .collect().head
+      assert(rec2.getAs[Long]("slice_drift") == 0L &&
+        !rec2.getAs[Boolean]("repair_due"), s"repair left drift: $rec2")
+      // a doc of batch2 is now searchable (deep k: presence is the
+      // claim — its postings landed — not a top-5 rank, which BM25's
+      // length normalization does not guarantee)
+      val probe = batch2.limit(1)
+        .select(col("doc_id").as("q_doc"), col("text"))
+      val pid = probe.collect().head.getLong(0)
+      val hits = InvertedTextIndex.search(probe, "crash_idx", k = 10000)
+        .collect()
+      assert(hits.exists(_.getAs[Long]("doc_id") == pid),
+        s"repaired batch not served: ${hits.toList}")
+      // idempotent: a second repair is a no-op
+      assert(!StreamingIndexFreshness.repair(spark, "crash_idx",
+        Some("crash_ann")))
+      // the appended rows carry their provenance stamps
+      val stamped = spark.table("crash_idx")
+        .groupBy(col("batch_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stamped.keySet == Set(-1L, 0L, 1L),
+        s"unexpected batch stamps: $stamped")
     } finally cleanup()
   }
 }
