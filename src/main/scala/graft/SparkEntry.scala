@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.defs ++ QueueQueries.defs ++ SessionQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ MediaQueries.defs ++
       OcrTreeQueries.defs ++ SqlSurfaceQueries.defs ++
-      TrainingQueries.defs ++ OpsQueries.defs ++ RetrievalQueries.defs
+      TrainingQueries.defs ++ OpsQueries.defs ++ RetrievalQueries.defs ++
+      UrlQueries.defs
 
   /** Flagship: sessionized ordered transcript assembly (reference §3.1
     * streaming STT path, batch form) on sf0.001.
