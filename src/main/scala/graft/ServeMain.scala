@@ -25,21 +25,27 @@ import graft.queries.RetrievalQueries
   *     ├─ fuzzy suggest      (q188 off the pruned deletion dictionary)
   *     └─ layout audits      (rebucket / hot-token / cell-skew triggers)
   *
-  * Every leg runs `reps` times (default 20) and reports its hit count
-  * plus p50/p99 wall millis — the StreamBench quantile discipline
-  * applied to QUERIES instead of ingest, so "flat per-query serving
-  * cost" is pinned in latency terms, not just scaling shape (each rep
-  * re-plans and re-executes the full leg: plan + pruned scans +
-  * collect — what a serving request actually pays). Prints one JSON
-  * summary line (the PipelineMain contract): per-leg counts and
-  * quantiles, index row counts, audit signals. ServeMainSpec ties
-  * every count to the oracle query it serves.
+  * Every leg runs `reps` times (default 20) COLD — each rep re-plans
+  * and re-executes the full leg: query-side collect + plan + pruned
+  * scans, what a fresh serving request pays — and `reps` times WARM:
+  * the leg's DataFrame is built once (its collected probe/term rows
+  * become embedded local relations, its physical plan is fixed) and
+  * only re-EXECUTED per rep, what a front that reuses prepared plans
+  * pays (VERDICT r13 #5 — the warm floor isolates scan+schedule cost
+  * from planning machinery). Reported per leg: hit count, cold
+  * p50/max wall millis, warm p50/max (max, not "p99" — at these rep
+  * counts the upper quantile IS the sample maximum, so the JSON says
+  * what it measures). Prints one JSON summary line (the PipelineMain
+  * contract): per-leg counts and quantiles, index row counts, audit
+  * signals. ServeMainSpec ties every count to the oracle query it
+  * serves and pins warm ≤ cold at the median.
   *
   * Usage: runMain graft.ServeMain [sfDir] [reps]
   */
 object ServeMain {
 
-  final case class Leg(hits: Long, p50Ms: Long, p99Ms: Long)
+  final case class Leg(hits: Long, p50Ms: Long, maxMs: Long,
+      warmP50Ms: Long, warmMaxMs: Long)
 
   final case class Summary(nQueries: Long, postings: Long, positions: Long,
       fwdRows: Long, annRows: Long, keyRows: Long,
@@ -48,21 +54,36 @@ object ServeMain {
       hotDfBp: Long, rebucketDue: Boolean,
       annImbalanceX100: Long, annRetrainDue: Boolean)
 
-  /** Run a serving leg `reps` times; quantiles over the per-rep wall
-    * millis (each rep re-plans and re-executes — a fresh request). */
-  private def leg(reps: Int)(f: => Long): Leg = {
-    val times = new Array[Long](reps)
+  /** Run a serving leg `reps` times cold (re-plan + re-execute) and
+    * `reps` times warm (one plan, re-execute the physical plan's RDD —
+    * zero planning, zero driver-side collects per rep). */
+  private def leg(reps: Int)(build: => DataFrame): Leg = {
+    val cold = new Array[Long](reps)
     var hits = 0L
     var i = 0
     while (i < reps) {
       val t0 = System.nanoTime()
-      hits = f
-      times(i) = (System.nanoTime() - t0) / 1000000L
+      hits = build.count()
+      cold(i) = (System.nanoTime() - t0) / 1000000L
       i += 1
     }
-    val sorted = times.sorted
-    def pct(q: Double): Long = sorted(math.min(reps - 1, (q * reps).toInt))
-    Leg(hits, pct(0.50), pct(0.99))
+    // warm: the prepared plan — collected probe rows re-embedded as
+    // local relations, physical plan resolved once; each rep pays only
+    // task scheduling + the pruned scans
+    val rdd = build.queryExecution.toRdd
+    val warm = new Array[Long](reps)
+    i = 0
+    while (i < reps) {
+      val t0 = System.nanoTime()
+      rdd.count()
+      warm(i) = (System.nanoTime() - t0) / 1000000L
+      i += 1
+    }
+    def pct(ts: Array[Long], q: Double): Long = {
+      val s = ts.sorted
+      s(math.min(reps - 1, (q * reps).toInt))
+    }
+    Leg(hits, pct(cold, 0.50), cold.max, pct(warm, 0.50), warm.max)
   }
 
   def run(spark: SparkSession, sfDir: String, reps: Int = 20): Summary = {
@@ -100,22 +121,21 @@ object ServeMain {
       "array_join(slice(split(text, ' '), 3, 3), ' ')").as("phrase"))
     val probes = RetrievalQueries.fuzzyProbes(spark, sfDir)
 
-    def count(df: DataFrame): Long = df.count()
     val search = leg(reps)(
-      count(InvertedTextIndex.search(queries, "serve_text_idx")))
+      InvertedTextIndex.search(queries, "serve_text_idx"))
     val phrase = leg(reps)(
-      count(InvertedTextIndex.phraseSearch(phrases, "serve_text_idx")))
+      InvertedTextIndex.phraseSearch(phrases, "serve_text_idx"))
     val snippets = leg(reps)(
-      count(InvertedTextIndex.snippets(queries, docs, "serve_text_idx")))
-    val hybrid = leg(reps)(count(
+      InvertedTextIndex.snippets(queries, docs, "serve_text_idx"))
+    val hybrid = leg(reps)(
       HybridRetrieval.search(queries, qVecs, "serve_text_idx",
-        "serve_ann_idx")))
+        "serve_ann_idx"))
     val prf = leg(reps)(
-      count(InvertedTextIndex.prfSearch(queries, "serve_text_idx")))
+      InvertedTextIndex.prfSearch(queries, "serve_text_idx"))
     val mmr = leg(reps)(
-      count(InvertedTextIndex.mmrSearch(queries, "serve_text_idx")))
+      InvertedTextIndex.mmrSearch(queries, "serve_text_idx"))
     val fuzzy = leg(reps)(
-      count(FuzzyVocabIndex.search(probes, "serve_fuzzy")))
+      FuzzyVocabIndex.search(probes, "serve_fuzzy"))
 
     val audit = InvertedTextIndex.layoutAudit(spark, "serve_text_idx")
       .collect().head
@@ -153,7 +173,9 @@ object ServeMain {
     val s = run(spark, sfDir, reps)
     def legJson(name: String, l: Leg): String =
       s""""${name}_hits":${l.hits},"${name}_p50_ms":${l.p50Ms},""" +
-        s""""${name}_p99_ms":${l.p99Ms}"""
+        s""""${name}_max_ms":${l.maxMs},""" +
+        s""""${name}_warm_p50_ms":${l.warmP50Ms},""" +
+        s""""${name}_warm_max_ms":${l.warmMaxMs}"""
     println(s"""{"n_queries":${s.nQueries},"reps":$reps,""" +
       s""""postings":${s.postings},"positions":${s.positions},""" +
       s""""fwd_rows":${s.fwdRows},"ann_rows":${s.annRows},""" +

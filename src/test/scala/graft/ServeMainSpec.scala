@@ -30,11 +30,17 @@ class ServeMainSpec extends SparkSpec {
     // the frame contract holds: a full top-5 per query
     assert(s.hybrid.hits == s.nQueries * 5, s"hybrid leg diverged: $s")
 
-    // every leg pins its latency quantiles: measured, ordered
+    // every leg pins its latency quantiles: measured, ordered, and the
+    // warm (prepared-plan) floor at or below the cold (re-plan) median
+    // — planning + the leg's driver-side collects are what warm skips
     for (l <- Seq(s.search, s.phrase, s.snippets, s.hybrid, s.prf,
         s.mmr, s.fuzzy)) {
-      assert(l.p50Ms > 0 && l.p99Ms >= l.p50Ms,
-        s"leg quantiles unmeasured or unordered: $l in $s")
+      assert(l.p50Ms > 0 && l.maxMs >= l.p50Ms,
+        s"cold quantiles unmeasured or unordered: $l in $s")
+      assert(l.warmP50Ms > 0 && l.warmMaxMs >= l.warmP50Ms,
+        s"warm quantiles unmeasured or unordered: $l in $s")
+      assert(l.warmP50Ms <= l.p50Ms,
+        s"warm median above cold median: $l in $s")
     }
 
     // index volumes tie to the corpus token structure
