@@ -92,6 +92,24 @@ object Bench {
           name -> -1.0
         }
       }.toMap
+    // ISOLATED flagship (VERDICT r13 #3): q15's throughput measured
+    // FIRST — fresh JVM, no 190-query suite behind it — so the number
+    // the rounds compare is free of suite-growth JVM pressure. min-of-3,
+    // Bench's own noop method (this mechanizes the PLANS.md "isolated
+    // run" that rounds 12-13 had to produce by hand).
+    val flagshipIsolatedEps = try {
+      val n = Tables.events(spark, sfDir).count()
+      val t = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q15_transcript_assembly")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      n / t
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] isolated flagship failed: ${e.getMessage}")
+      0.0
+    }
     val cal0 = calibrate()
     val pass1 = timeAll()
     val pass2 = timeAll()
@@ -147,6 +165,24 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val calArr = s"[$cal0,$cal1,$cal2]"
+    // The bench defends itself against box regime (VERDICT r13 #3):
+    // rounds 12-13 each burned a judge/builder cycle re-proving that a
+    // uniformly slower run was machine load, so the JSON now carries
+    // (a) the cal-normalized total — totalMin scaled by pinned-healthy
+    // cal (270 ms, the clean-regime median across BENCH_HISTORY) over
+    // this run's cal median, comparable across box regimes — and
+    // (b) an explicit degraded flag at 1.5× pinned. A regression that
+    // survives normalization is code; one that doesn't is the box.
+    val PinnedCalMs = 270L
+    val calMedian = {
+      val ok = Seq(cal0, cal1, cal2).filter(_ > 0).sorted
+      if (ok.isEmpty) -1L else ok(ok.size / 2)
+    }
+    val calNormalizedTotal =
+      if (calMedian > 0) totalMin * PinnedCalMs / calMedian else totalMin
+    val calStatus =
+      if (calMedian <= 0) "unmeasured"
+      else if (calMedian > (PinnedCalMs * 3) / 2) "degraded" else "ok"
     val failedArr = failed.keys.toSeq.sorted
       .map("\"" + short(_) + "\"").mkString("[", ",", "]")
     def qmap(sel: String => Boolean, f: ((Double, Double)) => Double) =
@@ -154,7 +190,7 @@ object Bench {
         .map { case (k, v) => "\"" + short(k) + "\":" + fmt2(f(v)) }
         .mkString("{", ",", "}")
     val streamPart =
-      s""""flagship_events_per_sec":${"%.0f".format(flagshipEps)},"stream_eps":${"%.0f".format(stream.epsSustained)},"stream_p50_ms":${stream.p50Ms},"stream_p99_ms":${stream.p99Ms},"stream_batches":${stream.batches},"stream_sweep":$sweepJson"""
+      s""""flagship_events_per_sec":${"%.0f".format(flagshipEps)},"flagship_isolated_eps":${"%.0f".format(flagshipIsolatedEps)},"cal_normalized_total":${fmt2(calNormalizedTotal)},"cal_status":"$calStatus","stream_eps":${"%.0f".format(stream.epsSustained)},"stream_p50_ms":${stream.p50Ms},"stream_p99_ms":${stream.p99Ms},"stream_batches":${stream.batches},"stream_sweep":$sweepJson"""
     // FULL detail — every query's min and median — persisted to
     // target/bench_last.json and BENCH_DETAIL.json (repo root, so a
     // round snapshot carries it), and printed first (its tail may be
