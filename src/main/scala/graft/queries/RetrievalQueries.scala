@@ -1667,7 +1667,8 @@ object RetrievalQueries {
     * aggregable, which is why it suits a 100 TB training table where
     * an iterative fit would pay a pass per epoch. */
   private def q193(s: SparkSession, d: String): DataFrame = {
-    val fx = q189(s, d)
+    import scala.jdk.CollectionConverters._
+    val fxPlan = q189(s, d)
       .select(col("q_doc"), col("doc_id"), col("label"), col("rk_kw"),
         expr("cast(round(cos_sim * 1000000.0) as bigint)").as("f1"),
         col("jac_bp").as("f2"),
@@ -1676,6 +1677,14 @@ object RetrievalQueries {
       .withColumn("split", when(
         substring(md5(col("q_doc").cast("string").cast("binary")), 1, 2)
           <= "7f", "train").otherwise("holdout"))
+    // the feature set is WORKLOAD-bounded (|queries| × ≤21 rows at any
+    // corpus size) and three consumers need it (train aggregate,
+    // holdout scoring, holdout query list) — a Spark subtree referenced
+    // three times executes three times, so collect once and re-inject
+    // as a local relation (the InvertedTextIndex serving-seam pattern;
+    // q193 is exempt-listed in NoEagerActionSpec for exactly this)
+    val fxRows = fxPlan.collect().toSeq
+    val fx = s.createDataFrame(fxRows.asJava, fxPlan.schema)
     val nm = fx.filter(col("split") === "train").agg(
         (sum(col("f1") * col("f1")) + 1L).as("a11"),
         sum(col("f1") * col("f2")).as("a12"),
