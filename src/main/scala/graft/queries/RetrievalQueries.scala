@@ -1207,17 +1207,27 @@ object RetrievalQueries {
     * payloads; per-query feature math is workload-bounded. The corpus
     * scales only the one token shuffle. */
   private def q189(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
     graft.expressions.FloatVectorDot.register(s)
     // retrieved ∪ known-positive: the target doc always joins the pool
     // (rk_kw = 0 marks "scored but not retrieved" — it shares its own
     // query terms, so it is always in the scored frame), the standard
     // LTR training-set construction when first-stage recall is imperfect
-    val cands = rankTop(scored(s, d), "rk", Int.MaxValue)
+    val candsPlan = rankTop(scored(s, d), "rk", Int.MaxValue)
       .filter(col("rk") <= FuseDepth || col("doc_id") === col("q_doc"))
       .select(col("q_doc"),
         when(col("rk") <= FuseDepth, col("rk")).otherwise(lit(0))
           .as("rk_kw"),
         col("doc_id"), col("n_hit"), col("score"))
+    // the pool is WORKLOAD-bounded (≤|queries|·21 rows at any corpus
+    // size) and referenced three times below (two id-pruning branches
+    // + the feature join) — a Spark subtree referenced thrice executes
+    // thrice, so the first-stage scoring pass runs ONCE and the
+    // collected rows re-inject as a local relation (the serving-seam
+    // pattern; q189 and its dependants are exempt-listed in
+    // NoEagerActionSpec for exactly this)
+    val candRows = candsPlan.collect().toSeq
+    val cands = s.createDataFrame(candRows.asJava, candsPlan.schema)
     val tsets = Tables.documents(s, d)
       .join(broadcast(cands.select(col("doc_id")).unionByName(
         cands.select(col("q_doc").as("doc_id"))).distinct()), "doc_id")
