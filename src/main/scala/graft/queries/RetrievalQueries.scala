@@ -1076,18 +1076,21 @@ object RetrievalQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val vocab = words.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val longSrc = vocab.filter(length(col("w")) >= 5)
-      .select(col("w").as("src"))
-    val shortSrc = vocab.filter(length(col("w")).between(3, 4))
-      .select(col("w").as("src"))
-    val probes = longSrc.select(col("src"), lit("d1_del").as("edit"),
-        expr("concat(substring(src, 1, 1), substring(src, 3))").as("probe"))
-      .unionByName(longSrc.select(col("src"), lit("d2_del").as("edit"),
-        expr("concat(substring(src, 1, 1), substring(src, 4))").as("probe")))
-      .unionByName(longSrc.select(col("src"), lit("d2_sub").as("edit"),
-        expr(subAtExpr(subAtExpr("src", 2), 4)).as("probe")))
-      .unionByName(shortSrc.select(col("src"), lit("d2_sub_short").as("edit"),
-        expr(subAtExpr(subAtExpr("src", 1), 3)).as("probe")))
+    // ONE pass generates every probe (a 4-way union of per-edit
+    // selects would re-evaluate the corpus word-df subtree per branch)
+    val probes = vocab.filter(length(col("w")) >= 3)
+      .select(col("w").as("src"), explode(expr(
+        "CASE WHEN length(w) >= 5 THEN array(" +
+          "named_struct('edit', 'd1_del', 'probe', " +
+          "concat(substring(w, 1, 1), substring(w, 3))), " +
+          "named_struct('edit', 'd2_del', 'probe', " +
+          "concat(substring(w, 1, 1), substring(w, 4))), " +
+          "named_struct('edit', 'd2_sub', 'probe', " +
+          s"${subAtExpr(subAtExpr("w", 2), 4)})) " +
+        "ELSE array(named_struct('edit', 'd2_sub_short', 'probe', " +
+          s"${subAtExpr(subAtExpr("w", 1), 3)})) END")).as("ep"))
+      .select(col("src"), col("ep.edit").as("edit"),
+        col("ep.probe").as("probe"))
     val pk = probes.select(col("src"), col("edit"), col("probe"),
       explode(expr(delKeys2Expr("probe"))).as("k"))
     val vk = vocab.select(col("w"), col("df"),
