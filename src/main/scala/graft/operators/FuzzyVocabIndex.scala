@@ -93,9 +93,11 @@ object FuzzyVocabIndex {
       if (buckets > 0) buckets else bucketsFor(sizes.getAs[Long]("n_vocab"))
     val kb =
       if (buckets > 0) buckets else bucketsFor(sizes.getAs[Long]("n_keys"))
-    vocab.write.bucketBy(vb, "w").sortBy("w")
+    vocab.withColumn("batch_id", lit(InvertedTextIndex.BaseBatchId))
+      .write.bucketBy(vb, "w").sortBy("w")
       .mode("overwrite").saveAsTable(vocabTable(table))
-    keyRows(s.table(vocabTable(table)))
+    keyRows(s.table(vocabTable(table)).select(col("w")))
+      .withColumn("batch_id", lit(InvertedTextIndex.BaseBatchId))
       .write.bucketBy(kb, "k").sortBy("k")
       .mode("overwrite").saveAsTable(keysTable(table))
   }
@@ -108,21 +110,40 @@ object FuzzyVocabIndex {
     * `_keys` (and [[layoutAudit]]'s rebucket trigger) grows with real
     * vocabulary growth, not churn. Same admitted-docs contract as
     * [[InvertedTextIndex.append]]: only docs new to the index, so
-    * slice dfs add to exact corpus dfs. */
-  def append(admittedDocs: DataFrame, table: String): Unit = {
+    * slice dfs add to exact corpus dfs.
+    *
+    * `batchId`/`skipExisting` are [[InvertedTextIndex.append]]'s
+    * idempotent-replay contract (rows stamped with their batch's
+    * provenance; `skipExisting = true` footer-probes each table and
+    * re-appends only what a crash left behind) — what lets
+    * [[graft.streaming.StreamingIndexFreshness]] advance the fuzzy
+    * dictionary in the same exactly-once-served cut as the text/ANN
+    * indexes. */
+  def append(admittedDocs: DataFrame, table: String,
+      batchId: Long = InvertedTextIndex.BaseBatchId,
+      skipExisting: Boolean = false): Unit = {
     val s = admittedDocs.sparkSession
     val vocab = vocabRows(admittedDocs)
+    def need(t: String): Boolean =
+      !skipExisting || !InvertedTextIndex.hasBatch(s, t, batchId)
     // the keys write runs FIRST: its anti-join must see the
     // PRE-append vocabulary (written after, the lazy scan would
-    // anti-join the slice against itself and emit nothing)
-    val newWords = vocab.join(
-      s.table(vocabTable(table)).select(col("w")).distinct(),
-      Seq("w"), "left_anti")
-    keyRows(newWords)
-      .write.bucketBy(bucketCountOf(s, keysTable(table)), "k")
-      .sortBy("k").mode("append").saveAsTable(keysTable(table))
-    vocab.write.bucketBy(bucketCountOf(s, vocabTable(table)), "w")
-      .sortBy("w").mode("append").saveAsTable(vocabTable(table))
+    // anti-join the slice against itself and emit nothing). A batch
+    // with no new words appends zero key rows — its replay probe then
+    // re-runs this empty append, which is harmless by construction.
+    if (need(keysTable(table))) {
+      val newWords = vocab.join(
+        s.table(vocabTable(table)).select(col("w")).distinct(),
+        Seq("w"), "left_anti")
+      keyRows(newWords)
+        .withColumn("batch_id", lit(batchId))
+        .write.bucketBy(bucketCountOf(s, keysTable(table)), "k")
+        .sortBy("k").mode("append").saveAsTable(keysTable(table))
+    }
+    if (need(vocabTable(table)))
+      vocab.withColumn("batch_id", lit(batchId))
+        .write.bucketBy(bucketCountOf(s, vocabTable(table)), "w")
+        .sortBy("w").mode("append").saveAsTable(vocabTable(table))
   }
 
   /** Layout audit — rows-per-bucket vs the sizing target on the key

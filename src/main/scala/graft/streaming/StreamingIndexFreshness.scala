@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.operators.{AnnIvfIndex, InvertedTextIndex}
+import graft.operators.{AnnIvfIndex, FuzzyVocabIndex, InvertedTextIndex}
 
 /** Ingest → serve, CLOSED: a `foreachBatch` gate that routes each
   * micro-batch of ADMITTED documents into the serving indexes — a doc
@@ -17,10 +17,12 @@ import graft.operators.{AnnIvfIndex, InvertedTextIndex}
   * running ingest query.
   *
   * Per batch: [[InvertedTextIndex.append]] (postings + any deployed
-  * positional/forward companions, meta LAST) and, for docs carrying an
-  * embedding, [[AnnIvfIndex.append]] (assigned to the DEPLOYED
-  * quantizer, like every delta admit). Both appends write into the
-  * existing bucket layouts — no rebuild, no shuffle of the snapshot.
+  * positional/forward companions, meta LAST), for docs carrying an
+  * embedding [[AnnIvfIndex.append]] (assigned to the DEPLOYED
+  * quantizer, like every delta admit), and optionally
+  * [[FuzzyVocabIndex.append]] — so EVERY serving index advances in the
+  * same cut. All appends write into the existing bucket layouts — no
+  * rebuild, no shuffle of the snapshot.
   *
   * Delivery semantics — IDEMPOTENT under replay (the reference's
   * exactly-once-ish ack/claim contract, `redis_queue.py:163-183,
@@ -116,6 +118,7 @@ object StreamingIndexFreshness {
     * crash-replay path: per-table footer probes skip what landed. */
   private[graft] def appendIndexes(batch: DataFrame, batchId: Long,
       textTable: String, annTable: Option[String],
+      fuzzyTable: Option[String],
       skipExisting: Boolean): Unit = {
     InvertedTextIndex.append(batch.select(col("doc_id"), col("text")),
       textTable, batchId, skipExisting)
@@ -127,6 +130,10 @@ object StreamingIndexFreshness {
           AnnIvfIndex.append(vecs, at, batchId, skipExisting)
       }
     }
+    fuzzyTable.foreach { ft =>
+      FuzzyVocabIndex.append(batch.select(col("doc_id"), col("text")),
+        ft, batchId, skipExisting)
+    }
   }
 
   /** Apply ONE micro-batch (`doc_id`, `text`[, `embedding`]) to the
@@ -134,7 +141,8 @@ object StreamingIndexFreshness {
     * (re-delivery → skip). Exposed for direct spec coverage of the
     * skip and crash-replay paths. */
   def applyBatch(batch: DataFrame, batchId: Long, textTable: String,
-      annTable: Option[String] = None): Boolean = {
+      annTable: Option[String] = None,
+      fuzzyTable: Option[String] = None): Boolean = {
     val s = batch.sparkSession
     // an EMPTY batch (AvailableNow's closer, an idle trigger) advances
     // nothing: no meta slice, no ledger row — so reconcile()'s
@@ -147,7 +155,7 @@ object StreamingIndexFreshness {
       // double (the footer probes only run on this path)
       val crashReplay = stagedBatchId(s, textTable).contains(batchId)
       if (!crashReplay) stage(batch, batchId, textTable)
-      appendIndexes(batch, batchId, textTable, annTable,
+      appendIndexes(batch, batchId, textTable, annTable, fuzzyTable,
         skipExisting = crashReplay)
       writeLedger(s, textTable, batchId)
       true
@@ -159,7 +167,8 @@ object StreamingIndexFreshness {
     * staged copy and ledger it. Returns true when a repair ran —
     * [[reconcile]] detects, this repairs (VERDICT r13 #1). */
   def repair(s: SparkSession, textTable: String,
-      annTable: Option[String] = None): Boolean =
+      annTable: Option[String] = None,
+      fuzzyTable: Option[String] = None): Boolean =
     stagedBatchId(s, textTable) match {
       case Some(id) if !isLedgered(s, textTable, id) =>
         val raw = s.table(stagedTable(textTable))
@@ -168,10 +177,10 @@ object StreamingIndexFreshness {
         if (raw.count() != sealCount) false // broken seal → wait for replay
         else {
           val staged = raw.drop("batch_id", "batch_rows")
-          appendIndexes(staged, id, textTable, annTable,
+          appendIndexes(staged, id, textTable, annTable, fuzzyTable,
             skipExisting = true)
           writeLedger(s, textTable, id)
-          refreshServing(s, textTable, annTable)
+          refreshServing(s, textTable, annTable, fuzzyTable)
           true
         }
       case _ => false
@@ -203,10 +212,12 @@ object StreamingIndexFreshness {
     * gate runs). Freshness IS this gate's contract, so it pays the
     * refresh. */
   private def refreshServing(owner: SparkSession, textTable: String,
-      annTable: Option[String]): Unit =
+      annTable: Option[String],
+      fuzzyTable: Option[String] = None): Unit =
     (Seq(textTable, textTable + "_meta", textTable + "_pos",
       textTable + "_fwd", ledgerTable(textTable),
-      stagedTable(textTable)) ++ annTable.toSeq)
+      stagedTable(textTable)) ++ annTable.toSeq ++
+      fuzzyTable.toSeq.flatMap(f => Seq(f + "_vocab", f + "_keys")))
       .filter(owner.catalog.tableExists)
       .foreach(owner.catalog.refreshTable)
 
@@ -216,6 +227,7 @@ object StreamingIndexFreshness {
     * contract. */
   def start(docs: DataFrame, textTable: String,
       annTable: Option[String] = None,
+      fuzzyTable: Option[String] = None,
       checkpointDir: Option[String] = None,
       queryName: String = "index-freshness-gate"): StreamingQuery = {
     val owner = docs.sparkSession
@@ -224,8 +236,8 @@ object StreamingIndexFreshness {
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (applyBatch(batch, id, textTable, annTable))
-          refreshServing(owner, textTable, annTable)
+        if (applyBatch(batch, id, textTable, annTable, fuzzyTable))
+          refreshServing(owner, textTable, annTable, fuzzyTable)
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))

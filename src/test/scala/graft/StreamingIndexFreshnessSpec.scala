@@ -20,7 +20,8 @@ class StreamingIndexFreshnessSpec extends SparkSpec {
       "fresh_full", "fresh_full_meta", "fresh_full_pos", "fresh_full_fwd",
       "crash_idx", "crash_idx_meta", "crash_idx_pos", "crash_idx_fwd",
       "crash_idx_applied", "crash_idx_staged", "crash_ann",
-      "crash_ann_cent")
+      "crash_ann_cent", "crash_fuzzy_vocab", "crash_fuzzy_keys",
+      "crash_fuzzy_full_vocab", "crash_fuzzy_full_keys")
       .foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         val p = java.nio.file.Paths.get("spark-warehouse", t)
@@ -163,6 +164,8 @@ class StreamingIndexFreshnessSpec extends SparkSpec {
           .select(col("vec_id"), col("label").cast("long").as("cell"),
             col("embedding")),
         "crash_ann")
+      graft.operators.FuzzyVocabIndex.build(
+        snap.select(col("doc_id"), col("text")), "crash_fuzzy")
       StreamingIndexFreshness.init(spark, "crash_idx")
 
       val batch = withEmb.filter(col("doc_id") % 9 === 0)
@@ -171,18 +174,20 @@ class StreamingIndexFreshnessSpec extends SparkSpec {
       // run exactly applyBatch's internals minus writeLedger
       StreamingIndexFreshness.stage(batch, 0L, "crash_idx")
       StreamingIndexFreshness.appendIndexes(batch, 0L, "crash_idx",
-        Some("crash_ann"), skipExisting = false)
+        Some("crash_ann"), Some("crash_fuzzy"), skipExisting = false)
       val rec0 = StreamingIndexFreshness.reconcile(spark, "crash_idx")
         .collect().head
       assert(rec0.getAs[Boolean]("repair_due"),
         s"crash window not detected: $rec0")
       val counts0 = Seq("crash_idx", "crash_idx_pos", "crash_idx_fwd",
-        "crash_idx_meta", "crash_ann").map(t => t -> spark.table(t).count())
+        "crash_idx_meta", "crash_ann", "crash_fuzzy_vocab",
+        "crash_fuzzy_keys").map(t => t -> spark.table(t).count())
 
       // replay the SAME batch through applyBatch — served counts must
       // end exactly where the crash-free run put them (no doubling)
       assert(StreamingIndexFreshness.applyBatch(batch, 0L, "crash_idx",
-        Some("crash_ann")), "crash-replay was skipped outright")
+        Some("crash_ann"), Some("crash_fuzzy")),
+        "crash-replay was skipped outright")
       counts0.foreach { case (t, n) =>
         assert(spark.table(t).count() == n,
           s"replay changed $t: ${spark.table(t).count()} != $n")
@@ -193,7 +198,7 @@ class StreamingIndexFreshnessSpec extends SparkSpec {
         !rec1.getAs[Boolean]("repair_due"), s"replay left drift: $rec1")
       // and a ledgered re-delivery is still a no-op
       assert(!StreamingIndexFreshness.applyBatch(batch, 0L, "crash_idx",
-        Some("crash_ann")))
+        Some("crash_ann"), Some("crash_fuzzy")))
 
       // INJECTED CRASH #2 — MID-appendIndexes (the text family landed,
       // the ANN append and the ledger row did not): repair() completes
@@ -205,7 +210,7 @@ class StreamingIndexFreshnessSpec extends SparkSpec {
       val postAfterCrash = spark.table("crash_idx").count()
       val annBeforeRepair = spark.table("crash_ann").count()
       assert(StreamingIndexFreshness.repair(spark, "crash_idx",
-        Some("crash_ann")), "repair did not run")
+        Some("crash_ann"), Some("crash_fuzzy")), "repair did not run")
       // text family untouched (footer probe skipped it), ANN completed,
       // ledger advanced, audit clean
       assert(spark.table("crash_idx").count() == postAfterCrash,
@@ -228,7 +233,21 @@ class StreamingIndexFreshnessSpec extends SparkSpec {
         s"repaired batch not served: ${hits.toList}")
       // idempotent: a second repair is a no-op
       assert(!StreamingIndexFreshness.repair(spark, "crash_idx",
-        Some("crash_ann")))
+        Some("crash_ann"), Some("crash_fuzzy")))
+      // the fuzzy dictionary advanced through the same cuts, exactly
+      // once: per-word df sums equal a one-shot rebuild over the same
+      // final corpus (snapshot + both batches)
+      graft.operators.FuzzyVocabIndex.build(
+        snap.unionByName(batch).unionByName(batch2)
+          .select(col("doc_id"), col("text")), "crash_fuzzy_full")
+      val incV = spark.table("crash_fuzzy_vocab").groupBy("w")
+        .agg(org.apache.spark.sql.functions.sum("df").as("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fullV = spark.table("crash_fuzzy_full_vocab")
+        .select(col("w"), col("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(incV == fullV,
+        "gate-advanced fuzzy dictionary != one-shot rebuild")
       // the appended rows carry their provenance stamps
       val stamped = spark.table("crash_idx")
         .groupBy(col("batch_id")).count().collect()
