@@ -188,8 +188,11 @@ object StreamingIndexFreshness {
 
   /** Ledger-vs-meta audit: applied batch count, meta slices beyond the
     * base build, and the drift flag — nonzero only inside the crash
-    * window, and one-sided (meta is the text family's LAST append, so
-    * slices never exceed applied+1 … they can only lag). The repair is
+    * window, and one-sided: drift ∈ {0, 1}. The meta row is the text
+    * family's LAST append and the ledger row follows ALL appends, so
+    * slices lead the ledger by exactly the one crashed in-flight batch
+    * and never trail it (a ledgered batch always has its meta slice —
+    * replay completes meta before the ledger row lands). The repair is
     * [[repair]] (from the staged copy) or the next crash-replay —
     * never a rebuild. */
   def reconcile(s: SparkSession, textTable: String): DataFrame = {

@@ -182,13 +182,23 @@ class FuzzyVocabIndexSpec extends SparkSpec {
       val full = spark.table("fuzzy_full_vocab").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(inc == full, "append-advanced vocab dfs != rebuild")
-      // served suggestions identical over the appended dictionary
+      // served suggestions identical over the appended dictionary —
+      // at d=1 AND at d=2 (the appended slice's d2 deletion keys must
+      // land exactly like a rebuild's)
       val probes = RetrievalQueries.fuzzyProbes(spark, sf0001)
       val viaInc = FuzzyVocabIndex.search(probes, "fuzzy_inc")
         .collect().toSet
       val viaFull = FuzzyVocabIndex.search(probes, "fuzzy_full")
         .collect().toSet
       assert(viaInc == viaFull, "appended dictionary serves different matches")
+      val viaInc2 = FuzzyVocabIndex.search(probes, "fuzzy_inc", maxDist = 2)
+        .collect().toSet
+      val viaFull2 = FuzzyVocabIndex.search(probes, "fuzzy_full", maxDist = 2)
+        .collect().toSet
+      assert(viaInc2 == viaFull2,
+        "appended dictionary serves different d=2 matches")
+      assert(viaInc2 != viaInc, "d=2 added nothing over d=1 — workload " +
+        "too easy to distinguish the neighborhoods (pick better probes)")
       // and the lifecycle audit reads the deployed layout
       val audit = FuzzyVocabIndex.layoutAudit(spark, "fuzzy_inc")
         .collect().head
