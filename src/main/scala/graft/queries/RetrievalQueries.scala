@@ -1364,6 +1364,16 @@ object RetrievalQueries {
     * the broadcast centroid table, the candidate join keys on the cell
     * — against the materialized index it is the pruned-bucket scan);
     * the fusion and recall bookkeeping are ≤3×|queries| rows. */
+  /** Collect a workload-bounded leg (≤|queries|·FuseDepth rows at any
+    * corpus size) and re-inject it as a local relation — q190 consumes
+    * each retrieval leg twice (fusion + its own recall row), and a
+    * subtree referenced twice executes twice (the round-14
+    * repeated-subtree sweep; exemption recorded in NoEagerActionSpec). */
+  private def localized(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   private def q190(s: SparkSession, d: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(s)
     val post = postings(s, d)
@@ -1371,11 +1381,11 @@ object RetrievalQueries {
     val terms = quoteTerms(s, d, post, qdocs)
 
     // keyword leg — InvertedTextIndex.search's formula
-    val kw = rankTop(
+    val kw = localized(rankTop(
       scoreCandidates(post.join(broadcast(terms), "wh")
         .crossJoin(broadcast(stats(s, d)))),
       "rk_kw", FuseDepth)
-      .select(col("q_doc"), col("doc_id"), col("rk_kw"))
+      .select(col("q_doc"), col("doc_id"), col("rk_kw")))
 
     // semantic leg — AnnIvfIndex.search's math over the label cells
     val emb = Tables.embeddings(s, d)
@@ -1401,13 +1411,16 @@ object RetrievalQueries {
         col("cbarq"))), "dim")
       .groupBy(col("q_doc"), col("c_label"))
       .agg(sum(col("u") * col("cbarq")).as("dotnum"))
-    val probeRk = qdots
+    // collected once (≤|queries|·cells rows): BOTH probe budgets below
+    // slice this frame, and the centroid pipeline above it must run
+    // once, not once per budget
+    val probeRk = localized(qdots
       .join(broadcast(cmeta.withColumnRenamed("label", "c_label")),
         "c_label")
       .withColumn("score", col("dotnum").cast("double") /
         sqrt(greatest(col("cnormsq"), lit(1L)).cast("double")))
       .withColumn("pk", row_number().over(Window.partitionBy(col("q_doc"))
-        .orderBy(col("score").desc, col("c_label").asc)))
+        .orderBy(col("score").desc, col("c_label").asc))))
     val qembs = emb.join(broadcast(qdocs), col("vec_id") === col("q_doc"))
       .select(col("q_doc"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -1429,7 +1442,7 @@ object RetrievalQueries {
         .filter(col("rk_sem") <= FuseDepth)
         .select(col("q_doc"), col("doc_id"), col("rk_sem"))
     }
-    val sem = semAt(IvfNprobe)
+    val sem = localized(semAt(IvfNprobe))
     val sem4 = semAt(2 * IvfNprobe)
 
     // hybrid — HybridRetrieval's RRF over the two production legs

@@ -27,11 +27,13 @@ class NoEagerActionSpec extends SparkSpec {
     val exempt = Set("q78_dup_clusters", "q150_dedup_materialize",
       "q151_semantic_dedup", "q157_corpus_build", "q165_training_mix_plan",
       "q171_shipping_manifest", "q172_cellscaled_semdedup",
-      // the LTR family collects its workload-bounded pool/feature set
-      // once (≤|queries|×21 rows at any scale) to feed multiple
-      // consumers — the serving-seam collect pattern, documented at
-      // RetrievalQueries.q189/q193 (q191 inherits q189's collect)
-      "q189_ltr_features", "q191_reranker_lift", "q193_reranker_fit")
+      // the LTR/deployed-recall family collects its workload-bounded
+      // pool/leg frames once (≤|queries|×FuseDepth rows at any scale)
+      // to feed multiple consumers — the serving-seam collect pattern,
+      // documented at RetrievalQueries.q189/q190/q193 (q191 inherits
+      // q189's collect)
+      "q189_ltr_features", "q190_deployed_recall", "q191_reranker_lift",
+      "q193_reranker_fit")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {
