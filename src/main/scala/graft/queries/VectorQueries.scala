@@ -1665,7 +1665,270 @@ object VectorQueries {
        |FROM occ
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** q197: ANN RETRAIN recall recovery — the measured before/after of
+    * the IVF lifecycle act behind `retrain_due` (VERDICT r14 #3; the
+    * operator form is [[graft.operators.AnnIvfIndex.retrain]], whose
+    * spec pins parity with this query's math). The drift scenario is
+    * the one appends actually produce: the index was BUILT over the
+    * true label assignment (so the DEPLOYED centroids are the true
+    * cluster means — append never moves centroids), then half the
+    * corpus (vec_id % 2 = 0) landed in the WRONG cell ((label+1) mod
+    * k). Search pays for that in MEMBERSHIP, not probe ranking: an
+    * nprobe=1 query ranks cells by the (correct) centroids, scans the
+    * right bucket, and finds only the undrifted half of its true
+    * neighbors.
+    *
+    * Retrain = two UNROLLED Lloyd rounds from the deployed centroids
+    * (reassign to nearest centroid — the same max-cosine rule append
+    * admits with — then recompute exact-integer centroids), fully
+    * declarative: zero driver coordination, identical CTE chain on the
+    * oracle (the q162 discipline). Round 2's move count rides along as
+    * the retrained row's `n_changed` — the measured residual
+    * (convergence-to-maxRounds is the OPERATOR's job; the query pins a
+    * fixed-2-round retrain so both engines compute the identical
+    * state).
+    *
+    * Three states, one row each: 'undrifted' (deployed centroids,
+    * clean membership — the pre-drift baseline), 'drifted', and
+    * 'retrained'. Each: nprobe=1 IVF recall@3 in basis points against
+    * the brute-force ground truth over a fixed deterministic query
+    * workload (vec_id % 29 = 0), plus n_changed (drifted: injected
+    * wrong-cell count; retrained: residual round-2 moves). On this
+    * corpus the labels carry almost no cosine structure (in-label mean
+    * cosine ≈ cross-label — near-random 64-dim vectors), so the
+    * label-cell baseline already sits AT the random nprobe=1 floor and
+    * drift keeps it there (measured sf0.01: 1481 bp both); what the
+    * retrain buys is Lloyd's cosine-coherent cells — 3518 bp, 2.4× the
+    * floor. On a corpus whose deployed cells DO carry structure the
+    * same three rows read recovery instead of improvement; either way
+    * the retrained row must dominate the drifted row, which is the
+    * lifecycle claim under test.
+    *
+    * All centroid/score math is q110/q125's exact-integer micro-unit
+    * form; `cbarq = csum div n` is [[graft.operators.AnnIvfIndex]]'s
+    * occupancy-bounded mean (truncation toward zero on both engines),
+    * so probe products stay ≤ dims·10¹² at any cell size. Scale shape:
+    * each Lloyd round is one broadcast of k·dims centroid rows onto
+    * the dim table + a (vec, cell) partial-agg shuffle — Lloyd's cost,
+    * nothing quadratic; the ground-truth brute force is |Q|·n pairs
+    * with |Q| fixed (the q80/q175 measurement pattern: the RECALL
+    * PROBE pays brute force so serving never has to). */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVectorDot.register(s)
+    val emb = Tables.embeddings(s, d)
+    val dims = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("u", round(col("v").cast("double") * 1e6).cast("long"))
+      .select(col("vec_id"), col("dim"), col("u"))
+    val nlab = emb.agg((max(col("label")).cast("long") + 1L).as("k"))
+    val atrue = emb.select(col("vec_id"),
+      col("label").cast("long").as("cell"))
+    val a0 = emb.crossJoin(broadcast(nlab))
+      .select(col("vec_id"),
+        when(col("vec_id") % 2 === 0,
+          (col("label").cast("long") + 1L) % col("k"))
+          .otherwise(col("label").cast("long")).as("cell"))
+
+    // centroid frame (cell, dim, cbarq, cnormsq) from an assignment
+    def centOf(assign: DataFrame): DataFrame = {
+      val cs = dims.join(assign, "vec_id")
+        .groupBy(col("cell"), col("dim")).agg(sum(col("u")).as("csum"))
+      val n = assign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val cb = cs.join(n, "cell").withColumn("cbarq", expr("csum div n"))
+        .select(col("cell"), col("dim"), col("cbarq"))
+      cb.join(cb.groupBy(col("cell"))
+          .agg(sum(col("cbarq") * col("cbarq")).as("cnormsq")), "cell")
+    }
+    // nearest-centroid assignment of `ds` (a dims subset) under `cent`
+    def assignTo(ds: DataFrame, cent: DataFrame): DataFrame = ds
+      .join(broadcast(cent.select(col("cell"), col("dim"), col("cbarq"))),
+        "dim")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(col("u") * col("cbarq")).as("dotnum"))
+      .join(broadcast(cent.select(col("cell"), col("cnormsq")).distinct()),
+        "cell")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        (col("dotnum").cast("double") /
+          sqrt(greatest(col("cnormsq"), lit(1L)).cast("double")))
+          .as("score"),
+        (-col("cell")).as("negCell"))).as("best"))
+      .select(col("vec_id"), (-col("best.negCell")).as("cell"))
+
+    val c0 = centOf(atrue) // deployed quantizer: true cluster means
+    val a1 = assignTo(dims, c0) // Lloyd round 1 reassignment
+    val c1 = centOf(a1)
+    val a2 = assignTo(dims, c1) // round 2 (expected: zero moves)
+    val c2 = centOf(a2)
+
+    val withNrm = emb.withColumn("nrm", norm(col("embedding")))
+    val queries = withNrm.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cands = withNrm.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val gt = cands.crossJoin(broadcast(queries))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(expr("float_vector_dot(q_emb, c_emb)") /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("c_id"))
+
+    val qdims = dims.join(
+      broadcast(queries.select(col("q_id").as("vec_id"))), "vec_id")
+    // one recall row: nprobe=1 probes under `cent`, membership `assign`
+    def recallOf(state: String, cent: DataFrame, assign: DataFrame,
+        changed: DataFrame): DataFrame = {
+      val probes = assignTo(qdims, cent)
+        .select(col("vec_id").as("q_id"), col("cell"))
+      val ivf = assign.join(broadcast(probes.join(queries, "q_id")), "cell")
+        .withColumnRenamed("vec_id", "c_id")
+        .filter(col("c_id") =!= col("q_id"))
+        .join(cands, "c_id")
+        .select(col("q_id"), col("c_id"),
+          round(expr("float_vector_dot(q_emb, c_emb)") /
+            (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("c_id").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("c_id"))
+      val hits = ivf.join(gt, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val denom = gt.agg(count(lit(1)).as("n_gt"),
+        countDistinct(col("q_id")).as("n_queries"))
+      denom.crossJoin(broadcast(hits))
+        .crossJoin(broadcast(changed.agg(count(lit(1)).as("n_changed"))))
+        .select(lit(state).as("state"), col("n_queries"),
+          col("n_hits"),
+          expr("(10000L * n_hits) div n_gt").as("recall_bp"),
+          col("n_changed"))
+    }
+    val driftChanged = a0.join(atrue.withColumnRenamed("cell", "tcell"),
+      "vec_id").filter(col("cell") =!= col("tcell"))
+    val round2Moves = a2.join(a1.withColumnRenamed("cell", "pcell"),
+      "vec_id").filter(col("cell") =!= col("pcell"))
+    recallOf("undrifted", c0, atrue, atrue.filter(lit(false)))
+      .unionAll(recallOf("drifted", c0, a0, driftChanged))
+      .unionAll(recallOf("retrained", c2, a2, round2Moves))
+  }
+
+  /** SQL twins of q197's centroid / assignment stages — generated from
+    * one template each so the unrolled Lloyd rounds cannot drift from
+    * each other (the bpeSqlChain discipline). */
+  private def centSqlOf(name: String, assign: String): String =
+    s"""${name}s AS (
+       |  SELECT a.cell, d.dim, CAST(sum(d.u) AS BIGINT) AS csum
+       |  FROM dims d JOIN $assign a USING (vec_id) GROUP BY 1, 2),
+       |${name}n AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n FROM $assign
+       |  GROUP BY 1),
+       |${name}b AS (
+       |  SELECT cell, dim, csum // n AS cbarq
+       |  FROM ${name}s JOIN ${name}n USING (cell)),
+       |$name AS (
+       |  SELECT b.cell, b.dim, b.cbarq, m.cnormsq
+       |  FROM ${name}b b JOIN (
+       |    SELECT cell, CAST(sum(cbarq * cbarq) AS BIGINT) AS cnormsq
+       |    FROM ${name}b GROUP BY 1) m USING (cell))"""
+
+  private def assignSqlOf(name: String, src: String, cent: String): String =
+    s"""${name}d AS (
+       |  SELECT d.vec_id, c.cell, CAST(sum(d.u * c.cbarq) AS BIGINT)
+       |    AS dotnum
+       |  FROM $src d JOIN $cent c USING (dim) GROUP BY 1, 2),
+       |$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT x.vec_id, x.cell, row_number() OVER (
+       |      PARTITION BY x.vec_id ORDER BY
+       |        CAST(x.dotnum AS DOUBLE)
+       |          / sqrt(CAST(greatest(cn.cnormsq, 1) AS DOUBLE)) DESC,
+       |        x.cell ASC) AS rn
+       |    FROM ${name}d x
+       |    JOIN (SELECT DISTINCT cell, cnormsq FROM $cent) cn
+       |      USING (cell))
+       |  WHERE rn = 1)"""
+
+  private def recallSqlOf(state: String, cent: String,
+      assign: String, changed: String): String =
+    s"""SELECT '$state' AS state,
+       |  (SELECT CAST(count(DISTINCT q_id) AS BIGINT) FROM gt)
+       |    AS n_queries,
+       |  (SELECT CAST(count(*) AS BIGINT)
+       |   FROM ivf_$state i JOIN gt USING (q_id, c_id)) AS n_hits,
+       |  (10000 * (SELECT CAST(count(*) AS BIGINT)
+       |            FROM ivf_$state i JOIN gt USING (q_id, c_id)))
+       |    // (SELECT CAST(count(*) AS BIGINT) FROM gt) AS recall_bp,
+       |  ($changed) AS n_changed"""
+
+  private def ivfSqlOf(state: String, probes: String,
+      assign: String): String =
+    s"""ivf_$state AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT p.vec_id AS q_id, m.vec_id AS c_id,
+       |      round(${cosineSql("q.embedding", "c.embedding")}, 6)
+       |        AS cos_sim,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        round(${cosineSql("q.embedding", "c.embedding")}, 6) DESC,
+       |        m.vec_id ASC) AS rk
+       |    FROM $probes p
+       |    JOIN $assign m ON m.cell = p.cell AND m.vec_id <> p.vec_id
+       |    JOIN embeddings q ON q.vec_id = p.vec_id
+       |    JOIN embeddings c ON c.vec_id = m.vec_id)
+       |  WHERE rk <= 3)"""
+
+  private val q197Sql =
+    s"""WITH dims AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+       |      AS u
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+       |nlab AS (
+       |  SELECT CAST(max(label) + 1 AS BIGINT) AS k FROM embeddings),
+       |atrue AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS cell FROM embeddings),
+       |a0 AS (
+       |  SELECT vec_id, CASE WHEN vec_id % 2 = 0
+       |    THEN (CAST(label AS BIGINT) + 1) % k
+       |    ELSE CAST(label AS BIGINT) END AS cell
+       |  FROM embeddings, nlab),
+       |${centSqlOf("c0", "atrue")},
+       |${assignSqlOf("a1", "dims", "c0")},
+       |${centSqlOf("c1", "a1")},
+       |${assignSqlOf("a2", "dims", "c1")},
+       |${centSqlOf("c2", "a2")},
+       |qset AS (SELECT vec_id FROM embeddings WHERE vec_id % 29 = 0),
+       |gt AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      round(${cosineSql("q.embedding", "c.embedding")}, 6)
+       |        AS cos_sim,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(${cosineSql("q.embedding", "c.embedding")}, 6) DESC,
+       |        c.vec_id ASC) AS rk
+       |    FROM embeddings q JOIN qset ON qset.vec_id = q.vec_id
+       |    JOIN embeddings c ON c.vec_id <> q.vec_id)
+       |  WHERE rk <= 3),
+       |qdims AS (SELECT d.* FROM dims d JOIN qset USING (vec_id)),
+       |${assignSqlOf("pd", "qdims", "c0")},
+       |${assignSqlOf("pr", "qdims", "c2")},
+       |${ivfSqlOf("undrifted", "pd", "atrue")},
+       |${ivfSqlOf("drifted", "pd", "a0")},
+       |${ivfSqlOf("retrained", "pr", "a2")}
+       |${recallSqlOf("undrifted", "c0", "atrue", "SELECT CAST(0 AS BIGINT)")}
+       |UNION ALL
+       |${recallSqlOf("drifted", "c0", "a0",
+        "SELECT CAST(count(*) AS BIGINT) FROM a0 JOIN atrue t " +
+          "USING (vec_id) WHERE a0.cell <> t.cell")}
+       |UNION ALL
+       |${recallSqlOf("retrained", "c2", "a2",
+        "SELECT CAST(count(*) AS BIGINT) FROM a2 JOIN a1 " +
+          "USING (vec_id) WHERE a2.cell <> a1.cell")}""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q197_ann_retrain_recall", q197, Some(q197Sql)),
     QueryDef("q179_grid_staleness", q179, Some(q179Sql)),
     QueryDef("q178_pq_delta_semdedup", q178, Some(q178Sql)),
     QueryDef("q176_delta_semdedup", q176, Some(q176Sql)),

@@ -128,4 +128,67 @@ class AnnIvfIndexSpec extends SparkSpec {
         > ok.getAs[Long]("imbalance_x100"))
     } finally cleanup("ann_idx_bal", "ann_idx_skew")
   }
+
+  test("retrain_due -> retrain() clears the flag, converges, and search matches a fresh build") {
+    cleanup("ann_idx_rt", "ann_idx_rt_fresh")
+    try {
+      val emb = Tables.embeddings(spark, sf0001)
+      val snap = emb.filter(col("vec_id") % 2 =!= 0)
+      val delta = emb.filter(col("vec_id") % 2 === 0)
+      AnnIvfIndex.build(
+        snap.select(col("vec_id"), col("label").cast("long").as("cell"),
+          col("embedding")),
+        "ann_idx_rt")
+      // inject the drift balance() exists to catch: half the corpus
+      // appended into ONE hot cell (a broken upstream assigner — the
+      // appended rows bypass nearestCell by building the frame the
+      // append writer would have produced). Emulated via direct build
+      // of the union so the test controls the assignment exactly.
+      val drifted = snap
+        .select(col("vec_id"), col("label").cast("long").as("cell"),
+          col("embedding"))
+        .unionAll(delta.select(col("vec_id"), lit(0L).as("cell"),
+          col("embedding")))
+      AnnIvfIndex.build(drifted, "ann_idx_rt")
+      val before = AnnIvfIndex.balance(spark, "ann_idx_rt").collect().head
+      assert(before.getAs[Boolean]("retrain_due"),
+        s"injected hot cell not flagged: $before")
+
+      // quantized Lloyd limit-cycles at a small residual on this
+      // unstructured corpus (it never hits an exact fixed point), so
+      // the budget knobs ARE the contract: stop once moves fall under
+      // 1% of the corpus, and require a 10x decay from round 1
+      val n = spark.table("ann_idx_rt").count()
+      val moved = AnnIvfIndex.retrain(spark, "ann_idx_rt",
+        maxRounds = 12, tolMoves = n / 100)
+      assert(moved.head > 0L,
+        s"retrain round 1 moved nothing — drift was not real: $moved")
+      assert(moved.last <= math.max(n / 100, moved.head / 10),
+        s"retrain movement did not decay within the budget: $moved")
+      val after = AnnIvfIndex.balance(spark, "ann_idx_rt").collect().head
+      assert(!after.getAs[Boolean]("retrain_due"),
+        s"flag still set after retrain: $after")
+      assert(after.getAs[Long]("n_vecs") == before.getAs[Long]("n_vecs"),
+        "retrain lost or duplicated vectors")
+
+      // search parity: the retrained table must answer exactly like a
+      // FRESH build over the same (converged) assignment — retrain is
+      // a rebuild, not a new code path
+      AnnIvfIndex.build(
+        spark.table("ann_idx_rt")
+          .select(col("vec_id"), col("cell"), col("embedding")),
+        "ann_idx_rt_fresh")
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val viaRetrained =
+        AnnIvfIndex.search(probes, "ann_idx_rt", nprobe = 2, k = 3)
+          .collect().toSet
+      val viaFresh =
+        AnnIvfIndex.search(probes, "ann_idx_rt_fresh", nprobe = 2, k = 3)
+          .collect().toSet
+      assert(viaRetrained == viaFresh,
+        s"retrained search diverged from fresh build: " +
+          s"${viaRetrained.size} vs ${viaFresh.size}")
+    } finally cleanup("ann_idx_rt", "ann_idx_rt_fresh")
+  }
 }
