@@ -47,12 +47,19 @@ object ServeMain {
   final case class Leg(hits: Long, p50Ms: Long, maxMs: Long,
       warmP50Ms: Long, warmMaxMs: Long)
 
+  /** One concurrency operating point: `n` requests in flight draining
+    * a mixed-leg workload of `requests` prepared-plan executions. */
+  final case class ConcPoint(n: Int, requests: Int, wallMs: Long,
+      qps: Double, p50Ms: Long, maxMs: Long,
+      legs: Map[String, (Long, Long)])
+
   final case class Summary(nQueries: Long, postings: Long, positions: Long,
       fwdRows: Long, annRows: Long, keyRows: Long,
       search: Leg, phrase: Leg, snippets: Leg, hybrid: Leg,
       prf: Leg, mmr: Leg, fuzzy: Leg,
       hotDfBp: Long, rebucketDue: Boolean,
-      annImbalanceX100: Long, annRetrainDue: Boolean)
+      annImbalanceX100: Long, annRetrainDue: Boolean,
+      concurrency: Seq[ConcPoint])
 
   /** Run a serving leg `reps` times cold (re-plan + re-execute) and
     * `reps` times warm (one plan, re-execute the physical plan's RDD —

@@ -3128,7 +3128,197 @@ object TextQueries {
        |WHERE d.doc_id % 10 = 0 AND d.source <> 'src0'
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** q198: LINE-LEVEL C4 quality rules — the pass a real corpus build
+    * runs BEFORE the q149 doc-level gate (C4 §2.2: drop lines without
+    * terminal punctuation or with <N words; drop whole documents
+    * containing '{' or the word "javascript"; keep documents with ≥3
+    * retained sentences). Per document: line counts, per-rule ratios
+    * in basis points (integer-exact, the q149 discipline), per-rule
+    * flags, the composed keep, and a fail_mask so drops are auditable.
+    *
+    * The corpus's documents are single-line and punctuation-free, so
+    * the LINING is a deterministic in-query FIXTURE (the F32/WavCodec
+    * discipline — synthesize the missing physical structure, then run
+    * the REAL rules over it): a line breaks after every word of ≤3
+    * characters, and a line carries terminal punctuation iff its last
+    * word's initial is ≤ 'm' — content-derived, so line lengths and
+    * punctuation vary per document on both engines identically. The
+    * brace/javascript rules run against the real token text (never
+    * firing on this corpus — their firing paths are typed-spec-proved
+    * on constructed rows, QueriesSmokeSpec).
+    *
+    * Scale shape: one token explode, line ids from a PER-DOCUMENT
+    * running count (window partitioned by doc_id — never global), two
+    * partial-aggregated shuffles ((doc, line) then doc). Nothing
+    * pairwise, nothing corpus-global. */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(wordsExpr)).as(Seq("pos", "w")))
+    // line id = breaks strictly BEFORE this word (first line is 0)
+    val lined = tok.withColumn("line_no",
+      coalesce(
+        sum(when(length(col("w")) <= 3, 1L).otherwise(0L))
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val lines = lined.groupBy(col("doc_id"), col("line_no"))
+      .agg(count(lit(1)).as("n_words"),
+        max_by(col("w"), col("pos")).as("last_w"),
+        max(col("w").contains("{").cast("long")).as("has_brace"),
+        max((lower(col("w")) === "javascript").cast("long")).as("has_js"))
+      .withColumn("term",
+        (substring(col("last_w"), 1, 1) <= "m").cast("long"))
+      .withColumn("kept",
+        (col("term") === 1L && col("n_words") >= 3).cast("long"))
+    lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("kept")).as("n_kept_lines"),
+        sum(col("term")).as("n_term_lines"),
+        sum((col("n_words") >= 3).cast("long")).as("n_ge3_lines"),
+        max(col("has_brace")).as("any_brace"),
+        max(col("has_js")).as("any_js"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        expr("(10000L * n_term_lines) div n_lines").as("term_bp"),
+        expr("(10000L * n_ge3_lines) div n_lines").as("ge3_bp"),
+        (col("n_kept_lines") >= 3).as("r_sent"),
+        (col("any_brace") === 0L).as("r_brace"),
+        (col("any_js") === 0L).as("r_js"))
+      .withColumn("keep", col("r_sent") && col("r_brace") && col("r_js"))
+      .withColumn("fail_mask",
+        when(col("r_sent"), 0L).otherwise(1L) +
+          when(col("r_brace"), 0L).otherwise(2L) +
+          when(col("r_js"), 0L).otherwise(4L))
+  }
+
+  private val q198Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, pos, words[pos] AS w FROM (
+       |    SELECT doc_id, words,
+       |      unnest(range(1, len(words) + 1)) AS pos
+       |    FROM (SELECT doc_id, $wordsSqlExpr AS words FROM documents))),
+       |lined AS (
+       |  SELECT doc_id, pos, w,
+       |    coalesce(sum(CASE WHEN length(w) <= 3 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS line_no
+       |  FROM tok),
+       |lines AS (
+       |  SELECT doc_id, line_no,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    arg_max(w, pos) AS last_w,
+       |    max(CASE WHEN contains(w, '{') THEN 1 ELSE 0 END) AS has_brace,
+       |    max(CASE WHEN lower(w) = 'javascript' THEN 1 ELSE 0 END)
+       |      AS has_js
+       |  FROM lined GROUP BY 1, 2),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN substr(last_w, 1, 1) <= 'm' THEN 1 ELSE 0 END AS term
+       |  FROM lines),
+       |doc AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN term = 1 AND n_words >= 3 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_kept_lines,
+       |    CAST(sum(term) AS BIGINT) AS n_term_lines,
+       |    CAST(sum(CASE WHEN n_words >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ge3_lines,
+       |    max(has_brace) AS any_brace,
+       |    max(has_js) AS any_js
+       |  FROM flagged GROUP BY 1)
+       |SELECT doc_id, n_lines, n_kept_lines,
+       |  (10000 * n_term_lines) // n_lines AS term_bp,
+       |  (10000 * n_ge3_lines) // n_lines AS ge3_bp,
+       |  (n_kept_lines >= 3) AS r_sent,
+       |  (any_brace = 0) AS r_brace,
+       |  (any_js = 0) AS r_js,
+       |  (n_kept_lines >= 3 AND any_brace = 0 AND any_js = 0) AS keep,
+       |  (CASE WHEN n_kept_lines >= 3 THEN 0 ELSE 1 END
+       |   + CASE WHEN any_brace = 0 THEN 0 ELSE 2 END
+       |   + CASE WHEN any_js = 0 THEN 0 ELSE 4 END) AS fail_mask
+       |FROM doc""".stripMargin
+
+  /** q199: the q157 corpus-build funnel EXTENDED with the q198
+    * line-level gate in front (VERDICT r14 #5's composition leg): per
+    * source, raw docs → line-rule survivors → (∧ doc-level q149)
+    * quality survivors → (∧ not a near-dup cluster member) final docs
+    * and chars. The line gate runs FIRST, as C4 does — its rejects
+    * never reach the word-stat shuffle on a real pipeline; here both
+    * gates read the same one corpus scan and the funnel is the
+    * composed verdict. Same join discipline as q157: verdict frames
+    * join back to documents by doc_id with no forced broadcast (AQE
+    * decides), the documents table itself never reshuffles. */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val lineKeep = q198(s, d)
+      .select(col("doc_id"), col("keep").as("line_keep"))
+    val keepFlags = q149(s, d).select(col("doc_id"), col("keep"))
+    val (labels, _) =
+      graft.operators.ConnectedComponents.minLabel(lshStarEdges(s, d))
+    val dropped = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(true).as("is_dup"))
+    Tables.documents(s, d)
+      .join(lineKeep, "doc_id")
+      .join(keepFlags, "doc_id")
+      .join(dropped, Seq("doc_id"), "left")
+      .withColumn("quality", col("line_keep") && col("keep"))
+      .withColumn("ships",
+        col("quality") && !coalesce(col("is_dup"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("line_keep"), 1L).otherwise(0L)).as("n_line_pass"),
+        sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("ships"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("ships"), col("n_chars")).otherwise(0L))
+          .as("chars_final"))
+  }
+
+  private val q199Sql =
+    s"""WITH RECURSIVE sig AS ($q28Sql),
+       |bandt AS (
+       |  SELECT doc_id, 1 AS bidx,
+       |    (((((1 * 127 + m0) % $P) * 127 + m1) % $P * 127 + m2) % $P * 127 + m3) % $P AS band
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS bidx,
+       |    (((((2 * 127 + m4) % $P) * 127 + m5) % $P * 127 + m6) % $P * 127 + m7) % $P AS band
+       |  FROM sig),
+       |stars AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(doc_id) OVER (PARTITION BY bidx, band) AS root
+       |  FROM bandt),
+       |edges AS (
+       |  SELECT doc_id AS src, root AS dst FROM stars WHERE doc_id <> root
+       |  UNION ALL
+       |  SELECT root AS src, doc_id AS dst FROM stars WHERE doc_id <> root),
+       |lab AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, lab.label AS label
+       |  FROM lab JOIN edges e ON lab.node = e.src),
+       |cc AS (SELECT node, min(label) AS label FROM lab GROUP BY node),
+       |dropped AS (SELECT node AS doc_id FROM cc WHERE label <> node),
+       |qual AS ($q149Sql),
+       |lq AS ($q198Sql)
+       |SELECT d.source,
+       |  count(*) AS n_raw,
+       |  CAST(sum(CASE WHEN l.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_line_pass,
+       |  CAST(sum(CASE WHEN l.keep AND q.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quality,
+       |  CAST(sum(CASE WHEN l.keep AND q.keep AND dr.doc_id IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       |  CAST(sum(CASE WHEN l.keep AND q.keep AND dr.doc_id IS NULL
+       |    THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_final
+       |FROM documents d
+       |JOIN lq l ON l.doc_id = d.doc_id
+       |JOIN qual q ON q.doc_id = d.doc_id
+       |LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q199_line_gated_corpus", q199, Some(q199Sql)),
+    QueryDef("q198_c4_line_rules", q198, Some(q198Sql)),
     QueryDef("q177_refresh_manifest", q177, Some(q177Sql)),
     QueryDef("q173_delta_dedup", q173, Some(q173Sql)),
     QueryDef("q171_shipping_manifest", q171, Some(q171Sql)),

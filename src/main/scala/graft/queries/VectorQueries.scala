@@ -1692,17 +1692,19 @@ object VectorQueries {
     * clean membership — the pre-drift baseline), 'drifted', and
     * 'retrained'. Each: nprobe=1 IVF recall@3 in basis points against
     * the brute-force ground truth over a fixed deterministic query
-    * workload (vec_id % 29 = 0), plus n_changed (drifted: injected
+    * workload (the first 50 vec_ids — FIXED, the q175 sampling
+    * contract: the all-pairs ground truth exists only inside a
+    * size-capped sample, so its nested loop is bounded at any corpus
+    * size), plus n_changed (drifted: injected
     * wrong-cell count; retrained: residual round-2 moves). On this
     * corpus the labels carry almost no cosine structure (in-label mean
     * cosine ≈ cross-label — near-random 64-dim vectors), so the
-    * label-cell baseline already sits AT the random nprobe=1 floor and
-    * drift keeps it there (measured sf0.01: 1481 bp both); what the
-    * retrain buys is Lloyd's cosine-coherent cells — 3518 bp, 2.4× the
-    * floor. On a corpus whose deployed cells DO carry structure the
-    * same three rows read recovery instead of improvement; either way
-    * the retrained row must dominate the drifted row, which is the
-    * lifecycle claim under test.
+    * label-cell baseline is weak to begin with; the three rows still
+    * read degrade-then-recover (measured sf0.01: 1400 bp undrifted →
+    * 800 drifted → 2800 retrained — the retrain additionally EXCEEDS
+    * the baseline because Lloyd builds cosine-coherent cells where the
+    * labels never were). Either way the retrained row must dominate
+    * the drifted row, which is the lifecycle claim under test.
     *
     * All centroid/score math is q110/q125's exact-integer micro-unit
     * form; `cbarq = csum div n` is [[graft.operators.AnnIvfIndex]]'s
@@ -1711,8 +1713,8 @@ object VectorQueries {
     * each Lloyd round is one broadcast of k·dims centroid rows onto
     * the dim table + a (vec, cell) partial-agg shuffle — Lloyd's cost,
     * nothing quadratic; the ground-truth brute force is |Q|·n pairs
-    * with |Q| fixed (the q80/q175 measurement pattern: the RECALL
-    * PROBE pays brute force so serving never has to). */
+    * with |Q| fixed at 50 (the q80/q175 measurement pattern: the
+    * RECALL PROBE pays brute force so serving never has to). */
   private def q197(s: SparkSession, d: String): DataFrame = {
     graft.expressions.FloatVectorDot.register(s)
     val emb = Tables.embeddings(s, d)
@@ -1762,7 +1764,7 @@ object VectorQueries {
     val c2 = centOf(a2)
 
     val withNrm = emb.withColumn("nrm", norm(col("embedding")))
-    val queries = withNrm.filter(col("vec_id") % 29 === 0)
+    val queries = withNrm.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val cands = withNrm.select(col("vec_id").as("c_id"),
@@ -1899,7 +1901,7 @@ object VectorQueries {
        |${centSqlOf("c1", "a1")},
        |${assignSqlOf("a2", "dims", "c1")},
        |${centSqlOf("c2", "a2")},
-       |qset AS (SELECT vec_id FROM embeddings WHERE vec_id % 29 = 0),
+       |qset AS (SELECT vec_id FROM embeddings WHERE vec_id < 50),
        |gt AS (
        |  SELECT q_id, c_id FROM (
        |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,

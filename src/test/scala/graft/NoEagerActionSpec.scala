@@ -33,7 +33,10 @@ class NoEagerActionSpec extends SparkSpec {
       // documented at RetrievalQueries.q189/q190/q193 (q191 inherits
       // q189's collect)
       "q189_ltr_features", "q190_deployed_recall", "q191_reranker_lift",
-      "q193_reranker_fit")
+      "q193_reranker_fit",
+      // q199 composes the q157 funnel (same CC fixpoint) behind the
+      // q198 line gate
+      "q199_line_gated_corpus")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {

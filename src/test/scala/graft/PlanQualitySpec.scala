@@ -123,7 +123,10 @@ class PlanQualitySpec extends SparkSpec {
         // q181/q182's semantic side is q32's intentional shape: the
         // build side is the ~|sources| query vectors (one content-
         // addressed query doc per source), bounded at any corpus size.
-        "q181_hybrid_rrf", "q182_retrieval_recall")
+        "q181_hybrid_rrf", "q182_retrieval_recall",
+        // q197's brute-force ground truth broadcasts its FIXED
+        // 50-vector query workload (the q175 sampling contract)
+        "q197_ann_retrain_recall")
     // q78 runs an iterative fixpoint at construction time — planJudged
     // via its components; skip the expensive build here.
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
