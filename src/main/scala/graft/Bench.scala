@@ -186,6 +186,19 @@ object Bench {
     val sweepJson = sweepPts.map { case (n, r) =>
       s"""{"pt":"$n","eps":${"%.0f".format(r.epsSustained)},"p50_ms":${r.p50Ms},"p99_ms":${r.p99Ms},"batches":${r.batches}}"""
     }.mkString("[", ",", "]")
+    // knee search (VERDICT r14 #4): max sustainable eps at the 300 ms
+    // STT target, stepped until the first breaking point. Scalars ride
+    // both JSON lines; the full step trace goes to the detail file.
+    val knee = try StreamBench.kneeSearch(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] knee search failed: ${e.getMessage}")
+        StreamBench.Knee(Seq.empty, 0.0, 0L, 0)
+      }
+    val kneeStepsJson = knee.steps.map { st =>
+      s"""{"files":${st.stageFiles},"eps":${"%.0f".format(
+        st.result.epsSustained)},"p50_ms":${st.result.p50Ms},"p99_ms":${
+        st.result.p99Ms},"batches":${st.result.batches}}"""
+    }.mkString("[", ",", "]")
     val cal2 = calibrate()
     // sfName is interpolated into JSON lines — strip anything that could
     // break the encoding (it comes from a CLI/env path segment)
@@ -248,12 +261,12 @@ object Bench {
         .map { case (k, v) => "\"" + short(k) + "\":" + fmt2(f(v)) }
         .mkString("{", ",", "}")
     val streamPart =
-      s""""flagship_events_per_sec":${"%.0f".format(flagshipEps)},"flagship_isolated_eps":${"%.0f".format(flagshipIsolatedEps)},$ratioPart,"cal_normalized_total":${fmt2(calNormalizedTotal)},"cal_normalized_reliable":$calNormalizedReliable,"cal_status":"$calStatus","stream_eps":${"%.0f".format(stream.epsSustained)},"stream_p50_ms":${stream.p50Ms},"stream_p99_ms":${stream.p99Ms},"stream_batches":${stream.batches},"stream_sweep":$sweepJson"""
+      s""""flagship_events_per_sec":${"%.0f".format(flagshipEps)},"flagship_isolated_eps":${"%.0f".format(flagshipIsolatedEps)},$ratioPart,"cal_normalized_total":${fmt2(calNormalizedTotal)},"cal_normalized_reliable":$calNormalizedReliable,"cal_status":"$calStatus","stream_eps":${"%.0f".format(stream.epsSustained)},"stream_p50_ms":${stream.p50Ms},"stream_p99_ms":${stream.p99Ms},"stream_batches":${stream.batches},"stream_knee_eps":${"%.0f".format(knee.kneeEps)},"stream_knee_p50_ms":${knee.kneeP50Ms},"stream_knee_files":${knee.kneeStageFiles},"stream_sweep":$sweepJson"""
     // FULL detail — every query's min and median — persisted to
     // target/bench_last.json and BENCH_DETAIL.json (repo root, so a
     // round snapshot carries it), and printed first (its tail may be
     // cut by the capture window; the files never are).
-    val detail = s"""{"metric":"total","value":${fmt2(totalMin)},"unit":"sec","total_med":${fmt2(totalMed)},"cal_ms":$calArr,"queries":${qmap(_ => true, _._1)},"queries_med":${qmap(_ => true, _._2)},"failed":$failedArr,$streamPart,"sf":"$sfName"}"""
+    val detail = s"""{"metric":"total","value":${fmt2(totalMin)},"unit":"sec","total_med":${fmt2(totalMed)},"cal_ms":$calArr,"queries":${qmap(_ => true, _._1)},"queries_med":${qmap(_ => true, _._2)},"failed":$failedArr,$streamPart,"stream_knee_steps":$kneeStepsJson,"sf":"$sfName"}"""
     for (p <- Seq("target/bench_last.json", "BENCH_DETAIL.json"))
       try java.nio.file.Files.writeString(
         java.nio.file.Path.of(p), detail + "\n")

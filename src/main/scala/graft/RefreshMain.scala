@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
-  DeltaSemDedupIndex, FuzzyVocabIndex, InvertedTextIndex}
+  DeltaSemDedupIndex, FuzzyVocabIndex, IndexCatalog, InvertedTextIndex}
 
 /** The DELTA story assembled end-to-end as ONE runnable job — the
   * refresh cycle a continuously-updated training corpus actually
@@ -40,7 +40,8 @@ object RefreshMain {
       shippedTokens: Long, semAvgOccX100: Long, semRebuildDue: Boolean,
       searchDocs: Long, searchHits: Long, searchPhraseHits: Long,
       searchHotDfBp: Long, searchRebucketDue: Boolean,
-      fuzzyVocabWords: Long, fuzzySuggestHits: Long)
+      fuzzyVocabWords: Long, fuzzySuggestHits: Long,
+      indexCatalogJson: String)
 
   def run(spark: SparkSession, sfDir: String): Summary = {
     def cleanup(t: String): Unit = {
@@ -149,6 +150,17 @@ object RefreshMain {
       graft.queries.RetrievalQueries.fuzzyProbes(spark, sfDir),
       "refresh_fuzzy").count()
 
+    // the unified lifecycle audit BEFORE compaction: the catalog's
+    // files/bucket column is precisely the retention signal the
+    // compact pass below acts on, so this is the reading an operator
+    // would have triggered from (one frame for all four indexes —
+    // VERDICT r14 #6)
+    val catalogJson = IndexCatalog.auditJson(spark, Seq(
+      IndexCatalog.Entry("refresh_text_idx", "band"),
+      IndexCatalog.Entry("refresh_sem_idx", "cell"),
+      IndexCatalog.Entry("refresh_search_idx", "text"),
+      IndexCatalog.Entry("refresh_fuzzy", "fuzzy")))
+
     // retention pass: collapse the appended file generation back to
     // one file per bucket (the summary counts below read the
     // compacted tables — the swap must not change a row)
@@ -179,7 +191,8 @@ object RefreshMain {
       searchRebucketDue = searchAudit.getAs[Boolean]("rebucket_due"),
       fuzzyVocabWords = spark.table("refresh_fuzzy_vocab")
         .select(col("w")).distinct().count(),
-      fuzzySuggestHits = fuzzyHits)
+      fuzzySuggestHits = fuzzyHits,
+      indexCatalogJson = catalogJson)
     manifest.unpersist()
     textAdmittedIds.unpersist()
     semAdmittedIds.unpersist()
@@ -213,7 +226,8 @@ object RefreshMain {
       s""""search_hot_df_bp":${s.searchHotDfBp},""" +
       s""""search_rebucket_due":${s.searchRebucketDue},""" +
       s""""fuzzy_vocab_words":${s.fuzzyVocabWords},""" +
-      s""""fuzzy_suggest_hits":${s.fuzzySuggestHits}}""")
+      s""""fuzzy_suggest_hits":${s.fuzzySuggestHits},""" +
+      s""""index_catalog":${s.indexCatalogJson}}""")
     spark.stop()
   }
 }

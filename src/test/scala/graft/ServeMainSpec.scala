@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
 class ServeMainSpec extends SparkSpec {
 
   test("serve summary agrees with the oracle queries it serves") {
-    val s = ServeMain.run(spark, sf0001, reps = 3)
+    val s = ServeMain.run(spark, sf0001, reps = 3,
+      concLevels = Seq(4, 16))
 
     def rows(q: String): Long =
       SparkEntry.queries(q)(spark, sf0001).count()
@@ -63,5 +64,22 @@ class ServeMainSpec extends SparkSpec {
     // audits are sane at this scale
     assert(s.hotDfBp > 0 && s.hotDfBp <= 10000)
     assert(!s.rebucketDue && !s.annRetrainDue, s"fresh build flagged: $s")
+
+    // concurrency points: every requested level ran its full mixed
+    // workload, throughput and quantiles are measured, and every leg
+    // is represented (the ConcPoint contract BENCH/PLANS rows read)
+    assert(s.concurrency.map(_.n) == Seq(4, 16), s"levels: ${s.concurrency}")
+    val legNames = Set("search", "phrase", "snippet", "hybrid", "prf",
+      "mmr", "fuzzy")
+    for (c <- s.concurrency) {
+      assert(c.requests == math.max(3 * c.n, 30), s"workload size: $c")
+      assert(c.wallMs > 0 && c.qps > 0, s"unmeasured point: $c")
+      assert(c.maxMs >= c.p50Ms && c.p50Ms >= 0, s"quantiles: $c")
+      assert(c.legs.keySet == legNames, s"legs missing: ${c.legs.keySet}")
+      for ((_, (p50, mx)) <- c.legs) assert(mx >= p50 && p50 >= 0)
+    }
+    // the JSON encoder is total over the measured points
+    val js = ServeMain.concJson(s.concurrency)
+    assert(js.startsWith("[{\"n\":4,") && js.contains("\"qps\":"), js)
   }
 }

@@ -26,4 +26,26 @@ class StreamBenchSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass") == before,
       "StreamBench leaked the state-store provider conf")
   }
+
+  test("knee search steps offered load and stops at the first break") {
+    val k = StreamBench.kneeSearch(spark, sf0001,
+      workDir = "/tmp/graft_stream_knee_spec",
+      stageFilesSteps = Seq(6, 3), runsPerStep = 1)
+    assert(k.steps.nonEmpty, "no steps measured")
+    // every measured step is a real run
+    for (st <- k.steps) {
+      assert(st.result.batches > 0 && st.result.rows > 0, s"empty: $st")
+      assert(st.result.epsSustained > 0, s"unmeasured: $st")
+    }
+    // the search stops at the FIRST breaking step, so at most one
+    // recorded step exceeds the target
+    assert(k.steps.count(_.result.p50Ms > 300L) <= 1, s"${k.steps}")
+    // knee fields are consistent: either no step passed (all zeros) or
+    // the knee is a passing step's numbers
+    if (k.kneeEps > 0) {
+      assert(k.kneeP50Ms <= 300L, s"knee past target: $k")
+      assert(k.steps.exists(s => s.stageFiles == k.kneeStageFiles &&
+        s.result.p50Ms == k.kneeP50Ms), s"knee not among steps: $k")
+    } else assert(k.kneeStageFiles == 0 && k.kneeP50Ms == 0L)
+  }
 }

@@ -26,12 +26,28 @@ BASE_ROWS = 5000  # sf0.1's documents row count
 BASE_VECS = 2000  # sf0.1's embeddings row count
 
 
-def gen(out_dir: str, rows: int, seed: int) -> None:
+def vocab_for(rows: int, heaps: bool):
+    """Heaps-law mode (VERDICT r14 #7): the fixed 31-word vocabulary
+    makes every vocabulary-sized structure (FuzzyVocabIndex _keys,
+    q188/q192 probe frames, StreamingContainment state) look
+    artificially FLAT across scales. With --heaps the vocabulary grows
+    as V = 150 * m^0.5 (m = rows/BASE_ROWS — i.e. vocab ~ n^0.5, the
+    classic Heaps exponent): the 31 base words plus synthetic >=5-char
+    words ('word00017'), which participate in d<=2 deletion keygen, so
+    the measured exponents of those rows become the honest ones."""
+    if not heaps:
+        return VOCAB
+    target = max(len(VOCAB), int(150 * (rows / BASE_ROWS) ** 0.5))
+    return VOCAB + [f'word{i:05d}' for i in range(target - len(VOCAB))]
+
+
+def gen(out_dir: str, rows: int, seed: int, heaps: bool = False) -> None:
+    vocab = vocab_for(rows, heaps)
     rnd = random.Random(seed)
     doc_id, text, lang, source, n_chars = [], [], [], [], []
     for i in range(rows):
         n = rnd.randint(10, 100)
-        t = ' '.join(rnd.choice(VOCAB) for _ in range(n))
+        t = ' '.join(rnd.choice(vocab) for _ in range(n))
         doc_id.append(i)
         text.append(t)
         lang.append(rnd.choice(LANGS))
@@ -77,7 +93,11 @@ def gen_emb(out_dir: str, rows: int, seed: int) -> None:
 
 
 if __name__ == '__main__':
-    root = sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_scale'
+    args = [a for a in sys.argv[1:] if a != '--heaps']
+    heaps = '--heaps' in sys.argv[1:]
+    root = args[0] if args else (
+        '/tmp/graft_scale_heaps' if heaps else '/tmp/graft_scale')
     for mult in (1, 2, 4):
-        gen(os.path.join(root, f'x{mult}'), BASE_ROWS * mult, seed=1234)
+        gen(os.path.join(root, f'x{mult}'), BASE_ROWS * mult, seed=1234,
+            heaps=heaps)
         gen_emb(os.path.join(root, f'x{mult}'), BASE_VECS * mult, seed=4321)
