@@ -1680,9 +1680,17 @@ object VectorQueries {
     *
     * Retrain = two UNROLLED Lloyd rounds from the deployed centroids
     * (reassign to nearest centroid — the same max-cosine rule append
-    * admits with — then recompute exact-integer centroids), fully
-    * declarative: zero driver coordination, identical CTE chain on the
-    * oracle (the q162 discipline). Round 2's move count rides along as
+    * admits with — then recompute exact-integer centroids), the
+    * identical CTE chain on the oracle (the q162 discipline). The
+    * BOUNDED frames are collected once and re-enter as local
+    * relations (the q189/q190 serving-seam discipline): the per-round
+    * centroid frames (k·dims rows — the quantizer artifact
+    * AnnIvfIndex broadcasts at any corpus size) and the ground-truth/
+    * probe frames (≤3·|Q| / ≤|Q| rows). Fully-lazy chains compounded
+    * 13+ serial exchanges per reference and the union referenced them
+    * repeatedly — measured 28.7 s → 5.4 s at sf0.1, stage latency,
+    * not data; the corpus-sized membership frames stay plans. Round
+    * 2's move count rides along as
     * the retrained row's `n_changed` — the measured residual
     * (convergence-to-maxRounds is the OPERATOR's job; the query pins a
     * fixed-2-round retrain so both engines compute the identical
@@ -1731,15 +1739,40 @@ object VectorQueries {
           (col("label").cast("long") + 1L) % col("k"))
           .otherwise(col("label").cast("long")).as("cell"))
 
-    // centroid frame (cell, dim, cbarq, cnormsq) from an assignment
+    // Centroid frame (cell, dim, cbarq, cnormsq) from an assignment,
+    // COLLECTED: k·dims rows — the quantizer artifact, the exact frame
+    // AnnIvfIndex broadcasts at any corpus size (bounded by k and
+    // dims, never by the corpus; retrain() checkpoints its per-round
+    // twin for the same reason). Collecting it cuts every downstream
+    // Lloyd reference to ≤2 exchanges — the naive fully-lazy chains
+    // compounded 13+ serial exchanges per reference (measured 28.7 s
+    // at sf0.1, stage latency not data). ONE aggregation: each vector
+    // contributes exactly one row per dim, so count(1) per (cell,dim)
+    // IS cell occupancy and no separate per-cell count shuffle is
+    // needed; cnormsq folds locally over the collected rows.
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cbarq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnormsq",
+        org.apache.spark.sql.types.LongType)))
     def centOf(assign: DataFrame): DataFrame = {
-      val cs = dims.join(assign, "vec_id")
-        .groupBy(col("cell"), col("dim")).agg(sum(col("u")).as("csum"))
-      val n = assign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      val cb = cs.join(n, "cell").withColumn("cbarq", expr("csum div n"))
-        .select(col("cell"), col("dim"), col("cbarq"))
-      cb.join(cb.groupBy(col("cell"))
-          .agg(sum(col("cbarq") * col("cbarq")).as("cnormsq")), "cell")
+      val cb = dims.join(assign, "vec_id")
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("u")).as("csum"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          expr("csum div n").as("cbarq"))
+        .collect().toSeq
+      val normsq = cb.groupBy(_.getLong(0)).map { case (c, rs) =>
+        c -> rs.map { r => val b = r.getLong(2); b * b }.sum
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(cb.map(r => org.apache.spark.sql.Row(
+        r.getLong(0), r.getInt(1), r.getLong(2),
+        normsq(r.getLong(0)))).asJava, centSchema)
     }
     // nearest-centroid assignment of `ds` (a dims subset) under `cent`
     def assignTo(ds: DataFrame, cent: DataFrame): DataFrame = ds
@@ -1781,11 +1814,27 @@ object VectorQueries {
 
     val qdims = dims.join(
       broadcast(queries.select(col("q_id").as("vec_id"))), "vec_id")
+    // The ground truth and both probe frames are WORKLOAD-BOUNDED
+    // (≤3·|Q| and ≤|Q| rows at any corpus size — |Q| is the fixed
+    // 50-query sample), but their SUBTREES are corpus passes (the
+    // brute force, the Lloyd chains). The naive three-branch union
+    // referenced them ~6× and Spark executes each reference (measured
+    // 28.7 s at sf0.1), so they are collected ONCE and re-enter as
+    // local relations — the q189/q190 serving-seam collect discipline
+    // (NoEagerActionSpec exemption documented there). The corpus-sized
+    // membership frames (a0/a2) stay plans.
+    import scala.jdk.CollectionConverters._
+    def localized(df: DataFrame): DataFrame =
+      s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    val gtL = localized(gt)
+    val gtRows = gtL.count()
+    val nQ = lit(gtL.select(col("q_id")).distinct().count())
+      .as("n_queries")
+    def probesOf(cent: DataFrame): DataFrame = localized(
+      assignTo(qdims, cent).select(col("vec_id").as("q_id"), col("cell")))
     // one recall row: nprobe=1 probes under `cent`, membership `assign`
-    def recallOf(state: String, cent: DataFrame, assign: DataFrame,
+    def recallOf(state: String, probes: DataFrame, assign: DataFrame,
         changed: DataFrame): DataFrame = {
-      val probes = assignTo(qdims, cent)
-        .select(col("vec_id").as("q_id"), col("cell"))
       val ivf = assign.join(broadcast(probes.join(queries, "q_id")), "cell")
         .withColumnRenamed("vec_id", "c_id")
         .filter(col("c_id") =!= col("q_id"))
@@ -1797,24 +1846,24 @@ object VectorQueries {
           .orderBy(col("cos_sim").desc, col("c_id").asc)))
         .filter(col("rk") <= 3)
         .select(col("q_id"), col("c_id"))
-      val hits = ivf.join(gt, Seq("q_id", "c_id"))
+      val hits = ivf.join(broadcast(gtL), Seq("q_id", "c_id"))
         .agg(count(lit(1)).as("n_hits"))
-      val denom = gt.agg(count(lit(1)).as("n_gt"),
-        countDistinct(col("q_id")).as("n_queries"))
-      denom.crossJoin(broadcast(hits))
+      hits
         .crossJoin(broadcast(changed.agg(count(lit(1)).as("n_changed"))))
-        .select(lit(state).as("state"), col("n_queries"),
+        .select(lit(state).as("state"), nQ,
           col("n_hits"),
-          expr("(10000L * n_hits) div n_gt").as("recall_bp"),
+          expr(s"(10000L * n_hits) div ${gtRows}L").as("recall_bp"),
           col("n_changed"))
     }
     val driftChanged = a0.join(atrue.withColumnRenamed("cell", "tcell"),
       "vec_id").filter(col("cell") =!= col("tcell"))
     val round2Moves = a2.join(a1.withColumnRenamed("cell", "pcell"),
       "vec_id").filter(col("cell") =!= col("pcell"))
-    recallOf("undrifted", c0, atrue, atrue.filter(lit(false)))
-      .unionAll(recallOf("drifted", c0, a0, driftChanged))
-      .unionAll(recallOf("retrained", c2, a2, round2Moves))
+    val pd = probesOf(c0) // probe cells under the deployed centroids
+    val pr = probesOf(c2) // probe cells under the retrained centroids
+    recallOf("undrifted", pd, atrue, atrue.filter(lit(false)))
+      .unionAll(recallOf("drifted", pd, a0, driftChanged))
+      .unionAll(recallOf("retrained", pr, a2, round2Moves))
   }
 
   /** SQL twins of q197's centroid / assignment stages — generated from

@@ -36,7 +36,10 @@ class NoEagerActionSpec extends SparkSpec {
       "q193_reranker_fit",
       // q199 composes the q157 funnel (same CC fixpoint) behind the
       // q198 line gate
-      "q199_line_gated_corpus")
+      "q199_line_gated_corpus",
+      // q197 collects its workload-bounded ground-truth/probe frames
+      // once (≤3·|Q| rows; the corpus-sized memberships stay plans)
+      "q197_ann_retrain_recall")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {
