@@ -20,8 +20,8 @@ import graft.functions.CoreFunctions._
 object TextQueries {
 
   /** words = whitespace-split tokens (the corpus is single-spaced). */
-  private val wordsExpr = "split(text, ' ')"
-  private val wordsSqlExpr = "str_split(text, ' ')"
+  private[queries] val wordsExpr = "split(text, ' ')"
+  private[queries] val wordsSqlExpr = "str_split(text, ' ')"
 
   /** The shared token front of q124/q132/q138: one (doc_id, 60-bit md5
     * token hash) row per token — hashing happens BEFORE any shuffle
@@ -1225,7 +1225,7 @@ object TextQueries {
     * corpus's signal set, thresholds cited Gopher §A1/C4): word count
     * in [20, 1000]; mean word length in [3, 10]; stopword ratio
     * ≥ 0.06; top-word share ≤ 0.20; distinct-word ratio ≥ 0.20. */
-  private def q149(s: SparkSession, d: String): DataFrame = {
+  private[queries] def q149(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("words", expr(wordsExpr))
       .select(col("doc_id"),
@@ -1260,7 +1260,7 @@ object TextQueries {
           when(col("r_div"), 0L).otherwise(16L))
   }
 
-  private val q149Sql =
+  private[queries] val q149Sql =
     s"""WITH base AS (
        |  SELECT doc_id,
        |    CAST(len($wordsSqlExpr) AS BIGINT) AS n_words,

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the data-selection family — properties the oracle
+  * hash can't express as invariants: the classifier's holdout split
+  * really generalizes above the majority-class baseline (not just
+  * memorizes), DSIR's selected set really is enriched in rule-clean
+  * docs, and the funnel's counts really are the per-doc frames'
+  * rollup. */
+class SelectionQueriesSpec extends SparkSpec {
+
+  test("q200 classifier: internal consistency + train fit ≥ holdout fit") {
+    val rows = SparkEntry.queries("q200_nb_quality_classifier")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bp, bn) = (r.getAs[Long]("bits_pos"), r.getAs[Long]("bits_neg"))
+      assert(bp > 0 && bn > 0, s"unscored doc: $r")
+      assert(r.getAs[Boolean]("pred") == (bp <= bn), s"pred != argmin: $r")
+      assert(r.getAs[Boolean]("agree") ==
+        (r.getAs[Boolean]("pred") == r.getAs[Boolean]("label")),
+        s"agree flag inconsistent: $r")
+      assert(Set("train", "holdout")(r.getAs[String]("split")))
+    }
+    def rate(split: String): Double = {
+      val s = rows.filter(_.getAs[String]("split") == split)
+      s.count(_.getAs[Boolean]("agree")).toDouble / s.length
+    }
+    // a fitted model fits its own training data at least as well as
+    // unseen docs; equality would mean it learned nothing doc-specific
+    assert(rate("train") > rate("holdout"),
+      s"no train/holdout gap: train=${rate("train")} holdout=${rate("holdout")}")
+  }
+
+  test("q200 holdout beats the majority-class baseline (sf0.01 — real generalization)") {
+    val hold = SparkEntry.queries("q200_nb_quality_classifier")(
+      spark, "/root/testdata/sf0.01")
+      .filter(col("split") === "holdout")
+      .select(col("label"), col("agree")).collect()
+    val n = hold.length
+    val agree = hold.count(_.getAs[Boolean]("agree"))
+    val nPos = hold.count(_.getAs[Boolean]("label"))
+    val majority = math.max(nPos, n - nPos)
+    // measured 170/250 agree vs 126/250 majority at sf0.01; the margin
+    // is wide enough that any real regression (feature hash drift,
+    // split drift, scoring bug) trips this before the oracle sees it
+    assert(agree > majority,
+      s"holdout accuracy $agree/$n does not beat majority $majority/$n")
+  }
+
+  test("q201 DSIR: selected == (w_hbits ≥ 0) and the selected set is rule-enriched") {
+    val rows = SparkEntry.queries("q201_dsir_importance")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("selected") == (r.getAs[Long]("w_hbits") >= 0L),
+        s"selected != importance-ratio-≥-1: $r")
+      assert(r.getAs[Long]("n_feats") > 0, s"featureless doc: $r")
+    }
+    val sel = rows.filter(_.getAs[Boolean]("selected"))
+    assert(sel.nonEmpty, "DSIR selected nothing — degenerate threshold")
+    assert(sel.length < rows.length, "DSIR selected everything — degenerate")
+    val precision = sel.count(_.getAs[Boolean]("label")).toDouble / sel.length
+    val base = rows.count(_.getAs[Boolean]("label")).toDouble / rows.length
+    // measured 61/78 = 78% vs 50% base at sf0.001
+    assert(precision > base,
+      s"selected set not enriched: precision=$precision base=$base")
+  }
+
+  test("q202 funnel is exactly the per-doc frames' per-source rollup") {
+    val funnel = SparkEntry.queries("q202_selection_funnel")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val dsir = SparkEntry.queries("q201_dsir_importance")(spark, sf0001)
+      .collect()
+    val pred = SparkEntry.queries("q200_nb_quality_classifier")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pred"))
+      .toMap
+    assert(funnel.nonEmpty)
+    dsir.groupBy(_.getAs[String]("source")).foreach { case (src, docs) =>
+      val f = funnel(src)
+      val trip = docs.map { r =>
+        (r.getAs[Boolean]("label"), pred(r.getAs[Long]("doc_id")),
+          r.getAs[Boolean]("selected"))
+      }
+      assert(f.getAs[Long]("n_docs") == docs.length, s"n_docs of $src")
+      assert(f.getAs[Long]("n_rules") == trip.count(_._1), s"n_rules of $src")
+      assert(f.getAs[Long]("n_clf") == trip.count(_._2), s"n_clf of $src")
+      assert(f.getAs[Long]("n_dsir") == trip.count(_._3), s"n_dsir of $src")
+      assert(f.getAs[Long]("n_all") ==
+        trip.count(t => t._1 && t._2 && t._3), s"n_all of $src")
+      assert(f.getAs[Long]("n_any") ==
+        trip.count(t => t._1 || t._2 || t._3), s"n_any of $src")
+    }
+  }
+}
