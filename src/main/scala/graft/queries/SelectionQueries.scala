@@ -301,8 +301,205 @@ object SelectionQueries {
        |FROM imp i JOIN nbsc c USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** q203: MODEL-GATED corpus funnel — the selection stages composed
+    * in pipeline order, per source: raw docs → line-rule survivors
+    * (q198) → ∧ doc-level rules (q149) → ∧ classifier keep (q200's
+    * pred) → ∧ DSIR selected (q201) → final docs and chars. This is
+    * the other half of q199's funnel: q199 composes the DEDUP gate
+    * behind the rules, this composes the MODEL gates — a real corpus
+    * build runs both, and the two funnels share their first three
+    * stages by construction (same q198/q149 verdicts, oracle-checked
+    * in both). Docs too short to carry bigrams (none in this corpus,
+    * but the contract matters) fail the model gates closed — a
+    * selector that cannot score a doc does not ship it.
+    *
+    * Scale shape: three verdict frames join back to documents by
+    * doc_id with no forced broadcast (AQE decides — the q157/q199
+    * discipline), one 20-row rollup; everything heavy is the upstream
+    * shapes already audited. */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    val lineKeep = TextQueries.q198(s, d)
+      .select(col("doc_id"), col("keep").as("line_keep"))
+    val clf = q200(s, d).select(col("doc_id"), col("pred"))
+    val dsir = q201(s, d).select(col("doc_id"), col("selected"))
+    Tables.documents(s, d)
+      .join(labels(s, d).select(col("doc_id"), col("label")), "doc_id")
+      .join(lineKeep, "doc_id")
+      .join(clf, Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
+      .withColumn("g_rules", col("line_keep") && col("label"))
+      .withColumn("g_clf",
+        col("g_rules") && coalesce(col("pred"), lit(false)))
+      .withColumn("g_final",
+        col("g_clf") && coalesce(col("selected"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("line_keep"), 1L).otherwise(0L)).as("n_line"),
+        sum(when(col("g_rules"), 1L).otherwise(0L)).as("n_rules"),
+        sum(when(col("g_clf"), 1L).otherwise(0L)).as("n_clf"),
+        sum(when(col("g_final"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("g_final"), col("n_chars")).otherwise(0L))
+          .as("chars_final"))
+  }
+
+  private val q203Sql =
+    s"""WITH $labelsSql,
+       |$bigramsSql,
+       |$clfChainSql,
+       |$dsirChainSql,
+       |lq AS (${TextQueries.q198Sql})
+       |SELECT d.source, count(*) AS n_raw,
+       |  CAST(sum(CASE WHEN l.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_line,
+       |  CAST(sum(CASE WHEN l.keep AND b.label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_rules,
+       |  CAST(sum(CASE WHEN l.keep AND b.label
+       |    AND coalesce(c.bits_pos <= c.bits_neg, false)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clf,
+       |  CAST(sum(CASE WHEN l.keep AND b.label
+       |    AND coalesce(c.bits_pos <= c.bits_neg, false)
+       |    AND coalesce(i.w_hbits >= 0, false)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       |  CAST(sum(CASE WHEN l.keep AND b.label
+       |    AND coalesce(c.bits_pos <= c.bits_neg, false)
+       |    AND coalesce(i.w_hbits >= 0, false)
+       |    THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_final
+       |FROM documents d
+       |JOIN lab b ON b.doc_id = d.doc_id
+       |JOIN lq l ON l.doc_id = d.doc_id
+       |LEFT JOIN nbsc c ON c.doc_id = d.doc_id
+       |LEFT JOIN imp i ON i.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+
+  /** q204: the COMPLETE corpus build in one oracle-checked query —
+    * the gates composed in pipeline order, per source: raw → line
+    * rules (q198) → ∧ doc rules (q149) → ∧ classifier keep (q200) →
+    * ∧ DSIR selected (q201) → ∧ not a boilerplate-prefix dup (q196's
+    * 5-word leading-prefix key, canonical = min doc_id) →
+    * ∧ decontaminated (q166: confirmed eval overlap drops; the eval
+    * source itself — src0 — never ships to training, so it zeroes at
+    * this stage by definition) → final docs and chars. This is the
+    * table a corpus release actually publishes, and a regression in
+    * ANY upstream gate moves an integer here and fails parity.
+    *
+    * Why the dedup stage is the PREFIX rule and not q199's LSH-CC:
+    * on this fixed-31-word synthetic corpus the MinHash bands collide
+    * corpus-wide and the CC collapses to one giant component — q199's
+    * own measured behavior is n_final = 1 at every scale, which would
+    * zero every stage behind it here and leave the decontam term
+    * untestable. The prefix key has a measured ~5% dup rate (q196), so
+    * the composed funnel stays informative end-to-end; on a real
+    * corpus a build would run BOTH (q199 exists precisely to compose
+    * the cluster-dedup variant).
+    *
+    * Oracle: the selection chains compose by unique CTE names;
+    * q198/q166 embed as nested-WITH sub-selects. Scale shape: all
+    * verdict frames join back to documents by doc_id with no forced
+    * broadcast (AQE decides); the dup window partitions by the prefix
+    * key, never globally; every heavy term is an upstream shape
+    * already audited. */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lineKeep = TextQueries.q198(s, d)
+      .select(col("doc_id"), col("keep").as("line_keep"))
+    val clf = q200(s, d).select(col("doc_id"), col("pred"))
+    val dsir = q201(s, d).select(col("doc_id"), col("selected"))
+    val dropped = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, 5), ' ')").as("k5"))
+      .withColumn("canon",
+        min(col("doc_id")).over(Window.partitionBy(col("k5"))))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val contam = TextQueries.q166(s, d)
+      .select(col("doc_id"), col("confirmed"))
+    Tables.documents(s, d)
+      .join(labels(s, d).select(col("doc_id"), col("label")), "doc_id")
+      .join(lineKeep, "doc_id")
+      .join(clf, Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("g_rules", col("line_keep") && col("label"))
+      .withColumn("g_clf",
+        col("g_rules") && coalesce(col("pred"), lit(false)))
+      .withColumn("g_dsir",
+        col("g_clf") && coalesce(col("selected"), lit(false)))
+      .withColumn("g_dedup",
+        col("g_dsir") && !coalesce(col("is_dup"), lit(false)))
+      .withColumn("g_final",
+        col("g_dedup") && col("source") =!= "src0" &&
+          !coalesce(col("confirmed"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("line_keep"), 1L).otherwise(0L)).as("n_line"),
+        sum(when(col("g_rules"), 1L).otherwise(0L)).as("n_rules"),
+        sum(when(col("g_clf"), 1L).otherwise(0L)).as("n_clf"),
+        sum(when(col("g_dsir"), 1L).otherwise(0L)).as("n_dsir"),
+        sum(when(col("g_dedup"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("g_final"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("g_final"), col("n_chars")).otherwise(0L))
+          .as("chars_final"))
+  }
+
+  private val q204Sql = {
+    import TextQueries.{q166Sql, q198Sql}
+    s"""WITH $labelsSql,
+       |$bigramsSql,
+       |$clfChainSql,
+       |$dsirChainSql,
+       |ccdrop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY
+       |      array_to_string(list_slice(string_split(text, ' '), 1, 5),
+       |        ' ')) AS canon
+       |    FROM documents) m
+       |  WHERE doc_id <> canon),
+       |lq AS ($q198Sql),
+       |dq AS ($q166Sql)
+       |SELECT d.source, count(*) AS n_raw,
+       |  CAST(sum(CASE WHEN l.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_line,
+       |  CAST(sum(CASE WHEN l.keep AND b.label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_rules,
+       |  CAST(sum(CASE WHEN l.keep AND b.label
+       |    AND coalesce(c.bits_pos <= c.bits_neg, false)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clf,
+       |  CAST(sum(CASE WHEN l.keep AND b.label
+       |    AND coalesce(c.bits_pos <= c.bits_neg, false)
+       |    AND coalesce(i.w_hbits >= 0, false)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir,
+       |  CAST(sum(CASE WHEN l.keep AND b.label
+       |    AND coalesce(c.bits_pos <= c.bits_neg, false)
+       |    AND coalesce(i.w_hbits >= 0, false)
+       |    AND dr.doc_id IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       |  CAST(sum(CASE WHEN l.keep AND b.label
+       |    AND coalesce(c.bits_pos <= c.bits_neg, false)
+       |    AND coalesce(i.w_hbits >= 0, false)
+       |    AND dr.doc_id IS NULL
+       |    AND d.source <> 'src0' AND NOT coalesce(dq.confirmed, false)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       |  CAST(sum(CASE WHEN l.keep AND b.label
+       |    AND coalesce(c.bits_pos <= c.bits_neg, false)
+       |    AND coalesce(i.w_hbits >= 0, false)
+       |    AND dr.doc_id IS NULL
+       |    AND d.source <> 'src0' AND NOT coalesce(dq.confirmed, false)
+       |    THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_final
+       |FROM documents d
+       |JOIN lab b ON b.doc_id = d.doc_id
+       |JOIN lq l ON l.doc_id = d.doc_id
+       |LEFT JOIN nbsc c ON c.doc_id = d.doc_id
+       |LEFT JOIN imp i ON i.doc_id = d.doc_id
+       |LEFT JOIN ccdrop dr ON dr.doc_id = d.doc_id
+       |LEFT JOIN dq ON dq.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q200_nb_quality_classifier", q200, Some(q200Sql)),
     QueryDef("q201_dsir_importance", q201, Some(q201Sql)),
-    QueryDef("q202_selection_funnel", q202, Some(q202Sql)))
+    QueryDef("q202_selection_funnel", q202, Some(q202Sql)),
+    QueryDef("q203_model_gated_corpus", q203, Some(q203Sql)),
+    QueryDef("q204_full_corpus_build", q204, Some(q204Sql)))
 }

@@ -2143,7 +2143,7 @@ object TextQueries {
     * the verdict — the corpus never shuffles in either pass. Docs
     * under 13 tokens have no grams and report 0/false via
     * explode_outer. */
-  private def q166(s: SparkSession, d: String): DataFrame = {
+  private[queries] def q166(s: SparkSession, d: String): DataFrame = {
     graft.expressions.TokenWindowHashes.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
@@ -2185,7 +2185,7 @@ object TextQueries {
         (coalesce(col("n_confirmed"), lit(0L)) >= 1).as("confirmed"))
   }
 
-  private val q166Sql =
+  private[queries] val q166Sql =
     s"""WITH docs AS (
        |  SELECT doc_id, source, $wordsSqlExpr AS w,
        |    CAST(len($wordsSqlExpr) AS INT) AS n
@@ -3151,7 +3151,7 @@ object TextQueries {
     * running count (window partitioned by doc_id — never global), two
     * partial-aggregated shuffles ((doc, line) then doc). Nothing
     * pairwise, nothing corpus-global. */
-  private def q198(s: SparkSession, d: String): DataFrame = {
+  private[queries] def q198(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(expr(wordsExpr)).as(Seq("pos", "w")))
@@ -3191,7 +3191,7 @@ object TextQueries {
           when(col("r_js"), 0L).otherwise(4L))
   }
 
-  private val q198Sql =
+  private[queries] val q198Sql =
     s"""WITH tok AS (
        |  SELECT doc_id, pos, words[pos] AS w FROM (
        |    SELECT doc_id, words,

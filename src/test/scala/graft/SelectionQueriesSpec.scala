@@ -68,6 +68,54 @@ class SelectionQueriesSpec extends SparkSpec {
       s"selected set not enriched: precision=$precision base=$base")
   }
 
+  test("q203 model-gated funnel is monotone and every stage does real work") {
+    val rows = SparkEntry.queries("q203_model_gated_corpus")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seq = Seq("n_raw", "n_line", "n_rules", "n_clf", "n_final")
+        .map(r.getAs[Long])
+      assert(seq == seq.sorted.reverse, s"funnel not monotone: $r")
+      assert(r.getAs[Long]("chars_final") >= 0)
+    }
+    def tot(c: String): Long = rows.map(_.getAs[Long](c)).sum
+    // each gate must reject SOMETHING corpus-wide on this corpus —
+    // a stage that passes everything is a stage that isn't wired
+    assert(tot("n_line") < tot("n_raw"), "line gate rejected nothing")
+    assert(tot("n_rules") < tot("n_line"), "rule gate rejected nothing")
+    assert(tot("n_final") < tot("n_clf") || tot("n_clf") < tot("n_rules"),
+      "neither model gate rejected anything")
+    assert(tot("n_final") > 0, "funnel shipped an empty corpus")
+  }
+
+  test("q204 full build: monotone, agrees with q199's shared stages, eval source never ships") {
+    val rows = SparkEntry.queries("q204_full_corpus_build")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { r =>
+      val seq = Seq("n_raw", "n_line", "n_rules", "n_clf", "n_dsir",
+        "n_dedup", "n_final").map(r.getAs[Long])
+      assert(seq == seq.sorted.reverse, s"funnel not monotone: $r")
+    }
+    // the eval slice is the decontam reference — it never ships
+    assert(rows("src0").getAs[Long]("n_final") == 0L &&
+      rows("src0").getAs[Long]("chars_final") == 0L,
+      s"eval source shipped: ${rows("src0")}")
+    assert(rows.values.map(_.getAs[Long]("n_final")).sum > 0,
+      "full build shipped an empty corpus")
+    // the first three stages are DEFINITIONALLY q199's (same q198/q149
+    // verdicts) — any drift is a composition bug, not a data change
+    val q199r = SparkEntry.queries("q199_line_gated_corpus")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_raw"), r.getAs[Long]("n_line_pass"),
+          r.getAs[Long]("n_quality"))).toMap
+    rows.foreach { case (src, r) =>
+      assert((r.getAs[Long]("n_raw"), r.getAs[Long]("n_line"),
+        r.getAs[Long]("n_rules")) == q199r(src),
+        s"shared stages diverged from q199 for $src")
+    }
+  }
+
   test("q202 funnel is exactly the per-doc frames' per-source rollup") {
     val funnel = SparkEntry.queries("q202_selection_funnel")(spark, sf0001)
       .collect().map(r => r.getAs[String]("source") -> r).toMap
