@@ -131,6 +131,10 @@ object ServeMain {
     (0 until requests).foreach(i => tasks.add(legs(i % legs.size)))
     val lats = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, Long)]()
+    // a leg failure must not silently die with its worker thread and
+    // leave QPS counting work that never completed — catch, count, and
+    // fail the point loudly after the drain
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
     val t0 = System.nanoTime()
     val workers = (0 until n).map { ti =>
       val t = new Thread(() => {
@@ -139,8 +143,14 @@ object ServeMain {
         var task = tasks.poll()
         while (task != null) {
           val s0 = System.nanoTime()
-          task._2()
-          lats.add((task._1, (System.nanoTime() - s0) / 1000000L))
+          try {
+            task._2()
+            lats.add((task._1, (System.nanoTime() - s0) / 1000000L))
+          } catch { case e: Throwable =>
+            failures.incrementAndGet()
+            System.err.println(
+              s"[serve] concurrent ${task._1} failed: ${e.getMessage}")
+          }
           task = tasks.poll()
         }
       }, s"serve-conc-$ti")
@@ -148,6 +158,8 @@ object ServeMain {
       t
     }
     workers.foreach(_.join())
+    require(failures.get() == 0,
+      s"${failures.get()} of $requests concurrent requests failed at n=$n")
     val wallMs = math.max(1L, (System.nanoTime() - t0) / 1000000L)
     import scala.jdk.CollectionConverters._
     val all = lats.asScala.toSeq
