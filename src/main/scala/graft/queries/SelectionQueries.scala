@@ -496,10 +496,76 @@ object SelectionQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** q205: selection-CALIBRATION audit (the reliability diagram, in
+    * integers) — does a selector's confidence MARGIN mean anything?
+    * Per (method, margin bin): docs, rule-clean docs, and the
+    * empirical keep rate in basis points. The classifier's margin is
+    * (bits_neg − bits_pos) per 100 bigrams over HOLDOUT docs only
+    * (train margins are overfit by construction — q200 reports that
+    * gap separately); DSIR's is its importance per 100 features over
+    * all docs (it has no fitted split). A calibrated selector shows
+    * keep_bp rising with the bin; a flat curve means the margin
+    * carries no information beyond the sign and any
+    * confidence-weighted downstream use (sampling temperature,
+    * review-queue routing) is built on sand. Measured at sf0.1: both
+    * curves rise monotonically through the distribution mass; the
+    * sparse extreme-positive tail falls off, and its verified cause is
+    * UNDER-LENGTH docs — a per-100-bigram margin over very few bigrams
+    * has exploding variance exactly where the one rule bigram evidence
+    * cannot see (length) binds.
+    *
+    * Integer discipline: margins can be negative and Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — every division
+    * here is SHIFTED nonnegative first (+400 per-feat units, below any
+    * observed margin), where the two semantics coincide; bin_lo
+    * recovers the real bin floor after the fact. Scale shape: both
+    * upstream shapes already audited, then one ≤~25-row aggregation. */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    val clf = q200(s, d).filter(col("split") === "holdout")
+      .select(lit("clf").as("method"),
+        (expr("(100 * (bits_neg - bits_pos) + 400 * n_bigrams) " +
+          "div n_bigrams div 20") * 20 - 400).as("bin_lo"),
+        col("label"))
+    val dsir = q201(s, d)
+      .select(lit("dsir").as("method"),
+        (expr("(100 * w_hbits + 400 * n_feats) div n_feats div 10")
+          * 10 - 400).as("bin_lo"),
+        col("label"))
+    clf.unionByName(dsir)
+      .groupBy(col("method"), col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label").cast("long")).as("n_keep"))
+      .withColumn("keep_bp", expr("(10000 * n_keep) div n_docs"))
+  }
+
+  private val q205Sql =
+    s"""WITH $labelsSql,
+       |$bigramsSql,
+       |$clfChainSql,
+       |$dsirChainSql,
+       |cal AS (
+       |  SELECT 'clf' AS method,
+       |    ((100 * (bits_neg - bits_pos) + 400 * n_bigrams)
+       |      // n_bigrams // 20) * 20 - 400 AS bin_lo,
+       |    label
+       |  FROM nbsc WHERE NOT is_train
+       |  UNION ALL
+       |  SELECT 'dsir' AS method,
+       |    ((100 * w_hbits + 400 * n_feats) // n_feats // 10) * 10 - 400
+       |      AS bin_lo,
+       |    label
+       |  FROM imp)
+       |SELECT method, bin_lo, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS n_keep,
+       |  (10000 * CAST(sum(CAST(label AS BIGINT)) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS keep_bp
+       |FROM cal GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q200_nb_quality_classifier", q200, Some(q200Sql)),
     QueryDef("q201_dsir_importance", q201, Some(q201Sql)),
     QueryDef("q202_selection_funnel", q202, Some(q202Sql)),
     QueryDef("q203_model_gated_corpus", q203, Some(q203Sql)),
-    QueryDef("q204_full_corpus_build", q204, Some(q204Sql)))
+    QueryDef("q204_full_corpus_build", q204, Some(q204Sql)),
+    QueryDef("q205_selection_calibration", q205, Some(q205Sql)))
 }

@@ -116,6 +116,30 @@ class SelectionQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q205 calibration: keep rate rises with the confidence margin for both selectors") {
+    val rows = SparkEntry.queries("q205_selection_calibration")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[String]("method")).toSet == Set("clf", "dsir"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_bp") ==
+        10000L * r.getAs[Long]("n_keep") / r.getAs[Long]("n_docs"),
+        s"keep_bp inconsistent: $r")
+    }
+    // the margin must carry real information: the aggregate keep rate
+    // above the zero margin strictly exceeds the rate below it (the
+    // per-bin curve is noisy at 500 docs; the split is not)
+    for (m <- Seq("clf", "dsir")) {
+      val mr = rows.filter(_.getAs[String]("method") == m)
+      def rate(p: Long => Boolean): Double = {
+        val s = mr.filter(r => p(r.getAs[Long]("bin_lo")))
+        s.map(_.getAs[Long]("n_keep")).sum.toDouble /
+          math.max(1L, s.map(_.getAs[Long]("n_docs")).sum)
+      }
+      assert(rate(_ >= 0L) > rate(_ < 0L),
+        s"$m margin carries no information: ${mr.toSeq}")
+    }
+  }
+
   test("q202 funnel is exactly the per-doc frames' per-source rollup") {
     val funnel = SparkEntry.queries("q202_selection_funnel")(spark, sf0001)
       .collect().map(r => r.getAs[String]("source") -> r).toMap
