@@ -88,6 +88,76 @@ class StreamingSelectionSpec extends SparkSpec {
     }
   }
 
+  test("curated ingest composes: stream → selection gate → index append → only keepers indexed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    def cleanup(): Unit =
+      Seq("sel_ingest_idx", "sel_ingest_idx_meta").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = java.nio.file.Paths.get("spark-warehouse", t)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    cleanup()
+    val labels = SparkEntry.queries("q149_quality_rules")(spark, sf0001)
+      .select(col("doc_id"), col("keep").as("label"))
+    val model = StreamingSelection.trainModel(
+      Tables.documents(spark, sf0001).join(labels, "doc_id")
+        .filter(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 2) <= "7f")
+        .select(col("doc_id"), col("text"), col("label")))
+
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String)]
+    // the composed gate a real ingest runs: score the batch, index
+    // ONLY the keepers — selection → serving through the existing
+    // public APIs, no new surface
+    val query = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .queryName("curated-ingest")
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val kept = batch.join(
+          StreamingSelection.scoreBatch(batch, model)
+            .filter(col("pred")).select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text"))
+        if (!spark.catalog.tableExists("sel_ingest_idx"))
+          graft.operators.InvertedTextIndex.build(kept, "sel_ingest_idx")
+        else
+          graft.operators.InvertedTextIndex.append(kept, "sel_ingest_idx",
+            batchId = id)
+      }
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(b2.toIndexedSeq)
+      query.processAllAvailable()
+
+      val indexed = spark.table("sel_ingest_idx")
+        .select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val expected = SparkEntry.queries("q200_nb_quality_classifier")(
+          spark, sf0001)
+        .filter(col("pred")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(indexed == expected,
+        s"indexed set != classifier keepers: ${indexed.size} vs ${expected.size}")
+      assert(indexed.nonEmpty && indexed.size < docs.length,
+        "gate degenerate: indexed everything or nothing")
+    } finally {
+      query.stop()
+      model.grams.unpersist()
+      cleanup()
+    }
+  }
+
   test("unscorable docs fail closed: no bigrams → pred=false, never a crash") {
     val onerow = spark.createDataFrame(Seq(
       (1L, "srcx", "word"), (2L, "srcx", ""),
