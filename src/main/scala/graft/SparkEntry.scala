@@ -18,7 +18,7 @@ object SparkEntry {
       TextQueries.defs ++ VectorQueries.defs ++ MediaQueries.defs ++
       OcrTreeQueries.defs ++ SqlSurfaceQueries.defs ++
       TrainingQueries.defs ++ OpsQueries.defs ++ RetrievalQueries.defs ++
-      UrlQueries.defs ++ SelectionQueries.defs
+      UrlQueries.defs ++ SelectionQueries.defs ++ PerceptualQueries.defs
 
   /** Flagship: sessionized ordered transcript assembly (reference §3.1
     * streaming STT path, batch form) on sf0.001.

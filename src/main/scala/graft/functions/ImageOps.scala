@@ -720,4 +720,73 @@ object ImageOps {
       (med, n.toLong)
     }
   }
+
+  // ---- Perceptual hashes (image near-dup dedup) --------------------
+  // The downsample-then-compare fingerprints a LAION/DataComp-style
+  // multimodal corpus build dedups images with (Krawetz's aHash/dHash).
+  // The reference pipeline has no image dedup stage at all — every
+  // submitted image is loaded and OCR'd unconditionally
+  // (`src/workers/ocr_worker.py:118-190`, no content hash anywhere in
+  // its tree) — so these extend the curation surface the same way
+  // MinHash (q28/q29) extends text dedup. All arithmetic is exact integer math so a SQL
+  // oracle can replay every bit.
+
+  /** Block-sum downsample: partition the plane into a `gw`×`gh` grid
+    * (frame dimensions must divide evenly) and return each cell's
+    * pixel-value sum, row-major. Keeping SUMS (not means) avoids a
+    * division that engines could round differently — every comparison
+    * downstream is between same-size cells, so the scale factor
+    * cancels. */
+  def cellSums(img: Gray, gw: Int, gh: Int): Array[Int] = {
+    require(img.w % gw == 0 && img.h % gh == 0,
+      s"grid ${gw}x$gh must tile frame ${img.w}x${img.h}")
+    val bw = img.w / gw
+    val bh = img.h / gh
+    Array.tabulate(gw * gh) { c =>
+      val x0 = (c % gw) * bw
+      val y0 = (c / gw) * bh
+      var s = 0
+      var dy = 0
+      while (dy < bh) {
+        var dx = 0
+        while (dx < bw) { s += img(x0 + dx, y0 + dy); dx += 1 }
+        dy += 1
+      }
+      s
+    }
+  }
+
+  /** 63-bit DIFFERENCE hash over a 64-cell grid: bit `i` set iff
+    * cell i's sum exceeds cell i+1's (row-major neighbor gradient —
+    * robust to global brightness shifts because only the SIGN of the
+    * local gradient survives). 63 comparisons keep the hash strictly
+    * positive in a signed 64-bit lane on both engines (the q104
+    * SimHash width rule). */
+  def dHash63(cells: Array[Int]): Long = {
+    require(cells.length == 64, s"dHash wants 64 cells, got ${cells.length}")
+    var h = 0L
+    var i = 0
+    while (i < 63) {
+      if (cells(i) > cells(i + 1)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** 63-bit AVERAGE hash: bit `i` set iff cell i is brighter than the
+    * frame mean — `cells(i) * 64 > total` in exact integer cross-
+    * multiplication (no division, no rounding channel). */
+  def aHash63(cells: Array[Int]): Long = {
+    require(cells.length == 64, s"aHash wants 64 cells, got ${cells.length}")
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += cells(i); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < 63) {
+      if (cells(i).toLong * 64 > total) h |= 1L << i
+      i += 1
+    }
+    h
+  }
 }

@@ -609,7 +609,7 @@ object MediaQueries {
     * (as DuckDB's length/substr/ascii do), not UTF-16 code units, so
     * both engines derive the identical pixel plane even when the
     * document contains non-BMP characters (emoji). */
-  private def textPlane(text: String): Array[Byte] = {
+  private[queries] def textPlane(text: String): Array[Byte] = {
     val cps = text.codePoints().toArray
     val n = math.max(1, cps.length)
     Array.tabulate(512) { i =>
@@ -966,8 +966,8 @@ object MediaQueries {
 
   // ---- q102/q103 SQL helpers: morphology / pixel stages over the ----
   // ---- 32×16 plane as DuckDB list comprehensions (0-based i var) ----
-  private val W = 32
-  private val H = 16
+  private[queries] val W = 32
+  private[queries] val H = 16
   private def xOf(i: String) = s"($i % $W)"
   private def yOf(i: String) = s"($i // $W)"
 
@@ -1008,7 +1008,7 @@ object MediaQueries {
        |  i -> CAST((i + 1) * $src[i + 1] AS BIGINT)),
        |  (a, b) -> a + b) AS BIGINT)""".stripMargin
 
-  private val planeSql = // the q88 text plane (code-point indexed)
+  private[queries] val planeSql = // the q88 text plane (code-point indexed)
     s"""[CASE WHEN (ascii(substr(text, ((i * 7) % nch) + 1, 1))
        |            * (i + 1)) % 17 = 0
        |      THEN 40 ELSE 255 END for i in range(0, ${W * H})]""".stripMargin

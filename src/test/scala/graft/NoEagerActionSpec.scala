@@ -39,7 +39,9 @@ class NoEagerActionSpec extends SparkSpec {
       "q199_line_gated_corpus",
       // q197 collects its workload-bounded ground-truth/probe frames
       // once (≤3·|Q| rows; the corpus-sized memberships stay plans)
-      "q197_ann_retrain_recall")
+      "q197_ann_retrain_recall",
+      // q208 composes the same CC fixpoint over image near-dup edges
+      "q208_image_dup_clusters")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {
