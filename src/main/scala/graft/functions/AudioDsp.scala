@@ -623,4 +623,65 @@ object AudioDsp {
     while (j < o.length) { if (o(j) > mean) beats += 1L; j += 1 }
     TempoBeats(60.0 * envFps / bestLag, bestLag, beats, best)
   }
+
+  /** Perceptual AUDIO fingerprint (Haitsma & Kalker, "A Highly Robust
+    * Audio Fingerprinting System", ISMIR 2002): STFT band energies,
+    * sign-quantized DOUBLE differences — bit(t, b) = sign of
+    * (E(t,b)−E(t,b+1)) − (E(t−1,b)−E(t−1,b+1)), the derivative along
+    * both time and band, which cancels static spectral coloring and
+    * global gain the way dHash's gradient sign cancels brightness.
+    * The reference's audio path has no dedup/fingerprint stage
+    * (`src/preprocessing/audio_processor.py` preprocesses every
+    * submission unconditionally) — this is the curation-side analog of
+    * [[graft.functions.ImageOps.dHash63]] for the audio modality.
+    *
+    * Layout at the library's probe dims ([[Stft]] win 64 / hop 16):
+    * 8 bands × 4 rfft bins each (bins 1..32, DC skipped), frames
+    * t = 1..9 × band-deltas b = 0..6 → 63 bits, strictly positive in a
+    * signed 64-bit lane (the q104/q206 width rule). All arithmetic is
+    * fixed-order +,*,− over [[Stft]]'s table doubles, so a SQL oracle
+    * replays every bit (the q159 discipline). */
+  def fingerprint63(x: Array[Double]): Long = {
+    import Stft._
+    val frames = (x.length - Win) / Hop + 1
+    require(frames >= 10, s"fingerprint63 needs >= 10 frames, got $frames")
+    val e = Array.ofDim[Double](frames, 8)
+    var f = 0
+    while (f < frames) {
+      val off = f * Hop
+      var b = 0
+      while (b < 8) {
+        var s = 0.0
+        var k = 1 + 4 * b
+        while (k <= 4 + 4 * b) {
+          var re = 0.0
+          var im = 0.0
+          var i = 0
+          while (i < Win) {
+            val w = hann(i) * x(off + i)
+            re += w * cosT((k * i) % Win)
+            im += w * sinT((k * i) % Win)
+            i += 1
+          }
+          s += re * re + im * im
+          k += 1
+        }
+        e(f)(b) = s
+        b += 1
+      }
+      f += 1
+    }
+    var h = 0L
+    var t = 1
+    while (t <= 9) {
+      var b = 0
+      while (b < 7) {
+        val d = (e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1))
+        if (d > 0) h |= 1L << ((t - 1) * 7 + b)
+        b += 1
+      }
+      t += 1
+    }
+    h
+  }
 }

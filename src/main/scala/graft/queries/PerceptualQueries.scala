@@ -5,17 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Perceptual IMAGE dedup — the multimodal half of the corpus-dedup
-  * story. The engine already dedups text five ways (q27/q29/q30/q104/
-  * q109) and embeddings two ways (q151/q126); a LAION/DataComp-style
-  * multimodal build ALSO drops near-duplicate images before paying
-  * for OCR/captioning, which the reference never does — every
-  * submitted image is loaded and processed unconditionally
-  * (`src/workers/ocr_worker.py:118-190`; no content hash anywhere in
-  * its tree). This family closes that gap with the standard
-  * perceptual-hash pipeline: downsample → difference hash (Krawetz
-  * dHash) → banded Hamming-ball join (Manku WWW'07, the q104
-  * machinery) → connected-component clusters (the q78 machinery).
+/** Perceptual MULTIMODAL dedup — images (q206-q208) and audio
+  * (q209-q210). The engine already dedups text five ways (q27/q29/
+  * q30/q104/q109) and embeddings two ways (q151/q126); a LAION/
+  * DataComp-style multimodal build ALSO drops near-duplicate images
+  * and audio clips before paying for OCR/STT, which the reference
+  * never does — every submitted image and clip is loaded and
+  * processed unconditionally (`src/workers/ocr_worker.py:118-190`,
+  * `src/preprocessing/audio_processor.py`; no content hash anywhere
+  * in its tree). This family closes that gap with the standard
+  * perceptual-hash pipeline: modality-specific fingerprint (Krawetz
+  * dHash for images, Haitsma-Kalker band-energy signs for audio) →
+  * banded Hamming-ball join (Manku WWW'07, the q104 machinery) →
+  * connected-component clusters (the q78 machinery).
   *
   * Image synthesis: the q88/q145 deterministic 32×16 plane from each
   * doc's text, round-tripped through the REAL JDK PNG encoder/decoder
@@ -94,46 +96,53 @@ object PerceptualQueries {
        |    (a, b) -> a + b) AS BIGINT) AS ahash
        |FROM tot""".stripMargin
 
-  /** q207: image NEAR-DUP pairs — dHashes within Hamming distance ≤ 3
-    * are near-duplicate images. The q104 pigeonhole join: the 63-bit
-    * hash splits into 4 blocks (16+16+16+15 bits); hd ≤ 3 forces at
-    * least one block to match exactly, so candidates come from an
-    * EQUI-join on (block-idx, block-value) — never an all-pairs scan —
-    * and each surviving pair is verified with one XOR + popcount.
-    * Duplicate candidates are eliminated without a `distinct` shuffle
-    * by the first-matching-block rule: a pair found at block k is kept
-    * only when blocks 0..k−1 all differ.
-    *
-    * The pair LIST is the audit form and is output-bound quadratic in
-    * duplicate-group size (g identical images are g(g−1)/2 hd = 0
-    * rows) — at corpus scale a build materializes q208's CLUSTERS,
-    * whose construction never expands a group into its clique. */
-  private def q207(s: SparkSession, d: String): DataFrame = {
-    val withBlocks = sig(s, d).select(
-      col("doc_id"), col("dhash"),
-      expr("dhash % 65536").as("b0"),
-      expr("(dhash div 65536) % 65536").as("b1"),
-      expr("(dhash div 4294967296) % 65536").as("b2"),
-      expr("dhash div 281474976710656").as("b3"))
+  /** The q104 pigeonhole join, shared by every 63-bit fingerprint in
+    * this family: the hash splits into 4 blocks (16+16+16+15 bits);
+    * hd ≤ 3 forces at least one block to match exactly, so candidates
+    * come from an EQUI-join on (block-idx, block-value) — never an
+    * all-pairs scan — and each surviving pair is verified with one
+    * XOR + popcount. Duplicate candidates are eliminated without a
+    * `distinct` shuffle by the first-matching-block rule: a pair found
+    * at block k is kept only when blocks 0..k−1 all differ. Input:
+    * (id, h); output: (id_a, id_b, hd) with id_a < id_b, hd ≤ 3. */
+  private def hd3Pairs(sigDf: DataFrame): DataFrame = {
+    val withBlocks = sigDf.select(
+      col("id"), col("h"),
+      expr("h % 65536").as("b0"),
+      expr("(h div 65536) % 65536").as("b1"),
+      expr("(h div 4294967296) % 65536").as("b2"),
+      expr("h div 281474976710656").as("b3"))
     val bandRows = withBlocks.select(
-      col("doc_id"), col("dhash"), col("b0"), col("b1"), col("b2"),
+      col("id"), col("h"), col("b0"), col("b1"), col("b2"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("bidx", "bval")))
     val x = bandRows.select(col("bidx"), col("bval"),
-      col("doc_id").as("doc_a"), col("dhash").as("ha"),
+      col("id").as("id_a"), col("h").as("ha"),
       col("b0").as("b0a"), col("b1").as("b1a"), col("b2").as("b2a"))
     val y = bandRows.select(col("bidx"), col("bval"),
-      col("doc_id").as("doc_b"), col("dhash").as("hb"),
+      col("id").as("id_b"), col("h").as("hb"),
       col("b0").as("b0b"), col("b1").as("b1b"), col("b2").as("b2b"))
     x.join(y, Seq("bidx", "bval"))
-      .filter(col("doc_a") < col("doc_b") &&
+      .filter(col("id_a") < col("id_b") &&
         (col("bidx") === 0 || col("b0a") =!= col("b0b")) &&
         (col("bidx") <= 1 || col("b1a") =!= col("b1b")) &&
         (col("bidx") <= 2 || col("b2a") =!= col("b2b")))
       .withColumn("hd", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hd") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hd"))
+      .select(col("id_a"), col("id_b"), col("hd"))
   }
+
+  /** q207: image NEAR-DUP pairs — dHashes within Hamming distance ≤ 3
+    * are near-duplicate images, found by [[hd3Pairs]]'s banded join.
+    *
+    * The pair LIST is the audit form and is output-bound quadratic in
+    * duplicate-group size (g identical images are g(g−1)/2 hd = 0
+    * rows) — at corpus scale a build materializes q208's CLUSTERS,
+    * whose construction never expands a group into its clique. */
+  private def q207(s: SparkSession, d: String): DataFrame =
+    hd3Pairs(sig(s, d)
+      .select(col("doc_id").as("id"), col("dhash").as("h")))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hd"))
 
   /** Oracle: all-pairs over the identical dHashes (correctness form
     * only — banding is a Spark-side performance shape and changes no
@@ -170,29 +179,9 @@ object PerceptualQueries {
     val stars = sg.join(reps, "dhash")
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("src"), col("rep").as("dst"))
-    val withBlocks = reps.select(
-      col("rep"), col("dhash"),
-      expr("dhash % 65536").as("b0"),
-      expr("(dhash div 65536) % 65536").as("b1"),
-      expr("(dhash div 4294967296) % 65536").as("b2"),
-      expr("dhash div 281474976710656").as("b3"))
-    val bandRows = withBlocks.select(
-      col("rep"), col("dhash"), col("b0"), col("b1"), col("b2"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("bidx", "bval")))
-    val x = bandRows.select(col("bidx"), col("bval"),
-      col("rep").as("rep_a"), col("dhash").as("ha"),
-      col("b0").as("b0a"), col("b1").as("b1a"), col("b2").as("b2a"))
-    val y = bandRows.select(col("bidx"), col("bval"),
-      col("rep").as("rep_b"), col("dhash").as("hb"),
-      col("b0").as("b0b"), col("b1").as("b1b"), col("b2").as("b2b"))
-    val cross = x.join(y, Seq("bidx", "bval"))
-      .filter(col("rep_a") < col("rep_b") &&
-        (col("bidx") === 0 || col("b0a") =!= col("b0b")) &&
-        (col("bidx") <= 1 || col("b1a") =!= col("b1b")) &&
-        (col("bidx") <= 2 || col("b2a") =!= col("b2b")))
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
-      .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+    val cross = hd3Pairs(reps
+      .select(col("rep").as("id"), col("dhash").as("h")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
     val half = stars.union(cross)
     val edges = half.union(
       half.select(col("dst").as("src"), col("src").as("dst")))
@@ -221,8 +210,229 @@ object PerceptualQueries {
        |SELECT label AS canonical_doc, count(*) AS n_docs, max(node) AS max_doc
        |FROM final GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
+  /** q209: perceptual AUDIO fingerprint
+    * ([[graft.functions.AudioDsp.fingerprint63]], Haitsma-Kalker
+    * ISMIR'02): a 256-sample waveform synthesized deterministically
+    * from each doc's text (the q159 code-point discipline, carrier
+    * dropped so the signal is purely text-derived), STFT'd with the
+    * REAL [[graft.functions.AudioDsp.Stft]] tables (win 64 / hop 16 →
+    * 13 frames × 32 non-DC bins), folded into 8 band energies per
+    * frame, and sign-quantized along the time × band double
+    * difference into 63 bits. Scan → UDF → no shuffle; the oracle
+    * replays the full STFT as generated left-associated term chains
+    * (the q159 discipline — every trig/window double embedded as a
+    * round-trip literal).
+    *
+    * At 100 TB the fingerprint is 8 bytes per clip regardless of clip
+    * length (a real build fingerprints every ~0.37 s granule and
+    * matches on any granule hit — Haitsma's layout; the per-granule
+    * operator is THIS one applied per window). */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val cps = text.codePoints().toArray
+      val nch = math.max(1, cps.length)
+      val x = Array.tabulate(256) { i =>
+        val cp = if (cps.isEmpty) 0 else cps((i * 11) % nch)
+        ((cp * (i + 7)) % 97) / 97.0 - 0.5
+      }
+      graft.functions.AudioDsp.fingerprint63(x)
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("fp"))
+  }
+
+  /** The original clip synthesis as a DuckDB list comprehension (the
+    * q159 code-point discipline, carrier dropped). */
+  private val origXSql =
+    """(((ascii(substr(text, ((i * 11) % nch) + 1, 1))
+      |             * (i + 7)) % 97) / CAST(97 AS DOUBLE) - 0.5)""".stripMargin
+
+  /** The degraded copy: gain ×0.9 + ±0.025 noise from a second
+    * code-point stream (amplitude 0.05 around zero). */
+  private val degXSql =
+    s"""0.9 * $origXSql
+       |           + (((ascii(substr(text, ((i * 13) % nch) + 1, 1))
+       |             * (i + 13)) % 89) / CAST(89 AS DOUBLE) - 0.5) * 0.05""".stripMargin
+
+  /** Generated fingerprint SQL over any per-sample synthesis
+    * expression (variable `i`, columns text/nch in scope): the full
+    * STFT → band-energy → sign-quantize pipeline as left-associated
+    * term chains (the q159 vectorization lesson). */
+  private def fpSqlFrom(xSynth: String): String = {
+    val st = graft.functions.AudioDsp.Stft
+    val ct = st.cosT.mkString("[", ", ", "]")
+    val stb = st.sinT.mkString("[", ", ", "]")
+    val N = 256                  // probe signal length
+    val W = st.Win               // 64: analysis window
+    val H = st.Hop               // 16: hop
+    val frames = (N - W) / H + 1 // 13 analysis frames
+    val FK = frames * 32         // flat (frame, bin−1) space, bins 1..32
+    val FB = frames * 8          // flat (frame, band) space
+    // forward DFT as generated 64-term left-associated chains; hann
+    // embeds per-term as a literal, trig tables index by (k·i) mod W
+    def fwdTerms(tbl: String): String = (0 until W).map { i =>
+      s"(${st.hann(i)} * x[(fk // 32) * $H + ${i + 1}])" +
+        s" * $tbl[((((fk % 32) + 1) * $i) % $W) + 1]"
+    }.mkString(" + ")
+    // band energy: 4 bins per band, ascending k, re²+im² per bin
+    val bandTerms = (0 until 4).map { kk =>
+      val p = s"(fb // 8) * 32 + (fb % 8) * 4 + ${kk + 1}"
+      s"(re[$p] * re[$p] + im[$p] * im[$p])"
+    }.mkString(" + ")
+    s"""SELECT doc_id,
+       |  CAST(list_reduce(list_transform(range(0, 63), i ->
+       |    CASE WHEN ((eb[(i // 7 + 1) * 8 + (i % 7) + 1]
+       |              - eb[(i // 7 + 1) * 8 + (i % 7) + 2])
+       |             - (eb[(i // 7) * 8 + (i % 7) + 1]
+       |              - eb[(i // 7) * 8 + (i % 7) + 2])) > 0
+       |      THEN (2**i)::BIGINT ELSE 0::BIGINT END),
+       |    (a, b) -> a + b) AS BIGINT) AS fp
+       |FROM (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $FB), fb -> $bandTerms) AS eb
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(range(0, $FK), fk -> ${fwdTerms("ct")}) AS re,
+       |      list_transform(range(0, $FK), fk -> ${fwdTerms("stb")}) AS im
+       |    FROM (
+       |      SELECT doc_id, ct, stb,
+       |        [ $xSynth
+       |          for i in range(0, $N) ] AS x
+       |      FROM (SELECT doc_id, text, length(text) AS nch
+       |            FROM documents WHERE length(text) >= 1)
+       |        CROSS JOIN (SELECT CAST($ct AS DOUBLE[]) AS ct,
+       |          CAST($stb AS DOUBLE[]) AS stb))))""".stripMargin
+  }
+
+  private val q209Sql = fpSqlFrom(origXSql)
+
+  /** q210: audio NEAR-DUP pairs under MEASURED degradation — the
+    * q168 dual-generator discipline. The corpus's texts are all
+    * distinct and the 63-bit fingerprint has full entropy (measured
+    * min cross-doc hd = 12 at sf0.01), so a bare hd ≤ 3 join over the
+    * original clips is vacuously empty; instead every doc contributes
+    * its clip (clip_id = 2·doc_id) AND a deterministically DEGRADED
+    * copy (2·doc_id+1): gain ×0.9 — which the sign-of-difference
+    * fingerprint cancels exactly — plus ±0.025 additive noise from a
+    * second code-point stream, which flips a measurable few bits.
+    * The [[hd3Pairs]] banded join then has to RECOVER the planted
+    * pairs (and any residual cross collisions) — the operator and its
+    * robustness measurement in one relation; q211 rolls the recall
+    * up. At 100 TB the same knobs apply: Haitsma's full layout is a
+    * 32-bit sub-fingerprint per ~12 ms granule with block matching —
+    * the per-granule operator is this one. */
+  private def clips(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val cps = text.codePoints().toArray
+      val nch = math.max(1, cps.length)
+      val x = Array.tabulate(256) { i =>
+        val cp = if (cps.isEmpty) 0 else cps((i * 11) % nch)
+        ((cp * (i + 7)) % 97) / 97.0 - 0.5
+      }
+      val x2 = Array.tabulate(256) { i =>
+        val cp2 = if (cps.isEmpty) 0 else cps((i * 13) % nch)
+        0.9 * x(i) + (((cp2 * (i + 13)) % 89) / 89.0 - 0.5) * 0.05
+      }
+      (graft.functions.AudioDsp.fingerprint63(x),
+        graft.functions.AudioDsp.fingerprint63(x2))
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), probe(col("text")).as("t"))
+      .select(explode(array(
+        struct((col("doc_id") * 2).as("id"), col("t._1").as("h")),
+        struct((col("doc_id") * 2 + 1).as("id"), col("t._2").as("h"))))
+        .as("c"))
+      .select(col("c.id").as("id"), col("c.h").as("h"))
+  }
+
+  private def q210(s: SparkSession, d: String): DataFrame =
+    hd3Pairs(clips(s, d))
+      .select(col("id_a").as("clip_a"), col("id_b").as("clip_b"), col("hd"))
+
+  /** The clip relation's oracle: original + degraded fingerprint per
+    * doc, both replayed through the generated-STFT SQL. */
+  private val clipsSql =
+    s"""SELECT doc_id * 2 AS id, fp AS h FROM (${fpSqlFrom(origXSql)})
+       |UNION ALL
+       |SELECT doc_id * 2 + 1 AS id, fp AS h FROM (${fpSqlFrom(degXSql)})""".stripMargin
+
+  private val q210Sql =
+    s"""WITH c AS ($clipsSql)
+       |SELECT x.id AS clip_a, y.id AS clip_b,
+       |  CAST(bit_count(xor(x.h, y.h)) AS INT) AS hd
+       |FROM c x JOIN c y ON x.id < y.id
+       |WHERE bit_count(xor(x.h, y.h)) <= 3""".stripMargin
+
+  /** q211: the fingerprint ROBUSTNESS rollup — of the planted
+    * (original, degraded) pairs, how many does the hd ≤ 3 near-dup
+    * gate recover, per surviving Hamming distance and in total
+    * (integer basis points, the q155/q170/q192 measured-recall
+    * convention). A planted pair is (2k, 2k+1) — adjacent ids with
+    * even left edge; residual cross-doc collisions are counted
+    * separately, not dropped (a real gate pays for them too). */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    val pairs = hd3Pairs(clips(s, d))
+    val nDocs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .agg(count(lit(1)).as("n_planted"))
+    pairs
+      .withColumn("planted",
+        (col("id_b") - col("id_a") === 1) && (col("id_a") % 2 === 0))
+      .agg(
+        sum(when(col("planted"), 1L).otherwise(0L)).as("n_recovered"),
+        sum(when(!col("planted"), 1L).otherwise(0L)).as("n_collisions"),
+        sum(when(col("planted") && col("hd") === 0, 1L).otherwise(0L))
+          .as("n_hd0"),
+        sum(when(col("planted") && col("hd") === 1, 1L).otherwise(0L))
+          .as("n_hd1"),
+        sum(when(col("planted") && col("hd") === 2, 1L).otherwise(0L))
+          .as("n_hd2"),
+        sum(when(col("planted") && col("hd") === 3, 1L).otherwise(0L))
+          .as("n_hd3"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_planted"), col("n_recovered"), col("n_collisions"),
+        col("n_hd0"), col("n_hd1"), col("n_hd2"), col("n_hd3"),
+        expr("(10000 * n_recovered) div n_planted").as("recall_bp"))
+  }
+
+  private val q211Sql =
+    s"""WITH c AS ($clipsSql),
+       |p AS (
+       |  SELECT x.id AS id_a, y.id AS id_b,
+       |    bit_count(xor(x.h, y.h)) AS hd,
+       |    (y.id - x.id = 1 AND x.id % 2 = 0) AS planted
+       |  FROM c x JOIN c y ON x.id < y.id
+       |  WHERE bit_count(xor(x.h, y.h)) <= 3),
+       |agg AS (
+       |  SELECT
+       |    CAST(coalesce(sum(CASE WHEN planted THEN 1 END), 0) AS BIGINT)
+       |      AS n_recovered,
+       |    CAST(coalesce(sum(CASE WHEN NOT planted THEN 1 END), 0) AS BIGINT)
+       |      AS n_collisions,
+       |    CAST(coalesce(sum(CASE WHEN planted AND hd = 0 THEN 1 END), 0)
+       |      AS BIGINT) AS n_hd0,
+       |    CAST(coalesce(sum(CASE WHEN planted AND hd = 1 THEN 1 END), 0)
+       |      AS BIGINT) AS n_hd1,
+       |    CAST(coalesce(sum(CASE WHEN planted AND hd = 2 THEN 1 END), 0)
+       |      AS BIGINT) AS n_hd2,
+       |    CAST(coalesce(sum(CASE WHEN planted AND hd = 3 THEN 1 END), 0)
+       |      AS BIGINT) AS n_hd3
+       |  FROM p),
+       |n AS (SELECT count(*) AS n_planted FROM documents
+       |      WHERE length(text) >= 1)
+       |SELECT CAST(n.n_planted AS BIGINT) AS n_planted,
+       |  agg.n_recovered, agg.n_collisions,
+       |  agg.n_hd0, agg.n_hd1, agg.n_hd2, agg.n_hd3,
+       |  (10000 * agg.n_recovered) // n.n_planted AS recall_bp
+       |FROM agg CROSS JOIN n""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q206_image_phash", q206, Some(q206Sql)),
     QueryDef("q207_image_near_dup", q207, Some(q207Sql)),
-    QueryDef("q208_image_dup_clusters", q208, Some(q208Sql)))
+    QueryDef("q208_image_dup_clusters", q208, Some(q208Sql)),
+    QueryDef("q209_audio_fingerprint", q209, Some(q209Sql)),
+    QueryDef("q210_audio_near_dup", q210, Some(q210Sql)),
+    QueryDef("q211_audio_fp_recall", q211, Some(q211Sql)))
 }

@@ -111,6 +111,66 @@ class PerceptualQueriesSpec extends SparkSpec {
       "testdata contains exact dup docs; hd=0 pairs must appear")
   }
 
+  test("fingerprint63: exact gain invariance, frame guard") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val x = Array.fill(256)(rnd.nextDouble() - 0.5)
+      val fp = graft.functions.AudioDsp.fingerprint63(x)
+      // energies scale by g² under gain g, so every double-difference
+      // keeps its sign EXACTLY — the Haitsma-Kalker robustness claim
+      // is algebraic here, not approximate
+      assert(fp == graft.functions.AudioDsp.fingerprint63(x.map(_ * 2.0)))
+      assert(fp == graft.functions.AudioDsp.fingerprint63(x.map(_ * 0.5)))
+      assert(fp >= 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.AudioDsp.fingerprint63(new Array[Double](128))
+    }
+  }
+
+  test("q209 equals an independent synthesis → fingerprint63 re-derivation") {
+    val rows = SparkEntry.queries("q209_audio_fingerprint")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    rows.foreach { r =>
+      val cps = texts(r.getAs[Long]("doc_id")).codePoints().toArray
+      val nch = math.max(1, cps.length)
+      val x = Array.tabulate(256) { i =>
+        ((cps((i * 11) % nch) * (i + 7)) % 97) / 97.0 - 0.5
+      }
+      assert(r.getAs[Long]("fp") ==
+        graft.functions.AudioDsp.fingerprint63(x))
+    }
+  }
+
+  test("q210/q211 coherent: recall arithmetic, planted-pair accounting") {
+    val pairs = SparkEntry.queries("q210_audio_near_dup")(spark, sf0001)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getAs[Int]("hd") <= 3))
+    val planted = pairs.count { r =>
+      val (a, b) = (r.getAs[Long]("clip_a"), r.getAs[Long]("clip_b"))
+      b - a == 1 && a % 2 == 0
+    }
+    val rec = SparkEntry.queries("q211_audio_fp_recall")(spark, sf0001)
+      .collect().head
+    assert(rec.getAs[Long]("n_recovered") == planted)
+    assert(rec.getAs[Long]("n_collisions") == pairs.length - planted)
+    assert(rec.getAs[Long]("n_hd0") + rec.getAs[Long]("n_hd1") +
+      rec.getAs[Long]("n_hd2") + rec.getAs[Long]("n_hd3") ==
+      rec.getAs[Long]("n_recovered"))
+    assert(rec.getAs[Long]("recall_bp") ==
+      10000L * rec.getAs[Long]("n_recovered") / rec.getAs[Long]("n_planted"))
+    // the gate must recover the overwhelming majority of planted
+    // degradations (measured 9440 bp at sf0.01) — a fingerprint or
+    // banding regression craters this long before the oracle drifts
+    assert(rec.getAs[Long]("recall_bp") >= 8500,
+      s"planted-pair recall collapsed: $rec")
+  }
+
   test("q208 clusters == union-find over the verified-pair graph") {
     val pairs = SparkEntry.queries("q207_image_near_dup")(spark, sf0001)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
