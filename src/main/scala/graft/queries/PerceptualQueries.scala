@@ -173,7 +173,9 @@ object PerceptualQueries {
     * diameter) rounds) labels the components; the oracle computes the
     * same fixpoint from the all-pairs relation with a recursive
     * CTE. */
-  private def q208(s: SparkSession, d: String): DataFrame = {
+  /** (node, label) cluster membership of the image near-dup graph —
+    * q208's interior, shared with the q212 funnel. */
+  private def imageClusterLabels(s: SparkSession, d: String): DataFrame = {
     val sg = sig(s, d)
     val reps = sg.groupBy(col("dhash")).agg(min(col("doc_id")).as("rep"))
     val stars = sg.join(reps, "dhash")
@@ -186,13 +188,20 @@ object PerceptualQueries {
     val edges = half.union(
       half.select(col("dst").as("src"), col("src").as("dst")))
     val (labels, _) = graft.operators.ConnectedComponents.minLabel(edges)
-    labels.groupBy(col("label").as("canonical_doc"))
-      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
-      .filter(col("n_docs") > 1)
+    labels
   }
 
-  private val q208Sql =
-    s"""WITH RECURSIVE s AS ($q206Sql),
+  private def q208(s: SparkSession, d: String): DataFrame =
+    imageClusterLabels(s, d)
+      .groupBy(col("label").as("canonical_doc"))
+      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+
+  /** The image cluster fixpoint as reusable CTEs (all-pairs oracle
+    * form), shared by q208 and the q212 funnel: `final` is (node,
+    * label) over every doc, label = min of the near-dup component. */
+  private val clusterCteSql =
+    s"""s AS ($q206Sql),
        |pairs AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM s x JOIN s y ON x.doc_id < y.doc_id
@@ -206,7 +215,10 @@ object PerceptualQueries {
        |  UNION
        |  SELECT e.dst AS node, lab.label AS label
        |  FROM lab JOIN edges e ON lab.node = e.src),
-       |final AS (SELECT node, min(label) AS label FROM lab GROUP BY node)
+       |final AS (SELECT node, min(label) AS label FROM lab GROUP BY node)""".stripMargin
+
+  private val q208Sql =
+    s"""WITH RECURSIVE $clusterCteSql
        |SELECT label AS canonical_doc, count(*) AS n_docs, max(node) AS max_doc
        |FROM final GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
@@ -428,11 +440,65 @@ object PerceptualQueries {
        |  (10000 * agg.n_recovered) // n.n_planted AS recall_bp
        |FROM agg CROSS JOIN n""".stripMargin
 
+  /** q212: the MULTIMODAL dedup funnel — the capstone composition a
+    * LAION/DataComp-style build runs: exact TEXT dedup (q79's md5
+    * fingerprint, min doc kept per group) → perceptual IMAGE dedup
+    * (survivors must be their near-dup cluster's canonical,
+    * [[imageClusterLabels]]) → AUDIO fingerprint dedup (min doc per
+    * 63-bit fp among remaining survivors); one row of per-stage
+    * survivor counts. Scale shape: one md5 shuffle + the clique-free
+    * cluster build + one fp shuffle; every window is PARTITIONED by
+    * its dedup key; the four counts are 1-row broadcast scalars. */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).filter(length(col("text")) >= 1)
+    val s1 = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ft"))
+      .withColumn("kmin",
+        min(col("doc_id")).over(Window.partitionBy(col("ft"))))
+      .filter(col("doc_id") === col("kmin"))
+      .select(col("doc_id"))
+    val clus = imageClusterLabels(s, d)
+    val s2 = s1.join(clus, s1("doc_id") === clus("node"), "left")
+      .filter(col("node").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"))
+    val s3 = s2.join(q209(s, d), "doc_id")
+      .withColumn("kmin",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("kmin"))
+      .select(col("doc_id"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(s1.agg(count(lit(1)).as("n_after_text"))))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_after_image"))))
+      .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_after_audio"))))
+  }
+
+  private val q212Sql =
+    s"""WITH RECURSIVE $clusterCteSql,
+       |t AS (SELECT doc_id, md5(text) AS ft FROM documents
+       |      WHERE length(text) >= 1),
+       |s1 AS (SELECT doc_id FROM (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY ft) AS kmin FROM t)
+       |  WHERE doc_id = kmin),
+       |s2 AS (SELECT s1.doc_id FROM s1 LEFT JOIN final
+       |         ON s1.doc_id = final.node
+       |       WHERE final.node IS NULL OR final.label = s1.doc_id),
+       |a AS ($q209Sql),
+       |s3 AS (SELECT doc_id FROM (
+       |  SELECT a.doc_id, min(a.doc_id) OVER (PARTITION BY a.fp) AS kmin
+       |  FROM a JOIN s2 USING (doc_id))
+       |  WHERE doc_id = kmin)
+       |SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_docs,
+       |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_after_text,
+       |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_after_image,
+       |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_after_audio""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q206_image_phash", q206, Some(q206Sql)),
     QueryDef("q207_image_near_dup", q207, Some(q207Sql)),
     QueryDef("q208_image_dup_clusters", q208, Some(q208Sql)),
     QueryDef("q209_audio_fingerprint", q209, Some(q209Sql)),
     QueryDef("q210_audio_near_dup", q210, Some(q210Sql)),
-    QueryDef("q211_audio_fp_recall", q211, Some(q211Sql)))
+    QueryDef("q211_audio_fp_recall", q211, Some(q211Sql)),
+    QueryDef("q212_multimodal_dedup_funnel", q212, Some(q212Sql)))
 }

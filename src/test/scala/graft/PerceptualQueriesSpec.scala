@@ -171,6 +171,22 @@ class PerceptualQueriesSpec extends SparkSpec {
       s"planted-pair recall collapsed: $rec")
   }
 
+  test("q212 funnel: monotone survivors, image drop == q208's non-canonicals") {
+    val r = SparkEntry.queries("q212_multimodal_dedup_funnel")(spark, sf0001)
+      .collect().head
+    val (n, t, i, a) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_after_text"),
+      r.getAs[Long]("n_after_image"), r.getAs[Long]("n_after_audio"))
+    assert(n >= t && t >= i && i >= a && a > 0, s"non-monotone funnel: $r")
+    // the testdata's texts are all distinct, so the text stage passes
+    // everything through — which makes the image-stage drop EXACTLY
+    // the non-canonical cluster members q208 reports
+    assert(t == n, s"precondition drifted: texts no longer all distinct ($r)")
+    val drop = SparkEntry.queries("q208_image_dup_clusters")(spark, sf0001)
+      .collect().map(c => c.getAs[Long]("n_docs") - 1).sum
+    assert(t - i == drop,
+      s"image stage dropped ${t - i}, q208's non-canonicals total $drop")
+  }
+
   test("q208 clusters == union-find over the verified-pair graph") {
     val pairs = SparkEntry.queries("q207_image_near_dup")(spark, sf0001)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
