@@ -493,6 +493,213 @@ object PerceptualQueries {
        |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_after_image,
        |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_after_audio""".stripMargin
 
+  // ---- video: frame fingerprints + temporal-alignment clip match ----
+  // Video DECODE stays behind the Multimodal stub seam (no codecs in
+  // this container, SURVEY §S9) — but video DEDUP math is real: a
+  // "video" here is its frame-sampled sequence of planes, which is
+  // exactly what a production pipeline reduces a video to before
+  // fingerprinting (frame-sample → per-frame perceptual hash →
+  // temporal alignment). The synthesis makes frame j's plane a
+  // deterministic phase-evolution of the doc's q88 plane, so both
+  // engines derive identical frames.
+
+  private val VFrames = 8  // frames per synthesized video
+  private val ClipLen = 6  // planted clip length
+  private val ClipOff = 2  // planted clip starts at this frame
+  private val MinMatch = 4 // alignment vote threshold
+  private val DfCap = 16   // max distinct videos per frame hash (q168's
+                           // df-cap discipline: a frame hash shared by
+                           // many videos — a blank frame — matches
+                           // everything and identifies nothing; without
+                           // the cap the x4 ScaleTrend measured the join
+                           // superquadratic off 4.8k-video stop-hashes,
+                           // with it the alignment collision mass drops
+                           // to ZERO at sf0.01 for the measured price of
+                           // 26/500 planted clips whose frames are
+                           // themselves stop-hashes — q215 pins that
+                           // trade in integers)
+
+  /** Frame j's plane: the q88 rule with the code-point index advanced
+    * by 3j — a moving scene, one deterministic step per frame. */
+  private def framePlane(text: String, j: Int): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val n = math.max(1, cps.length)
+    Array.tabulate(512) { i =>
+      val c = if (cps.isEmpty) 0 else cps((i * 7 + j * 3) % n)
+      (if ((c * (i + 1)) % 17 == 0) 40 else 255).toByte
+    }
+  }
+
+  private def frameHash(text: String, j: Int): Long =
+    graft.functions.ImageOps.dHash63(
+      graft.functions.ImageOps.cellSums(
+        graft.functions.ImageOps.Gray(W, H, framePlane(text, j)), 8, 8))
+
+  /** q213: per-frame video fingerprints — frame-sample (8 frames) →
+    * per-frame 63-bit dHash; the video analog of q206. Scan → one
+    * bounded explode → UDF; no shuffle. (The codec round-trip is
+    * q206's covered ground; frames here hash the plane directly.) */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    val fh = udf((text: String, j: Int) => frameHash(text, j))
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${VFrames - 1})")).as("fid"))
+      .select(col("doc_id"), col("fid").cast("long").as("frame_id"),
+        fh(col("text"), col("fid")).as("fhash"))
+  }
+
+  /** The q206 cell/dhash SQL over frame j's plane (j in scope). */
+  private val framePlaneSql =
+    s"""[CASE WHEN (ascii(substr(text, ((i * 7 + j * 3) % nch) + 1, 1))
+       |            * (i + 1)) % 17 = 0
+       |      THEN 40 ELSE 255 END for i in range(0, ${W * H})]""".stripMargin
+
+  private val frameHashCoreSql =
+    s"""SELECT doc_id, j AS frame_id,
+       |  CAST(list_reduce(list_transform(range(0, 63), i ->
+       |    CASE WHEN cs[i + 1] > cs[i + 2]
+       |      THEN (2**i)::BIGINT ELSE 0::BIGINT END),
+       |    (a, b) -> a + b) AS BIGINT) AS fhash
+       |FROM (
+       |  SELECT doc_id, j, $cellsSql AS cs
+       |  FROM (
+       |    SELECT doc_id, j, $framePlaneSql AS p
+       |    FROM (SELECT doc_id, text, length(text) AS nch
+       |          FROM documents WHERE length(text) >= 1)
+       |      CROSS JOIN (SELECT unnest(range(0, $VFrames)) AS j)))""".stripMargin
+
+  private val q213Sql = frameHashCoreSql
+
+  /** The dual-generator video corpus: every doc's full video
+    * (vid = 2·doc_id, frames 0..7) plus a planted CLIP
+    * (vid = 2·doc_id+1, frames 0..5 = the original's frames 2..7) —
+    * the re-posted-excerpt case video dedup exists for. */
+  private def videoFrames(s: SparkSession, d: String): DataFrame = {
+    val fh = udf((text: String, j: Int) => frameHash(text, j))
+    val docs = Tables.documents(s, d).filter(length(col("text")) >= 1)
+    val full = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${VFrames - 1})")).as("p"))
+      .select((col("doc_id") * 2).as("vid"), col("p").cast("long").as("pos"),
+        fh(col("text"), col("p")).as("fhash"))
+    val clip = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, ${ClipLen - 1})")).as("p"))
+      .select((col("doc_id") * 2 + 1).as("vid"),
+        col("p").cast("long").as("pos"),
+        fh(col("text"), col("p") + ClipOff).as("fhash"))
+    full.union(clip)
+  }
+
+  private val videoFramesSql =
+    s"""SELECT doc_id * 2 AS vid, frame_id AS pos, fhash
+       |FROM ($frameHashCoreSql)
+       |UNION ALL
+       |SELECT doc_id * 2 + 1 AS vid, frame_id - $ClipOff AS pos, fhash
+       |FROM ($frameHashCoreSql)
+       |WHERE frame_id >= $ClipOff
+       |  AND frame_id < ${ClipOff + ClipLen}""".stripMargin
+
+  /** q214: temporal-alignment CLIP matching — the sequence analog of
+    * the Hamming-ball join: two videos match when ≥ 4 frames share a
+    * fingerprint at one CONSISTENT temporal offset (offset-delta
+    * voting, the Shazam/Haitsma block-alignment trick: an equi-join
+    * on the frame hash — an inverted frame-hash index at scale, never
+    * all-pairs — then a groupBy on (vid_a, vid_b, pos_a − pos_b)
+    * counts DISTINCT aligned positions, so a static video whose
+    * frames all collide cannot inflate its own vote). Emits the
+    * matched span and its alignment offset — the planted clips must
+    * surface at offset = +2. */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    val f = videoFrames(s, d)
+    val keep = f.groupBy(col("fhash"))
+      .agg(countDistinct(col("vid")).as("df"))
+      .filter(col("df") <= DfCap)
+      .select(col("fhash"))
+    val fk = f.join(keep, "fhash")
+    val x = fk.select(col("vid").as("vid_a"), col("pos").as("pos_a"),
+      col("fhash"))
+    val y = fk.select(col("vid").as("vid_b"), col("pos").as("pos_b"),
+      col("fhash"))
+    x.join(y, "fhash")
+      .filter(col("vid_a") < col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"),
+        (col("pos_a") - col("pos_b")).as("offset"))
+      .agg(countDistinct(col("pos_a")).as("n_matched"))
+      .filter(col("n_matched") >= MinMatch)
+  }
+
+  private val q214Sql =
+    s"""WITH f AS ($videoFramesSql),
+       |keep AS (
+       |  SELECT fhash FROM (
+       |    SELECT fhash, count(DISTINCT vid) AS df FROM f GROUP BY fhash)
+       |  WHERE df <= $DfCap),
+       |fk AS (SELECT f.* FROM f JOIN keep USING (fhash))
+       |SELECT x.vid AS vid_a, y.vid AS vid_b,
+       |  CAST(x.pos - y.pos AS BIGINT) AS "offset",
+       |  CAST(count(DISTINCT x.pos) AS BIGINT) AS n_matched
+       |FROM fk x JOIN fk y ON x.fhash = y.fhash AND x.vid < y.vid
+       |GROUP BY x.vid, y.vid, x.pos - y.pos
+       |HAVING count(DISTINCT x.pos) >= $MinMatch""".stripMargin
+
+  /** q215: the clip-match rollup — every planted clip must be
+    * recovered at its true alignment (vid pair (2k, 2k+1) at
+    * offset = +$ClipOff with all $ClipLen frames matched); residual
+    * cross-video alignments are counted, not dropped. Integer
+    * basis-point recall, the q211 convention. */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .agg(count(lit(1)).as("n_planted"))
+    q214(s, d)
+      .withColumn("planted",
+        (col("vid_b") - col("vid_a") === 1) && (col("vid_a") % 2 === 0) &&
+          (col("offset") === ClipOff))
+      .agg(
+        sum(when(col("planted"), 1L).otherwise(0L)).as("n_recovered"),
+        sum(when(col("planted") && col("n_matched") === ClipLen, 1L)
+          .otherwise(0L)).as("n_full_span"),
+        sum(when(!col("planted"), 1L).otherwise(0L)).as("n_other"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_planted"), col("n_recovered"), col("n_full_span"),
+        col("n_other"),
+        expr("(10000 * n_recovered) div n_planted").as("recall_bp"))
+  }
+
+  private val q215Sql =
+    s"""WITH f AS ($videoFramesSql),
+       |keep AS (
+       |  SELECT fhash FROM (
+       |    SELECT fhash, count(DISTINCT vid) AS df FROM f GROUP BY fhash)
+       |  WHERE df <= $DfCap),
+       |fk AS (SELECT f.* FROM f JOIN keep USING (fhash)),
+       |m AS (
+       |  SELECT x.vid AS vid_a, y.vid AS vid_b, x.pos - y.pos AS off,
+       |    count(DISTINCT x.pos) AS n_matched
+       |  FROM fk x JOIN fk y ON x.fhash = y.fhash AND x.vid < y.vid
+       |  GROUP BY x.vid, y.vid, x.pos - y.pos
+       |  HAVING count(DISTINCT x.pos) >= $MinMatch),
+       |agg AS (
+       |  SELECT
+       |    CAST(coalesce(sum(CASE WHEN planted THEN 1 END), 0) AS BIGINT)
+       |      AS n_recovered,
+       |    CAST(coalesce(sum(CASE WHEN planted AND n_matched = $ClipLen
+       |      THEN 1 END), 0) AS BIGINT) AS n_full_span,
+       |    CAST(coalesce(sum(CASE WHEN NOT planted THEN 1 END), 0) AS BIGINT)
+       |      AS n_other
+       |  FROM (SELECT *,
+       |          (vid_b - vid_a = 1 AND vid_a % 2 = 0 AND off = $ClipOff)
+       |            AS planted
+       |        FROM m)),
+       |n AS (SELECT count(*) AS n_planted FROM documents
+       |      WHERE length(text) >= 1)
+       |SELECT CAST(n.n_planted AS BIGINT) AS n_planted,
+       |  agg.n_recovered, agg.n_full_span, agg.n_other,
+       |  (10000 * agg.n_recovered) // n.n_planted AS recall_bp
+       |FROM agg CROSS JOIN n""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q206_image_phash", q206, Some(q206Sql)),
     QueryDef("q207_image_near_dup", q207, Some(q207Sql)),
@@ -500,5 +707,8 @@ object PerceptualQueries {
     QueryDef("q209_audio_fingerprint", q209, Some(q209Sql)),
     QueryDef("q210_audio_near_dup", q210, Some(q210Sql)),
     QueryDef("q211_audio_fp_recall", q211, Some(q211Sql)),
-    QueryDef("q212_multimodal_dedup_funnel", q212, Some(q212Sql)))
+    QueryDef("q212_multimodal_dedup_funnel", q212, Some(q212Sql)),
+    QueryDef("q213_video_fingerprint", q213, Some(q213Sql)),
+    QueryDef("q214_video_clip_match", q214, Some(q214Sql)),
+    QueryDef("q215_clip_match_recall", q215, Some(q215Sql)))
 }

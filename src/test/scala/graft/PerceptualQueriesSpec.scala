@@ -187,6 +187,37 @@ class PerceptualQueriesSpec extends SparkSpec {
       s"image stage dropped ${t - i}, q208's non-canonicals total $drop")
   }
 
+  test("q213/q214/q215: planted clips recovered at the true alignment under the df cap") {
+    val frames = SparkEntry.queries("q213_video_fingerprint")(spark, sf0001)
+      .collect()
+    assert(frames.nonEmpty && frames.length % 8 == 0,
+      s"8 frames per video expected, got ${frames.length}")
+    val matches = SparkEntry.queries("q214_video_clip_match")(spark, sf0001)
+      .collect()
+    val rec = SparkEntry.queries("q215_clip_match_recall")(spark, sf0001)
+      .collect().head
+    val nDocs = frames.length / 8
+    val planted = matches.filter { m =>
+      val (a, b) = (m.getAs[Long]("vid_a"), m.getAs[Long]("vid_b"))
+      b - a == 1 && a % 2 == 0 && m.getAs[Long]("offset") == 2L
+    }
+    // the df cap sacrifices clips whose frames are stop-hashes — the
+    // measured price (474/500 at sf0.01, and it killed ALL 1883
+    // collision alignments); the gate must still recover the
+    // overwhelming majority, at the true offset
+    assert(rec.getAs[Long]("n_planted") == nDocs)
+    assert(rec.getAs[Long]("n_recovered") == planted.length)
+    assert(rec.getAs[Long]("recall_bp") ==
+      10000L * rec.getAs[Long]("n_recovered") / nDocs)
+    assert(rec.getAs[Long]("recall_bp") >= 9000,
+      s"planted-clip recall collapsed: $rec")
+    assert(rec.getAs[Long]("n_full_span") <= rec.getAs[Long]("n_recovered"))
+    assert(rec.getAs[Long]("n_other") ==
+      matches.length - planted.length)
+    // alignment threshold really binds: no match row below 4 frames
+    assert(matches.forall(_.getAs[Long]("n_matched") >= 4L))
+  }
+
   test("q208 clusters == union-find over the verified-pair graph") {
     val pairs = SparkEntry.queries("q207_image_near_dup")(spark, sf0001)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
