@@ -77,5 +77,18 @@ object BenchRef {
     "q84" -> 0.13, "q85" -> 0.11, "q86" -> 0.13, "q87" -> 0.12,
     "q88" -> 0.2, "q89" -> 0.18, "q90" -> 0.73, "q91" -> 1.36,
     "q92" -> 0.42, "q93" -> 0.75, "q94" -> 0.27, "q95" -> 0.17,
-    "q96" -> 0.75, "q97" -> 0.57, "q98" -> 1.12, "q99" -> 0.13)
+    "q96" -> 0.75, "q97" -> 0.57, "q98" -> 1.12, "q99" -> 0.13,
+    // Round-15 additions, pinned as DE-LOADED DERIVATIONS rather than
+    // a single measured healthy run: min over the five recorded
+    // round-15 sf0.1 runs of (q_time ÷ that run's median ratio) —
+    // ratios ×0.95/×1.00/×1.62/×1.71/×1.71; q197-q205 come from the
+    // two healthy runs, q206-q215 existed only on the degraded boxes.
+    // A derived entry can bias its OWN query's future ratio but cannot
+    // move the 196-entry median; replace with measured values when a
+    // healthy-box run lands (the q206-q215 entries especially).
+    "q197" -> 4.06, "q198" -> 0.61, "q199" -> 2.85, "q200" -> 1.49,
+    "q201" -> 1.56, "q202" -> 2.85, "q203" -> 3.09, "q204" -> 3.2,
+    "q205" -> 2.51, "q206" -> 0.3, "q207" -> 1.12, "q208" -> 2.36,
+    "q209" -> 0.23, "q210" -> 0.81, "q211" -> 1.0, "q212" -> 2.71,
+    "q213" -> 0.28, "q214" -> 1.2, "q215" -> 1.28)
 }

@@ -57,10 +57,16 @@ class BenchNormSpec extends AnyFunSuite {
       ref.map { case (k, v) => ("x" + k) -> v }, ref).isEmpty)
   }
 
-  test("pinned reference vector is the healthy r14 run") {
+  test("pinned reference vector: healthy r14 core + de-loaded r15 extension") {
     assert(BenchRef.sf == "sf0.1")
-    assert(BenchRef.queries.size == 196)
-    assert(math.abs(BenchRef.queries.values.sum - BenchRef.totalSec) < 1.0,
+    assert(BenchRef.queries.size == 215)
+    // the r14 MEASURED core still sums to the pinned healthy total;
+    // the r15 extension entries are de-loaded derivations documented
+    // in BenchRef and excluded from this sum check
+    val r15 = (197 to 215).map(n => s"q$n").toSet
+    val core = BenchRef.queries.filterNot { case (k, _) => r15(k) }
+    assert(core.size == 196)
+    assert(math.abs(core.values.sum - BenchRef.totalSec) < 1.0,
       "pinned per-query mins should sum to ~the pinned total")
     // self-ratio is identity: a rerun of the exact reference reads 1.0
     val r = Bench.medianRatio(BenchRef.queries, BenchRef.queries)
