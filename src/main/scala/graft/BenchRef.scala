@@ -78,17 +78,27 @@ object BenchRef {
     "q88" -> 0.2, "q89" -> 0.18, "q90" -> 0.73, "q91" -> 1.36,
     "q92" -> 0.42, "q93" -> 0.75, "q94" -> 0.27, "q95" -> 0.17,
     "q96" -> 0.75, "q97" -> 0.57, "q98" -> 1.12, "q99" -> 0.13,
-    // Round-15 additions, pinned as DE-LOADED DERIVATIONS rather than
-    // a single measured healthy run: min over the five recorded
-    // round-15 sf0.1 runs of (q_time ÷ that run's median ratio) —
-    // ratios ×0.95/×1.00/×1.62/×1.71/×1.71; q197-q205 come from the
-    // two healthy runs, q206-q215 existed only on the degraded boxes.
-    // A derived entry can bias its OWN query's future ratio but cannot
-    // move the 196-entry median; replace with measured values when a
-    // healthy-box run lands (the q206-q215 entries especially).
-    "q197" -> 4.06, "q198" -> 0.61, "q199" -> 2.85, "q200" -> 1.49,
-    "q201" -> 1.56, "q202" -> 2.85, "q203" -> 3.09, "q204" -> 3.2,
-    "q205" -> 2.51, "q206" -> 0.3, "q207" -> 1.12, "q208" -> 2.36,
+    // Round-15 selection family (q197-q205): MEASURED on the healthy
+    // round-15 builder run (BENCH_HISTORY epoch 1786855963 — raw total
+    // 191.41 s over 205 queries, cal [303, 281, 286] ms, median ratio
+    // 0.95; the second healthy run at epoch 1786858374, mr 1.00, reads
+    // within ±10% per query), replacing round 15's de-loaded
+    // derivations as ADVICE r15 asked.
+    "q197" -> 4.36, "q198" -> 0.72, "q199" -> 3.37, "q200" -> 1.76,
+    "q201" -> 1.87, "q202" -> 3.35, "q203" -> 3.9, "q204" -> 4.33,
+    "q205" -> 2.77,
+    // Round-15 perceptual family: q206-q215 never ran on a healthy box
+    // in round 15 (the three runs that carried them read mr
+    // 1.41-1.71), so these stay the round-15 DE-LOADED DERIVATIONS
+    // (min over recorded runs of q_time ÷ that run's median ratio) —
+    // AND round 16 changed q206/q207/q208/q212 to the production-width
+    // WidePhash layout and added q216, so the derived entries are also
+    // stale in composition. A derived/stale entry can bias its OWN
+    // query's future ratio but cannot move the 200+-entry median;
+    // re-pin this block from the first healthy round-16 sf0.1 run
+    // (q216 is deliberately absent until then — an absent key simply
+    // sits out the ratio).
+    "q206" -> 0.3, "q207" -> 1.12, "q208" -> 2.36,
     "q209" -> 0.23, "q210" -> 0.81, "q211" -> 1.0, "q212" -> 2.71,
     "q213" -> 0.28, "q214" -> 1.2, "q215" -> 1.28)
 }

@@ -789,4 +789,26 @@ object ImageOps {
     }
     h
   }
+
+  /** PRODUCTION-WIDTH difference hash over a 256-cell (16×16) grid:
+    * the same neighbor-gradient-sign rule as [[dHash63]], widened to
+    * 252 comparisons (cells g vs g+1 for g in 0..251) packed into FOUR
+    * 63-bit lanes — lane l holds comparisons 63l..63l+62 in its low
+    * bits. Each lane stays strictly positive in a signed 64-bit word
+    * (the q104 width rule), so both engines' BIGINT arithmetic and the
+    * DuckDB `2**i` oracle chains are exact. Brightness-shift invariance
+    * is inherited bit-for-bit from the narrow form (only the SIGN of
+    * the local gradient survives). Comparisons 252..254 are dropped —
+    * 252 = 4·63 keeps the lane layout uniform. */
+  def dHashWide(cells: Array[Int]): Array[Long] = {
+    require(cells.length == 256,
+      s"dHashWide wants 256 cells, got ${cells.length}")
+    val lanes = new Array[Long](4)
+    var g = 0
+    while (g < 252) {
+      if (cells(g) > cells(g + 1)) lanes(g / 63) |= 1L << (g % 63)
+      g += 1
+    }
+    lanes
+  }
 }

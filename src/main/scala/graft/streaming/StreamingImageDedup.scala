@@ -4,14 +4,19 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.{ImageCodec, ImageOps}
+import graft.operators.WidePhash
 
 /** Streaming perceptual IMAGE dedup — the stateful front of the batch
-  * dHash pipeline (q206/q207): every arriving image is decoded from
-  * its real container bytes, fingerprinted, and checked against the
-  * images already seen whose 63-bit dHash shares a 16-bit block;
-  * matching pairs stream out the moment the duplicate arrives — the
-  * gate a multimodal crawl ingest runs BEFORE paying for OCR or
-  * captioning (the reference OCRs every submission unconditionally,
+  * production-width pipeline (q206/q207): every arriving image is
+  * decoded from its real container bytes, fingerprinted with the
+  * 252-bit wide dHash, and checked against the images already seen
+  * whose hash shares one of the TWELVE 21-bit blocks — the SAME
+  * parameterized split as the batch join ([[WidePhash.block]]; a
+  * drifted copy of the split constants is how a streaming gate
+  * silently stops matching the batch index it fronts). Matching pairs
+  * stream out the moment the duplicate arrives — the gate a multimodal
+  * crawl ingest runs BEFORE paying for OCR or captioning (the
+  * reference OCRs every submission unconditionally,
   * `src/workers/ocr_worker.py:118-190`; this is the curation front it
   * lacks).
   *
@@ -19,16 +24,29 @@ import graft.functions.{ImageCodec, ImageOps}
   * state is keyed by (block-idx, block-value) — the same key the
   * batch join buckets on — so it shards with the shuffle and a hot
   * block never concentrates more than its own bucket. Each key
-  * retains at most `maxPerBand` (imgId, hash) entries (16 bytes
-  * each), newest-first, and `stateTtlMs` drops idle keys wholesale,
-  * so total state is O(active blocks · maxPerBand) regardless of
-  * stream length. Pairs are verified exactly (XOR + popcount ≤ 3)
-  * and de-duplicated across the 4 blocks by the batch side's
-  * first-matching-block rule — a pair is emitted at block k only when
-  * blocks 0..k−1 of the two hashes all differ — so each dup pair
-  * emits exactly once, with no downstream distinct.
+  * retains at most `maxPerBand` (imgId, 4-lane hash) entries (40
+  * bytes each), newest-first, and `stateTtlMs` drops idle keys
+  * wholesale, so total state is O(active blocks · maxPerBand)
+  * regardless of stream length. The bounded per-band state is the
+  * streaming analog of the batch side's df cap: a degenerate-hot
+  * block bucket holds its newest `maxPerBand` entries instead of
+  * growing with the stream.
   *
-  * Undecodable bytes and frames the 8×8 grid cannot tile emit
+  * Emission semantics: AT-LEAST-ONCE, at every band where the earlier
+  * image is still in that band's state — up to 12 emissions per pair,
+  * de-duplicated downstream if the consumer needs pair-level
+  * uniqueness (for a dedup gate it usually doesn't: duplicate
+  * evidence is an idempotent OR). Round 15 shipped exactly-once via
+  * a first-matching-block rule, but per-band eviction compounds under
+  * that rule into permanent misses — a pair sharing block j can only
+  * ever emit at band j, so once one side is evicted from band j's
+  * bounded state the pair is lost even though another band still
+  * holds both entries (ADVICE r15). With at-least-once, a pair is
+  * missed only when the earlier image has been evicted from EVERY
+  * band the two hashes share — recall is monotone in band count,
+  * which is what an ingest gate wants.
+  *
+  * Undecodable bytes and frames the 16×16 grid cannot tile emit
   * nothing and occupy no state: the gate's contract is "emit dup
   * evidence", and an unfingerprintable image has none — it flows to
   * the pipeline's validation path (P5), not the dedup path.
@@ -39,26 +57,28 @@ object StreamingImageDedup {
   final case class Img(imgId: Long, bytes: Array[Byte])
 
   private[streaming] final case class BandedImg(
-      band: Long, imgId: Long, h: Long)
+      band: Long, imgId: Long, l0: Long, l1: Long, l2: Long, l3: Long)
 
   /** One detected duplicate: `imgId` arrived and matched `matchId` at
-    * Hamming distance `hd` ≤ 3. */
+    * wide Hamming distance `hd` ≤ [[WidePhash.HdMax]]. May repeat per
+    * shared band (at-least-once — see the emission-semantics note). */
   final case class DupPair(imgId: Long, matchId: Long, hd: Int)
 
-  /** bytes → 63-bit dHash through the REAL decode path; None when the
-    * bytes don't decode or the frame doesn't tile the 8×8 grid. */
-  def hash(bytes: Array[Byte]): Option[Long] =
+  /** bytes → 252-bit wide dHash through the REAL decode path; None
+    * when the bytes don't decode or the frame doesn't tile the 16×16
+    * grid. */
+  def hash(bytes: Array[Byte]): Option[Array[Long]] =
     ImageCodec.decode(bytes)
-      .filter(g => g.w % 8 == 0 && g.h % 8 == 0)
-      .map(g => ImageOps.dHash63(ImageOps.cellSums(g, 8, 8)))
+      .filter(g => g.w % WidePhash.Grid == 0 && g.h % WidePhash.Grid == 0)
+      .map(g => ImageOps.dHashWide(
+        ImageOps.cellSums(g, WidePhash.Grid, WidePhash.Grid)))
 
-  /** Block k of the 63-bit hash (16+16+16+15 bits, the q207 split). */
-  private[streaming] def block(h: Long, k: Int): Long =
-    if (k < 3) (h >>> (16 * k)) & 0xffffL else h >>> 48
-
-  /** Composite state key: block index in the high bits, value low. */
-  private[streaming] def bands(imgId: Long, h: Long): Seq[BandedImg] =
-    (0 until 4).map(k => BandedImg((k.toLong << 48) | block(h, k), imgId, h))
+  /** Composite state key: block index in the high bits, 21-bit block
+    * value low — the [[WidePhash.block]] split verbatim. */
+  private[streaming] def bands(imgId: Long, h: Array[Long]): Seq[BandedImg] =
+    (0 until WidePhash.Blocks).map(k =>
+      BandedImg((k.toLong << WidePhash.BlockBits) | WidePhash.block(h, k),
+        imgId, h(0), h(1), h(2), h(3)))
 
   /** Matching pairs, emitted as each duplicate arrives. */
   def attach(imgs: Dataset[Img], maxPerBand: Int = 64,
@@ -70,28 +90,26 @@ object StreamingImageDedup {
     imgs
       .flatMap(im => hash(im.bytes).toSeq.flatMap(h => bands(im.imgId, h)))
       .groupByKey(_.band)
-      .flatMapGroupsWithState[List[(Long, Long)], DupPair](
+      .flatMapGroupsWithState[List[(Long, Long, Long, Long, Long)], DupPair](
         OutputMode.Append(), timeoutConf) {
-        (key, in, state: GroupState[List[(Long, Long)]]) =>
+        (_, in, state: GroupState[List[(Long, Long, Long, Long, Long)]]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val bidx = (key >>> 48).toInt
             var seen = state.getOption.getOrElse(Nil)
             val out = Seq.newBuilder[DupPair]
             in.toSeq.sortBy(_.imgId).foreach { bi =>
-              seen.foreach { case (id, h2) =>
-                if (id != bi.imgId &&
-                  java.lang.Long.bitCount(bi.h ^ h2) <= 3 &&
-                  (0 until bidx).forall(j =>
-                    block(bi.h, j) != block(h2, j)))
-                  out += DupPair(bi.imgId, id,
-                    java.lang.Long.bitCount(bi.h ^ h2))
+              val h = Array(bi.l0, bi.l1, bi.l2, bi.l3)
+              seen.foreach { case (id, s0, s1, s2, s3) =>
+                if (id != bi.imgId) {
+                  val d = WidePhash.hd(h, Array(s0, s1, s2, s3))
+                  if (d <= WidePhash.HdMax) out += DupPair(bi.imgId, id, d)
+                }
               }
               // one slot per imgId (the StreamingNearDup replay rule)
-              seen = ((bi.imgId, bi.h) :: seen.filterNot(_._1 == bi.imgId))
-                .take(maxPerBand)
+              seen = ((bi.imgId, bi.l0, bi.l1, bi.l2, bi.l3) ::
+                seen.filterNot(_._1 == bi.imgId)).take(maxPerBand)
             }
             state.update(seen)
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)

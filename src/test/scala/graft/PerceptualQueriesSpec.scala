@@ -3,13 +3,17 @@ package graft
 import graft.functions.{ImageCodec, ImageOps}
 import graft.functions.ImageOps.Gray
 
-/** Semantic pins for the perceptual image-dedup family (q206-q208) —
-  * properties the oracle hash can't express as invariants: the hash
-  * kernels' algebra (gradient-sign semantics, brightness-shift
-  * invariance, the 63-bit positivity rule), the real-codec path
-  * actually feeding the fingerprint, and q208's clique-free cluster
-  * construction being EXACTLY the verified-pair graph's components. */
+/** Semantic pins for the perceptual image-dedup family (q206-q208,
+  * q216) — properties the oracle hash can't express as invariants: the
+  * hash kernels' algebra (gradient-sign semantics, brightness-shift
+  * invariance, the per-lane positivity rule), the real-codec path
+  * actually feeding the fingerprint, the production-width banded join
+  * matching an independent replay of its df-capped relation, and
+  * q208's clique-free cluster construction being EXACTLY the
+  * verified-pair graph's components. */
 class PerceptualQueriesSpec extends SparkSpec {
+
+  import graft.operators.WidePhash
 
   // the q88/q145 plane formula, re-derived independently (code-point
   // indexed) so the query-path test pins the whole chain
@@ -65,6 +69,42 @@ class PerceptualQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dHashWide: lane layout, brightness invariance, per-lane positivity") {
+    // strictly decreasing cells: all 252 comparisons true — lanes
+    // 0..3 each carry 63 set bits (the full 63-bit positive word)
+    val dec = Array.tabulate(256)(i => 10000 - i)
+    assert(ImageOps.dHashWide(dec).toSeq == Seq.fill(4)((1L << 63) - 1))
+    assert(ImageOps.dHashWide(dec.reverse).toSeq == Seq.fill(4)(0L))
+    // comparison g lands in lane g/63 bit g%63: flip exactly one
+    val flat = Array.fill(256)(100)
+    for (g <- Seq(0, 62, 63, 125, 126, 251)) {
+      val c = flat.clone(); c(g) = 200 // cells(g) > cells(g+1)
+      val lanes = ImageOps.dHashWide(c)
+      assert(lanes(g / 63) == (1L << (g % 63)), s"comparison $g")
+      // ...except the preceding comparison g−1 (cells(g−1) vs the
+      // bumped cells(g)) is unaffected because 100 > 200 is false
+      assert(lanes.zipWithIndex.filter(_._2 != g / 63).forall(_._1 == 0L))
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val cells = Array.fill(256)(rnd.nextInt(1500))
+      val shifted = cells.map(_ + 321)
+      assert(ImageOps.dHashWide(cells).toSeq ==
+        ImageOps.dHashWide(shifted).toSeq)
+      assert(ImageOps.dHashWide(cells).forall(_ >= 0L))
+    }
+    intercept[IllegalArgumentException] {
+      ImageOps.dHashWide(Array.fill(64)(1))
+    }
+    // the block split: 12 blocks of 21 bits, lane b/3 shifted by
+    // 21·(b%3) — one hand case against an independent formula
+    val lanes = Array(0x123456789abcdL, 0x7fffffffffffffffL & ~(1L << 63),
+      0L, 0x40000000000000L)
+    for (b <- 0 until 12)
+      assert(WidePhash.block(lanes, b) ==
+        ((lanes(b / 3) >>> (21 * (b % 3))) & ((1L << 21) - 1)), s"block $b")
+  }
+
   test("q206 fingerprints the DECODED PNG bytes — codec path equals plane math") {
     val rows = SparkEntry.queries("q206_image_phash")(spark, sf0001)
       .collect()
@@ -78,6 +118,10 @@ class PerceptualQueriesSpec extends SparkSpec {
       val cells = ImageOps.cellSums(Gray(32, 16, plane(text)), 8, 8)
       assert(r.getAs[Long]("dhash") == ImageOps.dHash63(cells))
       assert(r.getAs[Long]("ahash") == ImageOps.aHash63(cells))
+      // and the production-width fingerprint over the 16×16 grid
+      val wide = ImageOps.dHashWide(
+        ImageOps.cellSums(Gray(32, 16, plane(text)), 16, 16))
+      assert(Seq("w0", "w1", "w2", "w3").map(r.getAs[Long]) == wide.toSeq)
       // and the codec really is lossless on this plane (the identity
       // the oracle depends on)
       val enc = ImageCodec.encode(Gray(32, 16, plane(text)), "png")
@@ -86,29 +130,61 @@ class PerceptualQueriesSpec extends SparkSpec {
     }
   }
 
-  test("q207 pairs: ordered, verified hd ≤ 3, exact-dup pairs present") {
-    val hashes = SparkEntry.queries("q206_image_phash")(spark, sf0001)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dhash"))
-      .toMap
+  /** The q206 wide fingerprints, for the replay tests below. */
+  private def wideHashes: Map[Long, Array[Long]] =
+    SparkEntry.queries("q206_image_phash")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Array(r.getAs[Long]("w0"), r.getAs[Long]("w1"),
+          r.getAs[Long]("w2"), r.getAs[Long]("w3"))).toMap
+
+  /** Independent replay of the df-capped wide relation: a pair
+    * survives iff the fingerprints are identical (hd 0, cap-exempt) or
+    * hd ≤ HdMax AND some matching 21-bit block's bucket holds ≤ DfCap
+    * DISTINCT fingerprints. */
+  private def expectedWidePairs(
+      hashes: Map[Long, Array[Long]]): Set[(Long, Long, Int)] = {
+    val distinct = hashes.values.map(_.toSeq).toSet.map((s: Seq[Long]) => s.toArray)
+    val bdf = scala.collection.mutable.Map.empty[(Int, Long), Int]
+    for (h <- distinct; k <- 0 until WidePhash.Blocks)
+      bdf.updateWith((k, WidePhash.block(h, k)))(c => Some(c.getOrElse(0) + 1))
+    val ids = hashes.keys.toArray.sorted
+    val out = Set.newBuilder[(Long, Long, Int)]
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (ha, hb) = (hashes(ids(i)), hashes(ids(j)))
+      val d = WidePhash.hd(ha, hb)
+      if (d == 0) out += ((ids(i), ids(j), 0))
+      else if (d <= WidePhash.HdMax &&
+        (0 until WidePhash.Blocks).exists(k =>
+          WidePhash.block(ha, k) == WidePhash.block(hb, k) &&
+            bdf((k, WidePhash.block(ha, k))) <= WidePhash.DfCap))
+        out += ((ids(i), ids(j), d))
+    }
+    out.result()
+  }
+
+  test("q207 pairs == independent replay of the df-capped wide relation") {
+    val hashes = wideHashes
     val pairs = SparkEntry.queries("q207_image_near_dup")(spark, sf0001)
       .collect()
     assert(pairs.nonEmpty)
     pairs.foreach { r =>
       val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
       assert(a < b, s"unordered pair $r")
-      val hd = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
-      assert(r.getAs[Int]("hd") == hd && hd <= 3, s"bad hd: $r")
+      assert(r.getAs[Int]("hd") == WidePhash.hd(hashes(a), hashes(b)) &&
+        r.getAs[Int]("hd") <= WidePhash.HdMax, s"bad hd: $r")
     }
-    // the banded join misses nothing: recompute the full relation
-    val ids = hashes.keys.toArray.sorted
-    var expect = 0
-    for (i <- ids.indices; j <- (i + 1) until ids.length)
-      if (java.lang.Long.bitCount(
-        hashes(ids(i)) ^ hashes(ids(j))) <= 3) expect += 1
-    assert(pairs.length == expect,
-      s"banded join found ${pairs.length} pairs, brute force $expect")
+    val got = pairs.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Int]("hd"))).toSet
+    assert(got.size == pairs.length, "duplicate pair rows")
+    val expect = expectedWidePairs(hashes)
+    assert(got == expect,
+      s"capped relation mismatch: extra=${(got -- expect).take(5)} " +
+        s"missing=${(expect -- got).take(5)} (got ${got.size}, " +
+        s"expect ${expect.size})")
     assert(pairs.exists(_.getAs[Int]("hd") == 0),
-      "testdata contains exact dup docs; hd=0 pairs must appear")
+      "testdata contains identical-fingerprint docs; hd=0 pairs must appear")
+    assert(pairs.exists(_.getAs[Int]("hd") > 0),
+      "cross-fingerprint near dups must survive the banding + cap")
   }
 
   test("fingerprint63: exact gain invariance, frame guard") {
@@ -178,13 +254,48 @@ class PerceptualQueriesSpec extends SparkSpec {
       r.getAs[Long]("n_after_image"), r.getAs[Long]("n_after_audio"))
     assert(n >= t && t >= i && i >= a && a > 0, s"non-monotone funnel: $r")
     // the testdata's texts are all distinct, so the text stage passes
-    // everything through — which makes the image-stage drop EXACTLY
-    // the non-canonical cluster members q208 reports
+    // everything through — and with every cluster member surviving,
+    // the min-SURVIVING-member rule (ADVICE r15: the image stage keeps
+    // one copy per cluster even when the global canonical was dropped
+    // upstream) reduces to "keep the canonical", so the image-stage
+    // drop is EXACTLY the non-canonical cluster members q208 reports
     assert(t == n, s"precondition drifted: texts no longer all distinct ($r)")
     val drop = SparkEntry.queries("q208_image_dup_clusters")(spark, sf0001)
       .collect().map(c => c.getAs[Long]("n_docs") - 1).sum
     assert(t - i == drop,
       s"image stage dropped ${t - i}, q208's non-canonicals total $drop")
+  }
+
+  test("q216: wide gate beats narrow on the same planted degradation") {
+    val r = SparkEntry.queries("q216_phash_width_recall")(spark, sf0001)
+      .collect().head
+    val nPlanted = r.getAs[Long]("n_planted")
+    assert(nPlanted > 0)
+    // recall arithmetic, both arms (integer basis points)
+    assert(r.getAs[Long]("narrow_recall_bp") ==
+      10000L * r.getAs[Long]("narrow_recovered") / nPlanted)
+    assert(r.getAs[Long]("wide_recall_bp") ==
+      10000L * r.getAs[Long]("wide_recovered") / nPlanted)
+    // per-band accounting closes
+    assert(r.getAs[Long]("wide_hd0_3") + r.getAs[Long]("wide_hd4_7") +
+      r.getAs[Long]("wide_hd8_11") == r.getAs[Long]("wide_recovered"))
+    // pair-volume accounting (computed from group sizes, never the
+    // expanded cliques): collisions = total verified pairs − recovered
+    assert(r.getAs[Long]("wide_collisions") ==
+      r.getAs[Long]("wide_pairs") - r.getAs[Long]("wide_recovered"))
+    assert(r.getAs[Long]("wide_collisions") >= 0)
+    // THE claim this query exists to pin (VERDICT r15 #1): on ~2%
+    // pixel noise the production-width df-capped gate recovers far
+    // more planted degradations than the narrow 63-bit gate — measured
+    // 7580 vs 2900 bp at sf0.001, 7540 vs 3280 at sf0.01. Floors sit
+    // well under the measured values so only a real regression (hash,
+    // banding, or cap) trips them, not corpus drift.
+    assert(r.getAs[Long]("wide_recall_bp") > r.getAs[Long]("narrow_recall_bp"),
+      s"wide gate no longer beats narrow: $r")
+    assert(r.getAs[Long]("wide_recall_bp") >= 6500,
+      s"wide recall collapsed: $r")
+    assert(r.getAs[Long]("narrow_recall_bp") >= 1500,
+      s"narrow arm collapsed (fixture drifted?): $r")
   }
 
   test("q213/q214/q215: planted clips recovered at the true alignment under the df cap") {
