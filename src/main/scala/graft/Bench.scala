@@ -46,6 +46,30 @@ object Bench {
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
   }
 
+  /** (p25, p75) of the same per-query ratio vector (nearest-rank, the
+    * StreamBench quantile convention) — VERDICT r15 #3: the median
+    * alone cannot tell a reader whether a high normalized total means
+    * "the suite regressed" (a few ratios far above a tight band —
+    * spread WIDE) or "the box degraded non-uniformly" (the whole
+    * vector shifted but unevenly — spread wide TOO, but around a high
+    * median). Emitting the quartiles beside the median makes the
+    * stored artifact self-describing: tight spread + high median =
+    * uniform box load (trust the normalization); wide spread = read
+    * the per-query detail before concluding anything. */
+  def ratioQuartiles(run: Map[String, Double], ref: Map[String, Double],
+      floorSec: Double = 0.05, minCommon: Int = 20)
+      : Option[(Double, Double)] = {
+    val ratios = run.toSeq.flatMap { case (k, v) =>
+      ref.get(k).filter(r => r > floorSec && v > floorSec).map(v / _)
+    }.sorted
+    if (ratios.size < minCommon) None
+    else {
+      def pct(q: Double): Double =
+        ratios(math.min(ratios.size - 1, (q * ratios.size).toInt))
+      Some((pct(0.25), pct(0.75)))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -163,6 +187,22 @@ object Bench {
       results.get("q15_transcript_assembly")
         .map(_._1).filter(_ > 0).map(t => n / t).getOrElse(0.0)
     } catch { case _: Throwable => 0.0 }
+    // Ratio context is computed BEFORE the streaming phases so the
+    // knee search's reliability flag can be keyed to this run's box
+    // regime (VERDICT r15 #4). sfName is interpolated into JSON lines —
+    // strip anything that could break the encoding (it comes from a
+    // CLI/env path segment).
+    val sfName = new java.io.File(sfDir).getName
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val runMins: Map[String, Double] = results.map {
+      case (k, v) => short(k) -> v._1
+    }
+    val ratioOpt =
+      if (sfName == BenchRef.sf) medianRatio(runMins, BenchRef.queries)
+      else None
+    val quartilesOpt =
+      if (sfName == BenchRef.sf) ratioQuartiles(runMins, BenchRef.queries)
+      else None
     // STREAMING flagship (VERDICT r7 #2): the actual flatMapGroupsWithState
     // sessionizer under a file-source stream + RocksDB state store — not
     // the batch q15 proxy. Sustained events/s excludes stream startup;
@@ -192,18 +232,22 @@ object Bench {
     val knee = try StreamBench.kneeSearch(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] knee search failed: ${e.getMessage}")
-        StreamBench.Knee(Seq.empty, 0.0, 0L, 0)
+        StreamBench.Knee(Seq.empty, 0.0, 0L, 0, bracketed = false)
       }
+    // knee_reliable (VERDICT r15 #2/#4): the knee number is only
+    // comparable across rounds when (a) the search actually bracketed
+    // it between a passing and a breaking step, and (b) the box regime
+    // is near-healthy — on a loaded box the same binary measures a
+    // genuinely lower knee (the downward search still brackets it, so
+    // the artifact carries a real number, flagged as this box's, not
+    // the engine's).
+    val kneeReliable = knee.bracketed && ratioOpt.forall(_ <= 1.15)
     val kneeStepsJson = knee.steps.map { st =>
       s"""{"files":${st.stageFiles},"eps":${"%.0f".format(
         st.result.epsSustained)},"p50_ms":${st.result.p50Ms},"p99_ms":${
         st.result.p99Ms},"batches":${st.result.batches}}"""
     }.mkString("[", ",", "]")
     val cal2 = calibrate()
-    // sfName is interpolated into JSON lines — strip anything that could
-    // break the encoding (it comes from a CLI/env path segment)
-    val sfName = new java.io.File(sfDir).getName
-      .replaceAll("[^A-Za-z0-9._-]", "_")
     val calArr = s"[$cal0,$cal1,$cal2]"
     // The bench defends itself against box regime (VERDICT r13 #3):
     // rounds 12-13 each burned a judge/builder cycle re-proving that a
@@ -231,21 +275,25 @@ object Bench {
     // stays for continuity but carries an explicit reliability flag —
     // read it only when cal_status is "ok".
     val calNormalizedReliable = calStatus == "ok"
-    val runMins: Map[String, Double] = results.map {
-      case (k, v) => short(k) -> v._1
-    }
-    val ratioOpt =
-      if (sfName == BenchRef.sf) medianRatio(runMins, BenchRef.queries)
-      else None
     val ratioNormalizedTotal = ratioOpt.map(totalMin / _).getOrElse(totalMin)
     // eps scales INVERSELY with time: a 1.14×-loaded box measured the
     // flagship 1.14× slower, so the normalized eps multiplies back up
     val flagshipIsolatedEpsNorm =
       ratioOpt.map(flagshipIsolatedEps * _).getOrElse(flagshipIsolatedEps)
+    // p25/p75 of the ratio vector travel beside the median (VERDICT
+    // r15 #3) so the artifact distinguishes uniform box load (tight
+    // spread) from non-uniform degradation or a real regression (wide
+    // spread) without re-running anything.
+    val spreadPart = quartilesOpt match {
+      case Some((p25, p75)) =>
+        s""","ratio_p25_x100":${math.round(p25 * 100)},""" +
+          s""""ratio_p75_x100":${math.round(p75 * 100)}"""
+      case None => ""
+    }
     val ratioPart = ratioOpt match {
       case Some(r) =>
         s""""ratio_normalized_total":${fmt2(ratioNormalizedTotal)},""" +
-          s""""median_ratio_x100":${math.round(r * 100)},""" +
+          s""""median_ratio_x100":${math.round(r * 100)}$spreadPart,""" +
           s""""ratio_status":"ok","flagship_isolated_eps_norm":${
             "%.0f".format(flagshipIsolatedEpsNorm)}"""
       case None =>
@@ -261,7 +309,7 @@ object Bench {
         .map { case (k, v) => "\"" + short(k) + "\":" + fmt2(f(v)) }
         .mkString("{", ",", "}")
     val streamPart =
-      s""""flagship_events_per_sec":${"%.0f".format(flagshipEps)},"flagship_isolated_eps":${"%.0f".format(flagshipIsolatedEps)},$ratioPart,"cal_normalized_total":${fmt2(calNormalizedTotal)},"cal_normalized_reliable":$calNormalizedReliable,"cal_status":"$calStatus","stream_eps":${"%.0f".format(stream.epsSustained)},"stream_p50_ms":${stream.p50Ms},"stream_p99_ms":${stream.p99Ms},"stream_batches":${stream.batches},"stream_knee_eps":${"%.0f".format(knee.kneeEps)},"stream_knee_p50_ms":${knee.kneeP50Ms},"stream_knee_files":${knee.kneeStageFiles},"stream_sweep":$sweepJson"""
+      s""""flagship_events_per_sec":${"%.0f".format(flagshipEps)},"flagship_isolated_eps":${"%.0f".format(flagshipIsolatedEps)},$ratioPart,"cal_normalized_total":${fmt2(calNormalizedTotal)},"cal_normalized_reliable":$calNormalizedReliable,"cal_status":"$calStatus","stream_eps":${"%.0f".format(stream.epsSustained)},"stream_p50_ms":${stream.p50Ms},"stream_p99_ms":${stream.p99Ms},"stream_batches":${stream.batches},"stream_knee_eps":${"%.0f".format(knee.kneeEps)},"stream_knee_p50_ms":${knee.kneeP50Ms},"stream_knee_files":${knee.kneeStageFiles},"stream_knee_bracketed":${knee.bracketed},"stream_knee_reliable":$kneeReliable,"stream_sweep":$sweepJson"""
     // FULL detail — every query's min and median — persisted to
     // target/bench_last.json and BENCH_DETAIL.json (repo root, so a
     // round snapshot carries it), and printed first (its tail may be

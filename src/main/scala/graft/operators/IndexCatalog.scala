@@ -29,6 +29,8 @@ import graft.streaming.StreamingIndexFreshness
   *   - `pq`    → same occupancy over the code rows (shared grid layout)
   *   - `ann`   → [[AnnIvfIndex.balance]]           (imbalance, retrain)
   *   - `fuzzy` → [[FuzzyVocabIndex.layoutAudit]]   (keys/bucket, rebucket)
+  *   - `phash` → [[PerceptualDedupIndex.layoutAudit]] (rows/bucket,
+  *     rebucket — image/audio fingerprint block indexes)
   *   - `fresh` → [[StreamingIndexFreshness.reconcile]] (slice drift,
   *     repair — note repair() itself must run unconditionally in the
   *     cron audit; this row's flag locates WHICH window drifted)
@@ -88,6 +90,12 @@ object IndexCatalog {
         ("keys_per_bucket", "rebucket",
           FuzzyVocabIndex.layoutAudit(s, e.table)
             .select(col("n_keys").as("n_rows"),
+              col("rows_per_bucket").cast("long").as("signal_value"),
+              col("rebucket_due").as("action_due")))
+      case "phash" =>
+        ("rows_per_bucket", "rebucket",
+          PerceptualDedupIndex.layoutAudit(s, e.table)
+            .select(col("n_fp_rows").as("n_rows"),
               col("rows_per_bucket").cast("long").as("signal_value"),
               col("rebucket_due").as("action_due")))
       case "fresh" =>

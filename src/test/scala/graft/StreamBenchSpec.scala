@@ -37,15 +37,51 @@ class StreamBenchSpec extends SparkSpec {
       assert(st.result.batches > 0 && st.result.rows > 0, s"empty: $st")
       assert(st.result.epsSustained > 0, s"unmeasured: $st")
     }
-    // the search stops at the FIRST breaking step, so at most one
-    // recorded step exceeds the target
-    assert(k.steps.count(_.result.p50Ms > 300L) <= 1, s"${k.steps}")
+    // walk shape: an upward walk stops at its FIRST breaking step (at
+    // most one break recorded, and only as the last step); when the
+    // first step already breaks, the search extends DOWNWARD instead —
+    // then every step breaks except (at most) the final passing one
+    if (k.steps.head.result.p50Ms <= 300L) {
+      assert(k.steps.count(_.result.p50Ms > 300L) <= 1, s"${k.steps}")
+      if (k.steps.exists(_.result.p50Ms > 300L))
+        assert(k.steps.last.result.p50Ms > 300L, s"${k.steps}")
+    } else {
+      assert(k.steps.count(_.result.p50Ms <= 300L) <= 1, s"${k.steps}")
+      if (k.steps.exists(_.result.p50Ms <= 300L))
+        assert(k.steps.last.result.p50Ms <= 300L, s"${k.steps}")
+    }
     // knee fields are consistent: either no step passed (all zeros) or
     // the knee is a passing step's numbers
     if (k.kneeEps > 0) {
       assert(k.kneeP50Ms <= 300L, s"knee past target: $k")
       assert(k.steps.exists(s => s.stageFiles == k.kneeStageFiles &&
         s.result.p50Ms == k.kneeP50Ms), s"knee not among steps: $k")
-    } else assert(k.kneeStageFiles == 0 && k.kneeP50Ms == 0L)
+      // bracketed iff some step also BROKE the target
+      assert(k.bracketed == k.steps.exists(_.result.p50Ms > 300L))
+    } else assert(k.kneeStageFiles == 0 && k.kneeP50Ms == 0L && !k.bracketed)
+  }
+
+  test("knee search: degraded-box downward path and unbracketed-pass flag") {
+    // an unreachable target (1 ms): the FIRST step breaks, so the
+    // search extends DOWNWARD (VERDICT r15 #2 — a degraded box must
+    // try lower offered load instead of recording knee = 0 after one
+    // step); here the downward step breaks too, so the artifact says
+    // "no knee measurable" explicitly: eps 0, not bracketed
+    val broke = StreamBench.kneeSearch(spark, sf0001,
+      workDir = "/tmp/graft_stream_knee_down",
+      stageFilesSteps = Seq(2), downwardSteps = Seq(4),
+      p50TargetMs = 1L, runsPerStep = 1)
+    assert(broke.steps.map(_.stageFiles) == Seq(2, 4),
+      s"downward step not taken: ${broke.steps.map(_.stageFiles)}")
+    assert(broke.kneeEps == 0.0 && !broke.bracketed)
+    // an unmissable target: every step passes — a knee value exists
+    // (the best passing step) but it is NOT claimed as bracketed,
+    // because no breaking step bounds it from above
+    val pass = StreamBench.kneeSearch(spark, sf0001,
+      workDir = "/tmp/graft_stream_knee_pass",
+      stageFilesSteps = Seq(6, 3), downwardSteps = Seq.empty,
+      p50TargetMs = Long.MaxValue / 2, runsPerStep = 1)
+    assert(pass.kneeEps > 0 && !pass.bracketed, s"$pass")
+    assert(pass.steps.size == 2, "search must walk the whole grid when nothing breaks")
   }
 }
