@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
-  DeltaSemDedupIndex, FuzzyVocabIndex, IndexCatalog, InvertedTextIndex}
+  DeltaSemDedupIndex, FuzzyVocabIndex, IndexCatalog, InvertedTextIndex,
+  PerceptualDedupIndex}
 
 /** The DELTA story assembled end-to-end as ONE runnable job — the
   * refresh cycle a continuously-updated training corpus actually
@@ -41,7 +42,9 @@ object RefreshMain {
       searchDocs: Long, searchHits: Long, searchPhraseHits: Long,
       searchHotDfBp: Long, searchRebucketDue: Boolean,
       fuzzyVocabWords: Long, fuzzySuggestHits: Long,
-      indexCatalogJson: String)
+      imgBatch: Long, imgAdmitted: Long, imgIndexRows: Long,
+      mmCells: Long, mmRaw: Long, mmAfterText: Long, mmAfterImage: Long,
+      mmShipped: Long, indexCatalogJson: String)
 
   def run(spark: SparkSession, sfDir: String): Summary = {
     def cleanup(t: String): Unit = {
@@ -55,7 +58,8 @@ object RefreshMain {
     }
     Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
       "refresh_search_idx_meta", "refresh_search_idx_pos",
-      "refresh_fuzzy_vocab", "refresh_fuzzy_keys").foreach(cleanup)
+      "refresh_fuzzy_vocab", "refresh_fuzzy_keys",
+      "refresh_phash_idx", "refresh_phash_idx_df").foreach(cleanup)
 
     // snapshot cut: everything NOT in the deterministic refresh slices
     val docs = Tables.documents(spark, sfDir)
@@ -68,6 +72,13 @@ object RefreshMain {
       "refresh_fuzzy")
     DeltaSemDedupIndex.build(emb.filter(col("vec_id") % 4 =!= 0),
       "refresh_sem_idx", gridN = emb.count())
+    // multimodal leg: the corpus's image fingerprints (real codec
+    // path) as a block index — a refresh batch's image dedup then
+    // never re-fingerprints or re-bands the snapshot (VERDICT r15 #2)
+    val imgSig = graft.queries.PerceptualQueries
+      .imageSignatures(spark, sfDir)
+    PerceptualDedupIndex.build(PerceptualDedupIndex.ImageLayout,
+      imgSig.filter(col("id") % 10 =!= 0), "refresh_phash_idx")
 
     // the refresh batch admits against the snapshot only
     val textBatch = docs.filter(col("doc_id") % 10 === 0)
@@ -76,6 +87,9 @@ object RefreshMain {
     val semBatch = emb.filter(col("vec_id") % 4 === 0)
       .select(col("vec_id"), col("label"), col("embedding"))
     val semVerdict = DeltaSemDedupIndex.admit(semBatch, "refresh_sem_idx")
+    val imgBatch = imgSig.filter(col("id") % 10 === 0)
+    val imgVerdict = PerceptualDedupIndex.admit(
+      PerceptualDedupIndex.ImageLayout, imgBatch, "refresh_phash_idx")
 
     // MATERIALIZE the verdicts before appending — the verdict frames
     // are lazy plans over the index tables, and append() changes those
@@ -85,8 +99,11 @@ object RefreshMain {
       .select(col("doc_id")).cache()
     val semAdmittedIds = semVerdict.filter(col("admitted"))
       .select(col("vec_id")).cache()
+    val imgAdmittedIds = imgVerdict.filter(col("admitted"))
+      .select(col("id")).cache()
     val nTextAdmitted = textAdmittedIds.count()
     val nSemAdmitted = semAdmittedIds.count()
+    val nImgAdmitted = imgAdmittedIds.count()
 
     // the snapshot ADVANCES without a rebuild: only admitted rows
     // append. The SERVING index appends FIRST — writing the band table
@@ -110,6 +127,8 @@ object RefreshMain {
       semBatch.join(semAdmittedIds, "vec_id")
         .select(col("vec_id"), col("embedding")),
       "refresh_sem_idx")
+    PerceptualDedupIndex.append(PerceptualDedupIndex.ImageLayout,
+      imgBatch.join(imgAdmittedIds, "id"), "refresh_phash_idx")
 
     // the writer's incremental work order over the same batch
     val manifest = SparkEntry.queries("q177_refresh_manifest")(spark, sfDir)
@@ -117,6 +136,17 @@ object RefreshMain {
     val shipped = manifest
       .agg(coalesce(sum(col("n_shipped")), lit(0L)).as("d"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("t"))
+      .collect().head
+
+    // the MULTIMODAL release work order (q217): every gate family —
+    // quality, near-dup, decontam, image clusters, audio fingerprints —
+    // composed into one per-(split, shard, source) funnel
+    val mm = SparkEntry.queries("q217_multimodal_manifest")(spark, sfDir)
+      .agg(count(lit(1)).as("cells"),
+        coalesce(sum(col("n_raw")), lit(0L)).as("raw"),
+        coalesce(sum(col("n_after_text")), lit(0L)).as("t"),
+        coalesce(sum(col("n_after_image")), lit(0L)).as("i"),
+        coalesce(sum(col("n_shipped")), lit(0L)).as("s"))
       .collect().head
 
     // post-append lifecycle audit: has the advanced snapshot outgrown
@@ -159,7 +189,8 @@ object RefreshMain {
       IndexCatalog.Entry("refresh_text_idx", "band"),
       IndexCatalog.Entry("refresh_sem_idx", "cell"),
       IndexCatalog.Entry("refresh_search_idx", "text"),
-      IndexCatalog.Entry("refresh_fuzzy", "fuzzy")))
+      IndexCatalog.Entry("refresh_fuzzy", "fuzzy"),
+      IndexCatalog.Entry("refresh_phash_idx", "phash")))
 
     // retention pass: collapse the appended file generation back to
     // one file per bucket (the summary counts below read the
@@ -170,6 +201,8 @@ object RefreshMain {
     BucketedIndexMaintenance.compact(spark, "refresh_search_idx_pos")
     BucketedIndexMaintenance.compact(spark, "refresh_fuzzy_vocab")
     BucketedIndexMaintenance.compact(spark, "refresh_fuzzy_keys")
+    BucketedIndexMaintenance.compact(spark, "refresh_phash_idx")
+    BucketedIndexMaintenance.compact(spark, "refresh_phash_idx_df")
 
     val summary = Summary(
       textBatch = textBatch.count(),
@@ -192,13 +225,23 @@ object RefreshMain {
       fuzzyVocabWords = spark.table("refresh_fuzzy_vocab")
         .select(col("w")).distinct().count(),
       fuzzySuggestHits = fuzzyHits,
+      imgBatch = imgBatch.count(),
+      imgAdmitted = nImgAdmitted,
+      imgIndexRows = spark.table("refresh_phash_idx").count(),
+      mmCells = mm.getAs[Long]("cells"),
+      mmRaw = mm.getAs[Long]("raw"),
+      mmAfterText = mm.getAs[Long]("t"),
+      mmAfterImage = mm.getAs[Long]("i"),
+      mmShipped = mm.getAs[Long]("s"),
       indexCatalogJson = catalogJson)
     manifest.unpersist()
     textAdmittedIds.unpersist()
     semAdmittedIds.unpersist()
+    imgAdmittedIds.unpersist()
     Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
       "refresh_search_idx_meta", "refresh_search_idx_pos",
-      "refresh_fuzzy_vocab", "refresh_fuzzy_keys").foreach(cleanup)
+      "refresh_fuzzy_vocab", "refresh_fuzzy_keys",
+      "refresh_phash_idx", "refresh_phash_idx_df").foreach(cleanup)
     summary
   }
 
@@ -227,6 +270,12 @@ object RefreshMain {
       s""""search_rebucket_due":${s.searchRebucketDue},""" +
       s""""fuzzy_vocab_words":${s.fuzzyVocabWords},""" +
       s""""fuzzy_suggest_hits":${s.fuzzySuggestHits},""" +
+      s""""img_batch":${s.imgBatch},"img_admitted":${s.imgAdmitted},""" +
+      s""""img_index_rows":${s.imgIndexRows},""" +
+      s""""mm_manifest_cells":${s.mmCells},"mm_raw":${s.mmRaw},""" +
+      s""""mm_after_text":${s.mmAfterText},""" +
+      s""""mm_after_image":${s.mmAfterImage},""" +
+      s""""mm_shipped":${s.mmShipped},""" +
       s""""index_catalog":${s.indexCatalogJson}}""")
     spark.stop()
   }

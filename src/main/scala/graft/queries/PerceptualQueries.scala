@@ -77,6 +77,13 @@ object PerceptualQueries {
         col("t._3").as("l0"), col("t._4").as("l1"),
         col("t._5").as("l2"), col("t._6").as("l3"))
 
+  /** The wide-fingerprint frame (`id`, `l0..l3`) through the real
+    * codec path — the [[graft.operators.PerceptualDedupIndex]] input
+    * shape, exposed for RefreshMain's multimodal index leg. */
+  private[graft] def imageSignatures(s: SparkSession, d: String): DataFrame =
+    sig(s, d).select(col("doc_id").as("id"),
+      col("l0"), col("l1"), col("l2"), col("l3"))
+
   /** q206: the fingerprints themselves — 63-bit dHash (row-major
     * neighbor gradient sign over an 8×8 block-sum grid), 63-bit aHash
     * (cell vs frame mean, exact integer cross-multiplication), and the
@@ -1029,6 +1036,215 @@ object PerceptualQueries {
        |  (10000 * agg.wide_recovered) // agg.n_planted AS wide_recall_bp
        |FROM agg CROSS JOIN tot""".stripMargin
 
+  // ---- q217: the MULTIMODAL shipping manifest --------------------
+
+  /** q217: q171's writer work-order extended to the full multimodal
+    * funnel (VERDICT r15 #3: a multimodal corpus release previously
+    * needed two uncomposed queries — q171's text gates and q212's
+    * funnel). ONE plan composes every gate family the engine ships:
+    * quality rules (q149) → near-dup drop set (q150's CC) →
+    * decontamination (q166's 13-gram gate vs the held-out src0 slice)
+    * → perceptual IMAGE dedup (min surviving member per
+    * [[WidePhash.clusterLabels]] cluster, the q212 rule) → AUDIO
+    * fingerprint dedup (min surviving doc per 63-bit fp) → split
+    * (q74's md5-byte rule) and shard (q169's md5-slice mod 32)
+    * assignment. Output: per (split, shard, source), the funnel in
+    * integers — raw → after-text → after-image → shipped — plus
+    * shipped token/byte loads and each row's token share of its
+    * split: the auditable work order for a MULTIMODAL release.
+    *
+    * Scope: docs with non-empty text (the fingerprint gates' domain —
+    * an unfingerprintable doc routes to the validation path P5, not
+    * the build). Scale shape: `documents` scans once into the flag
+    * frame; each gate joins by doc_id (drop set by left join, never
+    * broadcast-forced; contam set is small and AQE-broadcast); the
+    * image stage is the clique-free df-capped cluster build; every
+    * window is PARTITIONED by its dedup key; the group-by is
+    * ≤ 2·32·sources rows and split totals ride back as a 2-row
+    * broadcast. */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.TokenWindowHashes.register(s)
+    val nShards = 32
+    val docs = Tables.documents(s, d)
+      .filter(col("source") =!= "src0" && length(col("text")) >= 1)
+    val keepFlags = TextQueries.q149(s, d).select(col("doc_id"), col("keep"))
+    val (labels, _) = graft.operators.ConnectedComponents
+      .minLabel(TextQueries.lshStarEdges(s, d))
+    val dropped = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(true).as("is_dup"))
+    val docsG = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("token_window_hashes(" + TextQueries.wordsExpr + ", 13)")
+          .as("grams"))
+    val evalGrams = docsG.filter(col("source") === "src0")
+      .select(explode(col("grams")).as("h")).distinct()
+    val contam = docsG.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("grams")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(true))
+    val base = docs
+      .join(keepFlags, "doc_id")
+      .join(dropped, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("text_pass",
+        col("keep") && col("is_dup").isNull && col("is_contam").isNull)
+    val clus = WidePhash.clusterLabels(sig(s, d)
+      .select(col("doc_id").as("id"),
+        col("l0"), col("l1"), col("l2"), col("l3")))
+    val tSurv = base.filter(col("text_pass")).select(col("doc_id"))
+    val s2 = tSurv.join(clus, tSurv("doc_id") === clus("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("grp"))
+      .withColumn("kmin",
+        min(col("doc_id")).over(Window.partitionBy(col("grp"))))
+      .filter(col("doc_id") === col("kmin"))
+      .select(col("doc_id"), lit(true).as("img_pass"))
+    val s3 = s2.select(col("doc_id")).join(q209(s, d), "doc_id")
+      .withColumn("kmin",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("kmin"))
+      .select(col("doc_id"), lit(true).as("shipped"))
+    val flags = base
+      .join(s2, Seq("doc_id"), "left")
+      .join(s3, Seq("doc_id"), "left")
+      .withColumn("img", coalesce(col("img_pass"), lit(false)))
+      .withColumn("ship", coalesce(col("shipped"), lit(false)))
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 2) <= "e5", "train").otherwise("holdout"))
+      .withColumn("shard",
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as " +
+          "binary)), 1, 8), 16, 10) as bigint)") % nShards)
+      .withColumn("toks",
+        size(expr(TextQueries.wordsExpr)).cast("long"))
+    val per = flags.groupBy(col("split"), col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("text_pass"), 1L).otherwise(0L)).as("n_after_text"),
+        sum(when(col("img"), 1L).otherwise(0L)).as("n_after_image"),
+        sum(when(col("ship"), 1L).otherwise(0L)).as("n_shipped"),
+        sum(when(col("ship"), col("toks")).otherwise(0L)).as("n_tokens"),
+        sum(when(col("ship"), col("n_chars")).otherwise(0L)).as("n_bytes"))
+    val splitTot = per.groupBy(col("split"))
+      .agg(sum(col("n_tokens")).as("split_tokens"))
+    per.join(broadcast(splitTot), "split")
+      .select(col("split"), col("shard"), col("source"), col("n_raw"),
+        col("n_after_text"), col("n_after_image"), col("n_shipped"),
+        col("n_tokens"), col("n_bytes"),
+        // integer basis points (the QueryDef measured-ratio rule),
+        // guarded: a split can ship ZERO tokens (the holdout slice at
+        // tiny SF after the quality gate) and a raw division would be
+        // an ANSI divide-by-zero
+        when(col("split_tokens") > 0,
+          expr("(10000 * n_tokens) div split_tokens")).otherwise(lit(0L))
+          .as("token_share_bp"))
+  }
+
+  private val q217Sql =
+    s"""WITH RECURSIVE sig AS (${TextQueries.q28Sql}),
+       |bandt AS (
+       |  SELECT doc_id, 1 AS bidx,
+       |    (((((1 * 127 + m0) % ${TextQueries.P}) * 127 + m1) % ${TextQueries.P} * 127 + m2) % ${TextQueries.P} * 127 + m3) % ${TextQueries.P} AS band
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS bidx,
+       |    (((((2 * 127 + m4) % ${TextQueries.P}) * 127 + m5) % ${TextQueries.P} * 127 + m6) % ${TextQueries.P} * 127 + m7) % ${TextQueries.P} AS band
+       |  FROM sig),
+       |tstars AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(doc_id) OVER (PARTITION BY bidx, band) AS root
+       |  FROM bandt),
+       |tedges AS (
+       |  SELECT doc_id AS src, root AS dst FROM tstars WHERE doc_id <> root
+       |  UNION ALL
+       |  SELECT root AS src, doc_id AS dst FROM tstars WHERE doc_id <> root),
+       |tlab AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.dst AS node, tlab.label AS label
+       |  FROM tlab JOIN tedges e ON tlab.node = e.src),
+       |tcc AS (SELECT node, min(label) AS label FROM tlab GROUP BY node),
+       |dropped AS (SELECT node AS doc_id FROM tcc WHERE label <> node),
+       |qual AS (${TextQueries.q149Sql}),
+       |cdocs AS (
+       |  SELECT doc_id, source, ${TextQueries.wordsSqlExpr} AS w,
+       |    CAST(len(${TextQueries.wordsSqlExpr}) AS INT) AS n
+       |  FROM documents),
+       |cth AS (
+       |  SELECT doc_id, source, n,
+       |    list_transform(w, t -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(str_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> (a * 131 + c) % 2147483647)) AS th
+       |  FROM cdocs),
+       |cwins AS (
+       |  SELECT doc_id, source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 12]),
+       |      (a, t) -> (a * 1000003 + t) % 2147483647) AS h
+       |  FROM (SELECT doc_id, source, th, unnest(range(1, n - 13 + 2)) AS i
+       |        FROM cth WHERE n >= 13)),
+       |cev AS (SELECT DISTINCT h FROM cwins WHERE source = 'src0'),
+       |contam AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM cwins t JOIN cev e ON e.h = t.h
+       |  WHERE t.source <> 'src0'),
+       |$clusterCteSql,
+       |afp AS ($q209Sql),
+       |base AS (
+       |  SELECT d.doc_id, d.source, d.n_chars,
+       |    CAST(len(${TextQueries.wordsSqlExpr}) AS BIGINT) AS toks,
+       |    (q.keep AND dr.doc_id IS NULL AND ct.doc_id IS NULL) AS text_pass,
+       |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <= 'e5'
+       |      THEN 'train' ELSE 'holdout' END AS split,
+       |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 32 AS shard
+       |  FROM documents d
+       |  JOIN qual q ON q.doc_id = d.doc_id
+       |  LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+       |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+       |  WHERE d.source <> 'src0' AND length(d.text) >= 1),
+       |s2 AS (SELECT doc_id FROM (
+       |  SELECT b.doc_id,
+       |    min(b.doc_id) OVER (
+       |      PARTITION BY coalesce(final.label, b.doc_id)) AS kmin
+       |  FROM base b LEFT JOIN final ON b.doc_id = final.node
+       |  WHERE b.text_pass)
+       |  WHERE doc_id = kmin),
+       |s3 AS (SELECT doc_id FROM (
+       |  SELECT a.doc_id, min(a.doc_id) OVER (PARTITION BY a.fp) AS kmin
+       |  FROM afp a JOIN s2 USING (doc_id))
+       |  WHERE doc_id = kmin),
+       |flags AS (
+       |  SELECT b.*, s2.doc_id IS NOT NULL AS img,
+       |    s3.doc_id IS NOT NULL AS ship
+       |  FROM base b
+       |  LEFT JOIN s2 ON s2.doc_id = b.doc_id
+       |  LEFT JOIN s3 ON s3.doc_id = b.doc_id),
+       |per AS (
+       |  SELECT split, shard, source,
+       |    CAST(count(*) AS BIGINT) AS n_raw,
+       |    CAST(coalesce(sum(CASE WHEN text_pass THEN 1 END), 0) AS BIGINT)
+       |      AS n_after_text,
+       |    CAST(coalesce(sum(CASE WHEN img THEN 1 END), 0) AS BIGINT)
+       |      AS n_after_image,
+       |    CAST(coalesce(sum(CASE WHEN ship THEN 1 END), 0) AS BIGINT)
+       |      AS n_shipped,
+       |    CAST(coalesce(sum(CASE WHEN ship THEN toks END), 0) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(coalesce(sum(CASE WHEN ship THEN n_chars END), 0) AS BIGINT)
+       |      AS n_bytes
+       |  FROM flags GROUP BY 1, 2, 3),
+       |stot AS (
+       |  SELECT split, CAST(sum(n_tokens) AS BIGINT) AS split_tokens
+       |  FROM per GROUP BY 1)
+       |SELECT p.split, p.shard, p.source, p.n_raw, p.n_after_text,
+       |  p.n_after_image, p.n_shipped, p.n_tokens, p.n_bytes,
+       |  CAST(CASE WHEN s.split_tokens > 0
+       |    THEN (10000 * p.n_tokens) // s.split_tokens
+       |    ELSE 0 END AS BIGINT) AS token_share_bp
+       |FROM per p JOIN stot s ON s.split = p.split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q206_image_phash", q206, Some(q206Sql)),
     QueryDef("q207_image_near_dup", q207, Some(q207Sql)),
@@ -1040,5 +1256,6 @@ object PerceptualQueries {
     QueryDef("q213_video_fingerprint", q213, Some(q213Sql)),
     QueryDef("q214_video_clip_match", q214, Some(q214Sql)),
     QueryDef("q215_clip_match_recall", q215, Some(q215Sql)),
-    QueryDef("q216_phash_width_recall", q216, Some(q216Sql)))
+    QueryDef("q216_phash_width_recall", q216, Some(q216Sql)),
+    QueryDef("q217_multimodal_manifest", q217, Some(q217Sql)))
 }

@@ -205,7 +205,7 @@ object TextQueries {
     minhashAgg(Tables.documents(s, d)
       .select(col("doc_id"), explode(expr(wordsExpr)).as("w")))
 
-  private val q28Sql =
+  private[queries] val q28Sql =
     s"""SELECT doc_id,
        |    $minhashSqlCols
        |FROM (SELECT doc_id, unnest($wordsSqlExpr) AS w FROM documents)
@@ -328,7 +328,7 @@ object TextQueries {
     * with a recursive CTE (reachability labels → min per node). */
   /** Shared by q78/q150: symmetric star edges of the LSH candidate
     * graph (2 edges/doc per band group, never the clique). */
-  private def lshStarEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def lshStarEdges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sig = q28(s, d)
     def fold(seed: Long, ms: Seq[String]): Column =

@@ -41,7 +41,9 @@ class NoEagerActionSpec extends SparkSpec {
       // once (≤3·|Q| rows; the corpus-sized memberships stay plans)
       "q197_ann_retrain_recall",
       // q208 composes the same CC fixpoint over image near-dup edges
-      "q208_image_dup_clusters", "q212_multimodal_dedup_funnel")
+      "q208_image_dup_clusters", "q212_multimodal_dedup_funnel",
+      // q217 composes BOTH CC fixpoints (LSH text + wide-hash image)
+      "q217_multimodal_manifest")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {

@@ -79,5 +79,35 @@ class RefreshMainSpec extends SparkSpec {
       .queryDocs(spark, sf0001).count()
     assert(s.fuzzySuggestHits == nQueryDocs,
       s"fuzzy probe answered ${s.fuzzySuggestHits} of $nQueryDocs: $s")
+
+    // the multimodal leg: the image fingerprint index advanced by the
+    // admitted batch's DISTINCT fingerprints (13 rows each — 12 blocks
+    // + 1 identity key), and the manifest totals are q217's
+    val imgSig = graft.queries.PerceptualQueries
+      .imageSignatures(spark, sf0001)
+    assert(s.imgBatch == imgSig.filter(col("id") % 10 === 0).count())
+    assert(s.imgAdmitted > 0 && s.imgAdmitted <= s.imgBatch)
+    val snapFp = imgSig.filter(col("id") % 10 =!= 0)
+      .select(col("l0"), col("l1"), col("l2"), col("l3")).distinct().count()
+    // admitted fingerprints are distinct from the snapshot AND (per
+    // the within-batch min-id grouping) from each other, so the index
+    // row count is exactly 13 · (snapshot distinct + admitted distinct)
+    assert(s.imgIndexRows % 13 == 0 && s.imgIndexRows >= 13 * snapFp,
+      s"phash index rows ${s.imgIndexRows} (snapshot fp $snapFp): $s")
+    val mm = SparkEntry.queries("q217_multimodal_manifest")(spark, sf0001)
+    assert(s.mmCells == mm.count())
+    val mmTot = mm.agg(
+      coalesce(sum(col("n_raw")), lit(0L)),
+      coalesce(sum(col("n_after_text")), lit(0L)),
+      coalesce(sum(col("n_after_image")), lit(0L)),
+      coalesce(sum(col("n_shipped")), lit(0L))).collect().head
+    assert(s.mmRaw == mmTot.getLong(0) && s.mmAfterText == mmTot.getLong(1)
+      && s.mmAfterImage == mmTot.getLong(2) && s.mmShipped == mmTot.getLong(3),
+      s"multimodal manifest totals diverged from q217: $s vs $mmTot")
+    // the funnel is monotone and every gate is live in the composition
+    assert(s.mmRaw >= s.mmAfterText && s.mmAfterText >= s.mmAfterImage &&
+      s.mmAfterImage >= s.mmShipped, s"non-monotone funnel: $s")
+    assert(s.indexCatalogJson.contains("\"kind\":\"phash\""),
+      s"phash index missing from the catalog: ${s.indexCatalogJson}")
   }
 }

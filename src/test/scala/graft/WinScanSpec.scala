@@ -22,7 +22,8 @@ class WinScanSpec extends SparkSpec {
            name != "q172_cellscaled_semdedup" &&
            name != "q199_line_gated_corpus" &&
            name != "q208_image_dup_clusters" &&
-           name != "q212_multimodal_dedup_funnel") { // iterative builds; gated elsewhere
+           name != "q212_multimodal_dedup_funnel" &&
+           name != "q217_multimodal_manifest") { // iterative builds; gated elsewhere
       val globals = PlanGuards.flatten(
         fn(spark, sf0001).queryExecution.executedPlan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
