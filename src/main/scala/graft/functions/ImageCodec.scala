@@ -66,6 +66,104 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** Encode a SEQUENCE of gray planes as one animated GIF container —
+    * the real multi-frame container the video leg decodes (GIF is the
+    * one animation format the pure JDK writes; each frame lands as a
+    * full-size 256-entry gray-palette image, so the round trip is the
+    * identity per frame, same as the still-GIF contract). */
+  def encodeGifFrames(frames: Seq[ImageOps.Gray]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeGifFrames wants at least one frame")
+    val writers = ImageIO.getImageWritersByFormatName("gif")
+    if (!writers.hasNext)
+      throw new IllegalArgumentException("no JDK gif writer")
+    val writer = writers.next()
+    val bos = new ByteArrayOutputStream()
+    try {
+      val param = writer.getDefaultWriteParam
+      if (param.canWriteProgressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { f =>
+          val buf = new BufferedImage(f.w, f.h, BufferedImage.TYPE_BYTE_GRAY)
+          val raster = buf.getRaster
+          var y = 0
+          while (y < f.h) {
+            var x = 0
+            while (x < f.w) { raster.setSample(x, y, 0, f(x, y)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(buf, null, null), param)
+        }
+        writer.endWriteSequence()
+      } finally ios.close()
+    } finally writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Decode EVERY frame of a multi-frame container (animated GIF; a
+    * single-frame image yields one plane). Frames are decoded
+    * independently — no disposal-method composition — which is exact
+    * for full-size frames like [[encodeGifFrames]]'s output; a partial-
+    * frame animation would need compositing a production video decoder
+    * does anyway. Nil on undecodable bytes. */
+  def decodeFrames(bytes: Array[Byte]): Seq[ImageOps.Gray] = {
+    if (bytes == null || bytes.length == 0) return Nil
+    val iis =
+      try ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (iis == null) return Nil
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Nil
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).flatMap { i =>
+          val img = try reader.read(i) catch { case _: Exception => null }
+          Option(img).map(toGray)
+        }
+      } finally reader.dispose()
+    } catch { case _: Exception => Nil }
+    finally iis.close()
+  }
+
+  /** BufferedImage → gray plane: single-band true-gray reads raw
+    * samples; palette/color collapses by integer BT.601 luma (exact
+    * identity when r==g==b, which is what the gray palettes decode to). */
+  private def toGray(img: BufferedImage): ImageOps.Gray = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    val raster = img.getRaster
+    val singleBand = raster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] &&
+      img.getColorModel.getComponentSize(0) <= 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v =
+          if (singleBand) raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            (r * 299 + g * 587 + b * 114 + 500) / 1000
+          }
+        out(y * w + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    ImageOps.Gray(w, h, out)
+  }
+
   /** Decode any JDK-readable image to a gray plane. Gray/indexed-gray
     * sources come back bit-exact (single raster band); color sources
     * collapse by integer BT.601 luma (r*299+g*587+b*114+500)/1000 —
@@ -79,40 +177,12 @@ object ImageCodec {
     val img =
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
-    if (img == null) None
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val out = new Array[Byte](w * h)
-      val raster = img.getRaster
-      // Raw-sample fast path ONLY for true 8-bit grayscale: an
-      // indexed-COLOR image (palette GIF/BMP/PNG) also has one raster
-      // band, but its samples are palette indices, not intensities —
-      // those must go through getRGB + luma. >8-bit gray likewise
-      // (getSample would truncate to the low byte).
-      val singleBand = raster.getNumBands == 1 &&
-        !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] &&
-        img.getColorModel.getComponentSize(0) <= 8
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v =
-            if (singleBand) raster.getSample(x, y, 0)
-            else {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              (r * 299 + g * 587 + b * 114 + 500) / 1000
-            }
-          out(y * w + x) = v.toByte
-          x += 1
-        }
-        y += 1
-      }
-      Some(ImageOps.Gray(w, h, out))
-    }
+    // gray-plane conversion: [[toGray]] — raw-sample fast path ONLY
+    // for true 8-bit grayscale (an indexed-COLOR palette image also
+    // has one raster band, but its samples are palette indices, not
+    // intensities — those go through getRGB + luma; >8-bit gray
+    // likewise, getSample would truncate to the low byte).
+    Option(img).map(toGray)
   }
 
   /** Container sniff by magic bytes (the reference trusts the client's

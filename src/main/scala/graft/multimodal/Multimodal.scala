@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
   * Image decode is REAL: [[ImageIODecoder]] decodes PNG / BMP / GIF /
   * JPEG / TIFF payloads with pure-JDK `javax.imageio` (via
   * [[graft.functions.ImageCodec]]) — real width/height, a hash and an
-  * 8-bin intensity-histogram embedding over the DECODED pixels. Audio
-  * rides the existing [[graft.functions.WavCodec]] elsewhere; only
-  * video-codec decode (and non-JDK image formats) falls back to
-  * [[StubDecoder]]'s deterministic pseudo-features. The Spark-side
-  * contract — schema, batch shape, partition scoping, null passthrough
-  * — is identical either way and tested (MultimodalSpec).
+  * 8-bin intensity-histogram embedding over the DECODED pixels. VIDEO
+  * decode is real for GIF containers (round 16, mirroring the r9
+  * image graduation): [[ImageIODecoder.frames]] decodes every frame
+  * through the JDK's multi-frame reader, features aggregate over the
+  * true frame planes, and [[sampleFrames]] emits real decoded frames
+  * re-encoded as PNG payloads. Audio rides the existing
+  * [[graft.functions.WavCodec]] elsewhere; only non-JDK codecs (mp4
+  * etc.) fall back to [[StubDecoder]]'s deterministic pseudo-features.
+  * The Spark-side contract — schema, batch shape, partition scoping,
+  * null passthrough — is identical either way and tested
+  * (MultimodalSpec).
   *
   * Reference analog: image decode + preprocess + feature extraction
   * (`src/ocr/service.py:447-464`, `src/preprocessing/image_processor.py`,
@@ -48,6 +53,10 @@ object Multimodal {
     * across the partition's rows, like a codec context or model). */
   trait Decoder extends Serializable {
     def decode(p: Payload): Features
+    /** The payload's decoded frame planes, when this decoder has a
+      * REAL multi-frame path for it (GIF video on the JDK decoder);
+      * None routes [[sampleFrames]] to the stub byte-slice path. */
+    def frames(p: Payload): Option[Seq[graft.functions.ImageOps.Gray]] = None
   }
 
   /** STUB: deterministic pseudo-decode — the fallback for modalities
@@ -86,23 +95,47 @@ object Multimodal {
     * routes to DLQ on cv2.imdecode failure). */
   final class ImageIODecoder extends Decoder {
     private val stub = new StubDecoder
+
+    private def featuresOf(p: Payload,
+        planes: Seq[graft.functions.ImageOps.Gray]): Features = {
+      var h = 2166136261L
+      val hist = new Array[Int](8)
+      var n = 0L
+      planes.foreach { g =>
+        var i = 0
+        while (i < g.px.length) {
+          val v = g.px(i) & 0xff
+          h = ((h ^ v) * 16777619L) & 0xffffffffL
+          hist(v >> 5) += 1
+          i += 1
+        }
+        n += g.px.length
+      }
+      val emb = Array.tabulate(8)(k => hist(k) / math.max(1L, n).toFloat - 0.5f)
+      Features(p.id, p.modality, p.content.length.toLong,
+        planes.head.w, planes.head.h, planes.length, h, emb)
+    }
+
+    /** REAL multi-frame path: GIF-container video through the JDK's
+      * frame-by-frame reader — the video analog of the r9 image
+      * graduation (SURVEY §2.12 S9); other video codecs stay behind
+      * the stub seam (no codecs in a pure JDK). */
+    override def frames(p: Payload)
+        : Option[Seq[graft.functions.ImageOps.Gray]] =
+      if (p.modality != "video" ||
+        graft.functions.ImageCodec.sniffFormat(p.content) != "gif") None
+      else Some(graft.functions.ImageCodec.decodeFrames(p.content))
+        .filter(_.nonEmpty)
+
     override def decode(p: Payload): Features =
-      if (p.modality != "image") stub.decode(p)
-      else graft.functions.ImageCodec.decode(p.content) match {
+      if (p.modality == "image")
+        graft.functions.ImageCodec.decode(p.content) match {
+          case None => stub.decode(p)
+          case Some(g) => featuresOf(p, Seq(g))
+        }
+      else frames(p) match {
+        case Some(fs) => featuresOf(p, fs)
         case None => stub.decode(p)
-        case Some(g) =>
-          var h = 2166136261L
-          var i = 0
-          val hist = new Array[Int](8)
-          while (i < g.px.length) {
-            val v = g.px(i) & 0xff
-            h = ((h ^ v) * 16777619L) & 0xffffffffL
-            hist(v >> 5) += 1
-            i += 1
-          }
-          val n = math.max(1, g.px.length).toFloat
-          val emb = Array.tabulate(8)(k => hist(k) / n - 0.5f)
-          Features(p.id, p.modality, p.content.length.toLong, g.w, g.h, 1, h, emb)
       }
   }
 
@@ -135,16 +168,33 @@ object Multimodal {
     implicit val enc = Encoders.product[Frame]
     payloads.mapPartitions { it =>
       val decoder = mkDecoder()
+      val frameMs = 40L // 25 fps timebase
       it.flatMap { p =>
-        val f = decoder.decode(p)
-        val take = math.min(n, f.nFrames)
-        val frameMs = 40L // 25 fps stub timebase
-        (0 until take).iterator.map { k =>
-          val idx = if (take == 1) 0 else k * (f.nFrames - 1) / (take - 1)
-          val sliceLen = math.max(1, p.content.length / math.max(1, f.nFrames))
-          val start = math.max(0, math.min(p.content.length - 1, idx * sliceLen))
-          Frame(p.id, idx, idx * frameMs,
-            p.content.slice(start, math.min(p.content.length, start + sliceLen)))
+        decoder.frames(p) match {
+          case Some(planes) =>
+            // REAL path (GIF video on ImageIODecoder): evenly-spaced
+            // decoded frames, each re-encoded as a PNG payload — the
+            // sampled rows are themselves consumable by the image leg
+            // (decode → fingerprint → dedup)
+            val take = math.min(n, planes.length)
+            (0 until take).iterator.map { k =>
+              val idx =
+                if (take == 1) 0 else k * (planes.length - 1) / (take - 1)
+              Frame(p.id, idx, idx * frameMs,
+                graft.functions.ImageCodec.encode(planes(idx), "png"))
+            }
+          case None =>
+            val f = decoder.decode(p)
+            val take = math.min(n, f.nFrames)
+            (0 until take).iterator.map { k =>
+              val idx = if (take == 1) 0 else k * (f.nFrames - 1) / (take - 1)
+              val sliceLen =
+                math.max(1, p.content.length / math.max(1, f.nFrames))
+              val start =
+                math.max(0, math.min(p.content.length - 1, idx * sliceLen))
+              Frame(p.id, idx, idx * frameMs, p.content.slice(start,
+                math.min(p.content.length, start + sliceLen)))
+            }
         }
       }
     }

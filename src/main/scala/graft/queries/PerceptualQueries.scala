@@ -1036,6 +1036,40 @@ object PerceptualQueries {
        |  (10000 * agg.wide_recovered) // agg.n_planted AS wide_recall_bp
        |FROM agg CROSS JOIN tot""".stripMargin
 
+  /** q218: q213's frame fingerprints through a REAL VIDEO CONTAINER —
+    * each doc's 8 synthesized frames are encoded into one animated GIF
+    * ([[graft.functions.ImageCodec.encodeGifFrames]]), decoded back
+    * frame-by-frame through the JDK's multi-frame reader
+    * ([[graft.functions.ImageCodec.decodeFrames]]), and dHashed. The
+    * measured path is bytes → frames → fingerprint — what a binary
+    * video column runs — and because the gray-palette GIF round trip
+    * is the identity per frame (the q145 discipline, extended to the
+    * sequence container), the oracle is EXACTLY q213's: any decoder or
+    * container deviation breaks the hash. Scan → UDF (encode + decode
+    * + 8 hashes per doc) → bounded explode; no shuffle. */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    val probe = udf((text: String) => {
+      val io = graft.functions.ImageOps
+      val frames = (0 until VFrames)
+        .map(j => io.Gray(W, H, framePlane(text, j)))
+      val bytes = graft.functions.ImageCodec.encodeGifFrames(frames)
+      graft.functions.ImageCodec.decodeFrames(bytes)
+        .zipWithIndex
+        .map { case (g, j) =>
+          (j.toLong, io.dHash63(io.cellSums(g, 8, 8)))
+        }
+    })
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(probe(col("text"))).as("f"))
+      .select(col("doc_id"), col("f._1").as("frame_id"),
+        col("f._2").as("fhash"))
+  }
+
+  // identity oracle: the decoded container must reproduce the plane
+  // math bit-for-bit, so q218's oracle IS q213's SQL
+  private val q218Sql = frameHashCoreSql
+
   // ---- q217: the MULTIMODAL shipping manifest --------------------
 
   /** q217: q171's writer work-order extended to the full multimodal
@@ -1257,5 +1291,6 @@ object PerceptualQueries {
     QueryDef("q214_video_clip_match", q214, Some(q214Sql)),
     QueryDef("q215_clip_match_recall", q215, Some(q215Sql)),
     QueryDef("q216_phash_width_recall", q216, Some(q216Sql)),
-    QueryDef("q217_multimodal_manifest", q217, Some(q217Sql)))
+    QueryDef("q217_multimodal_manifest", q217, Some(q217Sql)),
+    QueryDef("q218_video_decode_fingerprint", q218, Some(q218Sql)))
 }

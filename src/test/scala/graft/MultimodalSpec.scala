@@ -57,6 +57,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF video decodes for REAL: features and frames over true planes") {
+    import spark.implicits._
+    import graft.functions.{ImageCodec, ImageOps}
+    // two 3-frame "videos": moving-gradient planes, full-size frames
+    def plane(seed: Int, j: Int): ImageOps.Gray =
+      ImageOps.Gray(32, 16, Array.tabulate(512) { i =>
+        (40 + ((i % 32 + j * 2 + seed) % 8) * 25).toByte
+      })
+    val vids = Seq(
+      Multimodal.Payload(1L, "video", "gif",
+        ImageCodec.encodeGifFrames((0 until 3).map(plane(0, _)))),
+      Multimodal.Payload(2L, "video", "gif",
+        ImageCodec.encodeGifFrames((0 until 3).map(plane(5, _)))),
+      // an mp4-ish payload stays on the stub seam
+      Multimodal.Payload(3L, "video", "mp4", Array[Byte](1, 2, 3, 4)))
+    val ds = spark.createDataset(vids)
+    val feats = Multimodal.decodeAll(ds, () => new Multimodal.ImageIODecoder)
+      .collect().map(f => f.id -> f).toMap
+    // real frame counts and dimensions for the GIF videos
+    assert(feats(1L).nFrames == 3 && feats(1L).width == 32 &&
+      feats(1L).height == 16, s"${feats(1L)}")
+    assert(feats(2L).nFrames == 3)
+    // content-addressed: the two distinct videos hash differently
+    assert(feats(1L).contentHash != feats(2L).contentHash)
+    // the stub fallback still covers the non-JDK codec
+    assert(feats(3L).nFrames == 1 + (feats(3L).contentHash % 16L).toInt)
+
+    // sampleFrames rides the REAL path: decoded frames re-encoded as
+    // PNG — and each sampled frame decodes back to the ORIGINAL plane
+    val frames = Multimodal
+      .sampleFrames(ds.filter(col("id") === 1L), 3,
+        () => new Multimodal.ImageIODecoder)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 1, 2))
+    for (f <- frames) {
+      val g = ImageCodec.decode(f.content).get
+      assert(g.px.sameElements(plane(0, f.frameIdx).px),
+        s"frame ${f.frameIdx} did not round-trip the container")
+    }
+  }
+
   test("embedding stub is 8-dim and bounded") {
     // typed surface: real array
     import spark.implicits._

@@ -329,6 +329,30 @@ class PerceptualQueriesSpec extends SparkSpec {
     assert(matches.forall(_.getAs[Long]("n_matched") >= 4L))
   }
 
+  test("q218 == q213 value-for-value: the GIF container round trip is exact") {
+    val direct = SparkEntry.queries("q213_video_fingerprint")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("frame_id")) -> r.getAs[Long]("fhash")).toMap
+    val viaBytes = SparkEntry
+      .queries("q218_video_decode_fingerprint")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("frame_id")) -> r.getAs[Long]("fhash")).toMap
+    assert(viaBytes.nonEmpty && viaBytes == direct,
+      s"container path diverged from plane math: ${viaBytes.size} vs " +
+        s"${direct.size} frames")
+    // and the multi-frame codec really is lossless, frame for frame
+    val io = graft.functions.ImageOps
+    val frames = (0 until 8).map(j => io.Gray(32, 16, Array.tabulate(512) {
+      i => (40 + ((i % 32 + j) % 8) * 25).toByte
+    }))
+    val decoded = graft.functions.ImageCodec.decodeFrames(
+      graft.functions.ImageCodec.encodeGifFrames(frames))
+    assert(decoded.length == 8)
+    for ((g, j) <- decoded.zipWithIndex)
+      assert(g.px.sameElements(frames(j).px), s"frame $j lossy")
+    assert(graft.functions.ImageCodec.decodeFrames("junk".getBytes).isEmpty)
+  }
+
   test("q208 clusters == union-find over the verified-pair graph") {
     val pairs = SparkEntry.queries("q207_image_near_dup")(spark, sf0001)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
