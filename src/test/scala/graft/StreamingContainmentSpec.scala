@@ -147,4 +147,90 @@ class StreamingContainmentSpec extends SparkSpec {
     assert(pairs.map(p => (p.docId, p.matchId)).distinct.toSeq ==
       Seq((2L, 1L)), s"restored state must surface the pair: ${pairs.toList}")
   }
+
+  test("TTL horizon bounds state under a GROWING vocabulary (the Heaps case)") {
+    // PLANS.md's Heaps-law series measured this gate's state
+    // corpus-LINEAR under growing vocabulary (252k → 513k → 1.04M rows
+    // at 1×/2×/4×): character-trigram keys mint with every new word,
+    // so the df cap alone cannot bound state — the documented
+    // production bound is the TTL horizon. This case PROVES that bound:
+    // three stream phases, each introducing entirely fresh vocabulary
+    // (the adversarial Heaps limit), run with and without a TTL. The
+    // no-TTL control accumulates every phase's shingle keys; with the
+    // TTL, keys idle since an earlier phase are evicted when a later
+    // batch fires, so final state tracks the ACTIVE horizon, not the
+    // stream's lifetime vocabulary.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    def phaseDocs(p: Int): Seq[Doc] =
+      (0 until 40).map { d =>
+        Doc(p * 1000L + d,
+          (0 until 24).map(k => s"p${p}v${(d * 7 + k) % 120}").mkString(" "))
+      }
+
+    // control: NoTimeout — every phase's shingle keys accumulate
+    // (processAllAvailable quiesces fine without registered timeouts)
+    val unbounded = {
+      val input = MemoryStream[Doc]
+      val q = StreamingContainment.attach(input.toDS())
+        .writeStream.format("memory").queryName("contain_heaps_ctl")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        (1 to 3).foreach { p => input.addData(phaseDocs(p)) }
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally q.stop()
+    }
+    assert(unbounded > 0)
+
+    // TTL run. NOTE (the StreamingNearDupSpec rule): once
+    // ProcessingTimeTimeout is registered the engine re-plans
+    // timeout-check batches forever, so processAllAvailable() never
+    // observes a quiescent stream — pace phases by wall clock and POLL
+    // the state-rows metric with a deadline. The assertion converges
+    // regardless of scheduler timing: every key idle past the TTL gets
+    // evicted by some later timeout batch, so state falls under the
+    // bound as soon as the first two phases' horizon passes.
+    val input = MemoryStream[Doc]
+    val q = StreamingContainment.attach(input.toDS(), stateTtlMs = 400L)
+      .writeStream.format("memory").queryName("contain_heaps_ttl")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      for (p <- 1 to 3) {
+        input.addData(phaseDocs(p))
+        Thread.sleep(1200) // let the phase process + its horizon pass
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      var bounded = Long.MaxValue
+      while (bounded >= unbounded * 6 / 10 &&
+        System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        bounded = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      }
+      // the control holds all three phases' keys; the TTL run's state
+      // collapses to (at most) the still-active horizon — a regression
+      // where the TTL stops evicting reads ~100% and times out here
+      assert(bounded < unbounded * 6 / 10,
+        s"TTL did not bound state under growing vocabulary: " +
+          s"bounded=$bounded vs unbounded=$unbounded")
+      // and the horizon is still a working gate: containment WITHIN
+      // the TTL window must still surface after all that eviction
+      // (one batch — same-batch arrival order is the df-cap test's
+      // proven path, and it cannot race the 400 ms TTL)
+      val container = wordsOf(99, 32)
+      input.addData(Doc(9001, container),
+        Doc(9002, container.split(' ').take(12).mkString(" ")))
+      val liveDeadline = System.currentTimeMillis() + 60000
+      var live = Array.empty[ContainPair]
+      while (live.isEmpty && System.currentTimeMillis() < liveDeadline) {
+        Thread.sleep(200)
+        live = spark.table("contain_heaps_ttl").as[ContainPair].collect()
+          .filter(_.docId == 9002L)
+      }
+      assert(live.nonEmpty && live.forall(_.matchId == 9001L),
+        s"live matching broke under TTL: ${live.toList}")
+    } finally q.stop()
+  }
 }
