@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
   DeltaSemDedupIndex, FuzzyVocabIndex, IndexCatalog, InvertedTextIndex,
-  PerceptualDedupIndex}
+  PerceptualDedupIndex, SelectionModelIndex}
 
 /** The DELTA story assembled end-to-end as ONE runnable job — the
   * refresh cycle a continuously-updated training corpus actually
@@ -44,7 +44,8 @@ object RefreshMain {
       fuzzyVocabWords: Long, fuzzySuggestHits: Long,
       imgBatch: Long, imgAdmitted: Long, imgIndexRows: Long,
       mmCells: Long, mmRaw: Long, mmAfterText: Long, mmAfterImage: Long,
-      mmShipped: Long, indexCatalogJson: String)
+      mmShipped: Long, selBaselineBp: Long, selDriftBp: Long,
+      selRetrainDue: Boolean, indexCatalogJson: String)
 
   def run(spark: SparkSession, sfDir: String): Summary = {
     def cleanup(t: String): Unit = {
@@ -59,7 +60,8 @@ object RefreshMain {
     Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
       "refresh_search_idx_meta", "refresh_search_idx_pos",
       "refresh_fuzzy_vocab", "refresh_fuzzy_keys",
-      "refresh_phash_idx", "refresh_phash_idx_df").foreach(cleanup)
+      "refresh_phash_idx", "refresh_phash_idx_df", "refresh_selmodel",
+      "refresh_selmodel_dsir", "refresh_selmodel_meta").foreach(cleanup)
 
     // snapshot cut: everything NOT in the deterministic refresh slices
     val docs = Tables.documents(spark, sfDir)
@@ -79,6 +81,20 @@ object RefreshMain {
       .imageSignatures(spark, sfDir)
     PerceptualDedupIndex.build(PerceptualDedupIndex.ImageLayout,
       imgSig.filter(col("id") % 10 =!= 0), "refresh_phash_idx")
+    // selection-model leg: the quality classifier + DSIR buckets as
+    // deployed artifacts (VERDICT r15 #8) — trained once per snapshot
+    // cut from the rule verdicts, audited for holdout drift per cycle
+    val labeled = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(SparkEntry.queries("q149_quality_rules")(spark, sfDir)
+        .select(col("doc_id"), col("keep").as("label")), "doc_id")
+      .withColumn("is_train",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          <= "7f")
+    SelectionModelIndex.build(labeled, "refresh_selmodel")
+    val selAudit = SelectionModelIndex.staleness(spark,
+      labeled.filter(!col("is_train"))
+        .select(col("doc_id"), col("source"), col("text"), col("label")),
+      "refresh_selmodel").collect().head
 
     // the refresh batch admits against the snapshot only
     val textBatch = docs.filter(col("doc_id") % 10 === 0)
@@ -190,7 +206,8 @@ object RefreshMain {
       IndexCatalog.Entry("refresh_sem_idx", "cell"),
       IndexCatalog.Entry("refresh_search_idx", "text"),
       IndexCatalog.Entry("refresh_fuzzy", "fuzzy"),
-      IndexCatalog.Entry("refresh_phash_idx", "phash")))
+      IndexCatalog.Entry("refresh_phash_idx", "phash"),
+      IndexCatalog.Entry("refresh_selmodel", "selmodel")))
 
     // retention pass: collapse the appended file generation back to
     // one file per bucket (the summary counts below read the
@@ -233,6 +250,9 @@ object RefreshMain {
       mmAfterText = mm.getAs[Long]("t"),
       mmAfterImage = mm.getAs[Long]("i"),
       mmShipped = mm.getAs[Long]("s"),
+      selBaselineBp = selAudit.getAs[Long]("baseline_agree_bp"),
+      selDriftBp = selAudit.getAs[Long]("drift_bp"),
+      selRetrainDue = selAudit.getAs[Boolean]("retrain_due"),
       indexCatalogJson = catalogJson)
     manifest.unpersist()
     textAdmittedIds.unpersist()
@@ -241,7 +261,8 @@ object RefreshMain {
     Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
       "refresh_search_idx_meta", "refresh_search_idx_pos",
       "refresh_fuzzy_vocab", "refresh_fuzzy_keys",
-      "refresh_phash_idx", "refresh_phash_idx_df").foreach(cleanup)
+      "refresh_phash_idx", "refresh_phash_idx_df", "refresh_selmodel",
+      "refresh_selmodel_dsir", "refresh_selmodel_meta").foreach(cleanup)
     summary
   }
 
@@ -276,6 +297,9 @@ object RefreshMain {
       s""""mm_after_text":${s.mmAfterText},""" +
       s""""mm_after_image":${s.mmAfterImage},""" +
       s""""mm_shipped":${s.mmShipped},""" +
+      s""""sel_baseline_bp":${s.selBaselineBp},""" +
+      s""""sel_drift_bp":${s.selDriftBp},""" +
+      s""""sel_retrain_due":${s.selRetrainDue},""" +
       s""""index_catalog":${s.indexCatalogJson}}""")
     spark.stop()
   }

@@ -31,6 +31,8 @@ import graft.streaming.StreamingIndexFreshness
   *   - `fuzzy` → [[FuzzyVocabIndex.layoutAudit]]   (keys/bucket, rebucket)
   *   - `phash` → [[PerceptualDedupIndex.layoutAudit]] (rows/bucket,
   *     rebucket — image/audio fingerprint block indexes)
+  *   - `selmodel` → [[SelectionModelIndex.layoutAudit]] (holdout-drift
+  *     bp off the audit ledger, retrain)
   *   - `fresh` → [[StreamingIndexFreshness.reconcile]] (slice drift,
   *     repair — note repair() itself must run unconditionally in the
   *     cron audit; this row's flag locates WHICH window drifted)
@@ -98,6 +100,12 @@ object IndexCatalog {
             .select(col("n_fp_rows").as("n_rows"),
               col("rows_per_bucket").cast("long").as("signal_value"),
               col("rebucket_due").as("action_due")))
+      case "selmodel" =>
+        ("drift_bp", "retrain",
+          SelectionModelIndex.layoutAudit(s, e.table)
+            .select(col("n_grams").as("n_rows"),
+              col("drift_bp").cast("long").as("signal_value"),
+              col("retrain_due").as("action_due")))
       case "fresh" =>
         ("slice_drift", "repair",
           StreamingIndexFreshness.reconcile(s, e.table)

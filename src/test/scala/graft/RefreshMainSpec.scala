@@ -109,5 +109,13 @@ class RefreshMainSpec extends SparkSpec {
       s.mmAfterImage >= s.mmShipped, s"non-monotone funnel: $s")
     assert(s.indexCatalogJson.contains("\"kind\":\"phash\""),
       s"phash index missing from the catalog: ${s.indexCatalogJson}")
+
+    // the selection-model leg: a real holdout baseline (above the ~50%
+    // base rate), zero drift when audited on the same holdout it was
+    // baselined on, and the catalog carries the selmodel row
+    assert(s.selBaselineBp > 5000L && s.selDriftBp == 0L &&
+      !s.selRetrainDue, s"selection audit off: $s")
+    assert(s.indexCatalogJson.contains("\"kind\":\"selmodel\""),
+      s"selmodel missing from the catalog: ${s.indexCatalogJson}")
   }
 }
