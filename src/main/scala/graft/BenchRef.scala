@@ -87,18 +87,18 @@ object BenchRef {
     "q197" -> 4.36, "q198" -> 0.72, "q199" -> 3.37, "q200" -> 1.76,
     "q201" -> 1.87, "q202" -> 3.35, "q203" -> 3.9, "q204" -> 4.33,
     "q205" -> 2.77,
-    // Round-15 perceptual family: q206-q215 never ran on a healthy box
-    // in round 15 (the three runs that carried them read mr
-    // 1.41-1.71), so these stay the round-15 DE-LOADED DERIVATIONS
-    // (min over recorded runs of q_time ÷ that run's median ratio) —
-    // AND round 16 changed q206/q207/q208/q212 to the production-width
-    // WidePhash layout and added q216, so the derived entries are also
-    // stale in composition. A derived/stale entry can bias its OWN
+    // Perceptual family: still DE-LOADED DERIVATIONS (q_time ÷ the
+    // run's median ratio) — no healthy box has carried these queries
+    // yet. Unchanged queries (q209-q211, q213-q215) keep the round-15
+    // min-over-five-runs derivation; the round-16 WidePhash rework
+    // changed q206/q207/q208/q212 and added q216/q217/q218, so those
+    // derive from the round-16 builder run (BENCH_HISTORY epoch of the
+    // 339.63 s / 218-query run: cal [740, 556, 550], mr 1.47, ratio
+    // spread p25 1.32 / p75 1.67). A derived entry can bias its OWN
     // query's future ratio but cannot move the 200+-entry median;
-    // re-pin this block from the first healthy round-16 sf0.1 run
-    // (q216 is deliberately absent until then — an absent key simply
-    // sits out the ratio).
-    "q206" -> 0.3, "q207" -> 1.12, "q208" -> 2.36,
-    "q209" -> 0.23, "q210" -> 0.81, "q211" -> 1.0, "q212" -> 2.71,
-    "q213" -> 0.28, "q214" -> 1.2, "q215" -> 1.28)
+    // RE-PIN this block from the first healthy round-16+ sf0.1 run.
+    "q206" -> 0.35, "q207" -> 4.7, "q208" -> 4.37,
+    "q209" -> 0.23, "q210" -> 0.81, "q211" -> 1.0, "q212" -> 5.13,
+    "q213" -> 0.28, "q214" -> 1.2, "q215" -> 1.28, "q216" -> 1.79,
+    "q217" -> 8.54, "q218" -> 1.71)
 }
