@@ -97,8 +97,11 @@ object BenchRef {
     // spread p25 1.32 / p75 1.67). A derived entry can bias its OWN
     // query's future ratio but cannot move the 200+-entry median;
     // RE-PIN this block from the first healthy round-16+ sf0.1 run.
-    "q206" -> 0.35, "q207" -> 4.7, "q208" -> 4.37,
-    "q209" -> 0.23, "q210" -> 0.81, "q211" -> 1.0, "q212" -> 5.13,
-    "q213" -> 0.28, "q214" -> 1.2, "q215" -> 1.28, "q216" -> 1.79,
-    "q217" -> 8.54, "q218" -> 1.71)
+    // (q207/q208/q212/q216/q217 re-derived after the WidePhash
+    // signature localCheckpoint landed — isolated min-of-2 on the same
+    // 1.47×-degraded box ÷ its median ratio)
+    "q206" -> 0.35, "q207" -> 1.27, "q208" -> 1.84,
+    "q209" -> 0.23, "q210" -> 0.81, "q211" -> 1.0, "q212" -> 3.39,
+    "q213" -> 0.28, "q214" -> 1.2, "q215" -> 1.28, "q216" -> 1.01,
+    "q217" -> 6.2, "q218" -> 1.71)
 }

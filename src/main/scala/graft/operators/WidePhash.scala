@@ -133,6 +133,19 @@ object WidePhash {
       .drop("bidx", "bval")
   }
 
+  /** The signature relation materialized ONCE (localCheckpoint, the
+    * minLabel-edges pattern): [[pairs]]/[[clusterLabels]] reference
+    * `sig` through many join/aggregate subtrees whose exchanges never
+    * unify (measured: q207's uncheckpointed plan re-ran the
+    * scan + codec-UDF subtree 12×, zero reused exchanges), and the
+    * production analog IS a materialized fingerprint table
+    * ([[PerceptualDedupIndex]]) — 5 longs per doc, executor-local.
+    * Consequence: queries composing these run Spark jobs at
+    * CONSTRUCTION and join the NoEagerActionSpec/WinScanSpec exempt
+    * lists. */
+  private def materialized(sig: DataFrame): DataFrame =
+    sig.localCheckpoint()
+
   /** Member-level verified pairs of `sig` (`id`, `l0..l3`):
     * (id_a, id_b, hd) with id_a < id_b — identical-fingerprint pairs
     * (hd = 0, paired inside their lane-group, which bypasses the cap)
@@ -140,7 +153,8 @@ object WidePhash {
     * is the audit form and is output-bound quadratic in exact-dup
     * group size; cluster construction ([[clusterLabels]]) never
     * expands those groups. */
-  def pairs(sig: DataFrame, dfCap: Int = DfCap): DataFrame = {
+  def pairs(sigIn: DataFrame, dfCap: Int = DfCap): DataFrame = {
+    val sig = materialized(sigIn)
     val dh = distinctHashes(sig)
     val members = sig.join(
       dh.select(laneCols("l") :+ col("rep"): _*), (0 until Lanes).map(l => s"l$l"))
@@ -164,7 +178,8 @@ object WidePhash {
     * cross edges, labeled by min-label propagation — components equal
     * [[pairs]]'s graph's because stars connect within groups and a
     * member cross pair exists iff its representative pair does. */
-  def clusterLabels(sig: DataFrame, dfCap: Int = DfCap): DataFrame = {
+  def clusterLabels(sigIn: DataFrame, dfCap: Int = DfCap): DataFrame = {
+    val sig = materialized(sigIn)
     val dh = distinctHashes(sig)
     val members = sig.join(
       dh.select(laneCols("l") :+ col("rep"): _*), (0 until Lanes).map(l => s"l$l"))

@@ -897,7 +897,11 @@ object PerceptualQueries {
     *     never the expanded clique (the q208 lesson applied to
     *     counting). Collisions = volume − recovered. */
   private def q216(s: SparkSession, d: String): DataFrame = {
-    val pd = widthFrame(s, d)
+    // materialized once (the WidePhash rule): the per-doc width frame
+    // feeds the image relation, the rep lookups, and the verdict frame
+    // through non-unifiable subtrees — without this the double
+    // fingerprint UDF re-evaluates per reference
+    val pd = widthFrame(s, d).localCheckpoint()
     val im = pd.select(explode(array(
         struct((col("doc_id") * 2).as("id"), col("lo0").as("l0"),
           col("lo1").as("l1"), col("lo2").as("l2"), col("lo3").as("l3")),

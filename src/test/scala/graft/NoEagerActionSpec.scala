@@ -43,7 +43,11 @@ class NoEagerActionSpec extends SparkSpec {
       // q208 composes the same CC fixpoint over image near-dup edges
       "q208_image_dup_clusters", "q212_multimodal_dedup_funnel",
       // q217 composes BOTH CC fixpoints (LSH text + wide-hash image)
-      "q217_multimodal_manifest")
+      "q217_multimodal_manifest",
+      // the WidePhash signature relation materializes once at
+      // construction (localCheckpoint — measured 12x scan+codec-UDF
+      // re-derivation without it); q208/q212/q217 are covered above
+      "q207_image_near_dup", "q216_phash_width_recall")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {

@@ -23,7 +23,9 @@ class WinScanSpec extends SparkSpec {
            name != "q199_line_gated_corpus" &&
            name != "q208_image_dup_clusters" &&
            name != "q212_multimodal_dedup_funnel" &&
-           name != "q217_multimodal_manifest") { // iterative builds; gated elsewhere
+           name != "q217_multimodal_manifest" &&
+           name != "q207_image_near_dup" &&
+           name != "q216_phash_width_recall") { // iterative/materializing; gated elsewhere
       val globals = PlanGuards.flatten(
         fn(spark, sf0001).queryExecution.executedPlan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
