@@ -97,11 +97,12 @@ object BenchRef {
     // spread p25 1.32 / p75 1.67). A derived entry can bias its OWN
     // query's future ratio but cannot move the 200+-entry median;
     // RE-PIN this block from the first healthy round-16+ sf0.1 run.
-    // (q207/q208/q212/q216/q217 re-derived after the WidePhash
-    // signature localCheckpoint landed — isolated min-of-2 on the same
-    // 1.47×-degraded box ÷ its median ratio)
-    "q206" -> 0.35, "q207" -> 1.27, "q208" -> 1.84,
-    "q209" -> 0.23, "q210" -> 0.81, "q211" -> 1.0, "q212" -> 3.39,
-    "q213" -> 0.28, "q214" -> 1.2, "q215" -> 1.28, "q216" -> 1.01,
-    "q217" -> 6.2, "q218" -> 1.71)
+    // (changed/new entries re-derived from the SECOND round-16 builder
+    // run — post-localCheckpoint, in-suite min-of-3, raw total 285.0 s
+    // over 218 queries, cal [688, 544, 587], mr 1.27, spread p25 1.17 /
+    // p75 1.40 — ÷ its median ratio)
+    "q206" -> 0.4, "q207" -> 1.06, "q208" -> 2.2,
+    "q209" -> 0.23, "q210" -> 0.81, "q211" -> 1.0, "q212" -> 2.92,
+    "q213" -> 0.28, "q214" -> 1.2, "q215" -> 1.28, "q216" -> 1.43,
+    "q217" -> 6.22, "q218" -> 1.87)
 }
