@@ -30,6 +30,16 @@ import graft.streaming.SessionProcessor
   */
 object StreamBench {
 
+  /** Budget guard (VERDICT r16 #1): true when an additional unit of
+    * work estimated at `estSec` (padded 25% — stream-run walls vary
+    * with box load) still finishes before `deadlineNs`. A sentinel
+    * deadline of Long.MaxValue means "no budget" and short-circuits
+    * (nanoTime has an arbitrary origin, so adding to MaxValue could
+    * overflow). est 0 degenerates to "is the deadline still ahead". */
+  private[graft] def fits(deadlineNs: Long, estSec: Double): Boolean =
+    deadlineNs == Long.MaxValue ||
+      System.nanoTime() + (estSec * 1.25 * 1e9).toLong <= deadlineNs
+
   final case class Result(
       rows: Long,
       batches: Int,
@@ -71,18 +81,34 @@ object StreamBench {
     * give stateful queries yet.
     * Each point uses its own checkpoint (state partitioning is pinned
     * at first start) and work dir. Returns (name, Result) per point;
-    * `bulk` is supplied by the caller's primary run. */
-  def sweep(spark: SparkSession, sfDir: String): Seq[(String, Result)] =
+    * `bulk` is supplied by the caller's primary run.
+    *
+    * Budget (VERDICT r16 #1): each point runs only if it is estimated
+    * to finish before `deadlineNs` (seeded by the caller's `estRunSec`
+    * for the first point, then the measured cost of the previous
+    * point). Skipped points are simply absent from the result — the
+    * caller flags them by name. */
+  def sweep(spark: SparkSession, sfDir: String,
+      deadlineNs: Long = Long.MaxValue,
+      estRunSec: Double = 0.0): Seq[(String, Result)] = {
+    var est = estRunSec
     Seq(
       ("mid", 48, 1, None, false),
       ("low", 64, 1, Some(2), true),
-      ("fast", 36, 1, Some(4), true)).map {
+      ("fast", 36, 1, Some(4), true)).flatMap {
       case (name, files, fpt, parts, changelog) =>
-        name -> run(spark, sfDir,
-          workDir = s"/tmp/graft_stream_bench_$name",
-          stageFiles = files, filesPerTrigger = fpt,
-          shufflePartitions = parts, changelogCheckpoint = changelog)
+        if (!fits(deadlineNs, est)) None
+        else {
+          val t0 = System.nanoTime()
+          val r = run(spark, sfDir,
+            workDir = s"/tmp/graft_stream_bench_$name",
+            stageFiles = files, filesPerTrigger = fpt,
+            shufflePartitions = parts, changelogCheckpoint = changelog)
+          est = (System.nanoTime() - t0) / 1e9
+          Some(name -> r)
+        }
     }
+  }
 
   /** One knee-search step: the offered load (staged file count → rows
     * per trigger) and the median-of-N run measured at it. */
@@ -96,8 +122,15 @@ object StreamBench {
     * of "the knee is zero" (VERDICT r15 #2: BENCH_r15 recorded
     * `stream_knee_eps: 0` where the truth on healthy boxes was
     * 28-33k eps). */
+  /** `exhausted` — the wall-clock budget cut the walk before it
+    * reached its natural stopping point (first break, or grid end):
+    * the recorded knee may then under-state the engine (VERDICT r16
+    * #1 — the r16 driver bench died INSIDE an unbudgeted knee walk,
+    * losing the whole artifact; a truncated-but-flagged walk is the
+    * graceful form of the same situation). */
   final case class Knee(steps: Seq[KneeStep], kneeEps: Double,
-      kneeP50Ms: Long, kneeStageFiles: Int, bracketed: Boolean)
+      kneeP50Ms: Long, kneeStageFiles: Int, bracketed: Boolean,
+      exhausted: Boolean = false)
 
   /** STRESS-TO-BREAKING-POINT (VERDICT r14 #4 — the reference steps
     * offered load until >10% errors or >10 s latency,
@@ -119,21 +152,42 @@ object StreamBench {
       stageFilesSteps: Seq[Int] = Seq(64, 48, 36, 24, 16, 12),
       downwardSteps: Seq[Int] = Seq(96, 128, 192, 256),
       p50TargetMs: Long = 300L,
-      runsPerStep: Int = 3): Knee = {
+      runsPerStep: Int = 3,
+      deadlineNs: Long = Long.MaxValue): Knee = {
     val steps = scala.collection.mutable.ArrayBuffer.empty[KneeStep]
+    // Per-run cost estimate for the budget check, updated from every
+    // completed run (the dominant knee cost is N steps × runsPerStep
+    // runs — the unbudgeted form of this walk is what killed the r16
+    // driver bench at its 60-min cap).
+    var runCost = 0.0
+    var exhausted = false
     def measure(files: Int): KneeStep = {
-      val runs = (1 to runsPerStep).map(i =>
-        run(spark, sfDir, workDir = s"${workDir}_f${files}_r$i",
-          stageFiles = files, filesPerTrigger = 1))
-      val med = runs.sortBy(_.epsSustained).apply(runs.size / 2)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Result]
+      var i = 1
+      // First run of a step is unconditional (the step-level gate
+      // already approved it); runs 2..N are each budget-checked.
+      while (i <= runsPerStep &&
+          (runs.isEmpty || fits(deadlineNs, runCost))) {
+        val t0 = System.nanoTime()
+        runs += run(spark, sfDir, workDir = s"${workDir}_f${files}_r$i",
+          stageFiles = files, filesPerTrigger = 1)
+        runCost = (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      if (runs.size < runsPerStep) exhausted = true
+      // lower median: with a full complement this is the median-of-N
+      // discipline; with a budget-truncated step it degrades to the
+      // median of what was measured (never best-of).
+      val med = runs.sortBy(_.epsSustained).apply((runs.size - 1) / 2)
       val st = KneeStep(files, med)
       steps += st
       st
     }
     val it = stageFilesSteps.iterator
     var broke = false
-    while (it.hasNext && !broke)
+    while (it.hasNext && !broke && fits(deadlineNs, runCost))
       broke = measure(it.next()).result.p50Ms > p50TargetMs
+    if (it.hasNext && !broke) exhausted = true
     // Degraded-box path (VERDICT r15 #2): when the FIRST step — the
     // lowest offered load on the default grid — already breaks the
     // target, the run used to record a meaningless knee of 0. Instead
@@ -144,8 +198,9 @@ object StreamBench {
     if (steps.size == 1 && broke) {
       val down = downwardSteps.iterator
       var passed = false
-      while (down.hasNext && !passed)
+      while (down.hasNext && !passed && fits(deadlineNs, runCost))
         passed = measure(down.next()).result.p50Ms <= p50TargetMs
+      if (down.hasNext && !passed) exhausted = true
     }
     val passing = steps.filter(_.result.p50Ms <= p50TargetMs)
     val knee = if (passing.isEmpty) None
@@ -155,7 +210,8 @@ object StreamBench {
       knee.map(_.result.p50Ms).getOrElse(0L),
       knee.map(_.stageFiles).getOrElse(0),
       bracketed = knee.isDefined &&
-        steps.exists(_.result.p50Ms > p50TargetMs))
+        steps.exists(_.result.p50Ms > p50TargetMs),
+      exhausted = exhausted)
   }
 
   /** Median-of-3 for quantile stability at low trigger counts
@@ -167,10 +223,23 @@ object StreamBench {
     * from one real run that sits in the middle of the observed spread,
     * not a best-of that a re-run can't match. */
   def runMedian3(spark: SparkSession, sfDir: String,
-      workDir: String = "/tmp/graft_stream_bench"): Result = {
-    val runs = (1 to 3).map(i =>
-      run(spark, sfDir, workDir = s"${workDir}_m$i"))
-    runs.sortBy(_.epsSustained).apply(1)
+      workDir: String = "/tmp/graft_stream_bench",
+      deadlineNs: Long = Long.MaxValue): Result = {
+    // Budget path (VERDICT r16 #1): the first run is unconditional
+    // (the caller gates entering the phase); runs 2-3 happen only if
+    // the measured cost of the previous run still fits the deadline.
+    // Lower median of what was measured — identical to the original
+    // median-of-3 when nothing is skipped.
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Result]
+    var cost = 0.0
+    var i = 1
+    while (i <= 3 && (runs.isEmpty || fits(deadlineNs, cost))) {
+      val t0 = System.nanoTime()
+      runs += run(spark, sfDir, workDir = s"${workDir}_m$i")
+      cost = (System.nanoTime() - t0) / 1e9
+      i += 1
+    }
+    runs.sortBy(_.epsSustained).apply((runs.size - 1) / 2)
   }
 
   /** Default = the BULK operating point (VERDICT r13 #8, re-picked

@@ -31,6 +31,8 @@ import graft.streaming.StreamingIndexFreshness
   *   - `fuzzy` → [[FuzzyVocabIndex.layoutAudit]]   (keys/bucket, rebucket)
   *   - `phash` → [[PerceptualDedupIndex.layoutAudit]] (rows/bucket,
   *     rebucket — image/audio fingerprint block indexes)
+  *   - `vclip` → [[VideoClipIndex.layoutAudit]]       (rows/bucket,
+  *     rebucket — the inverted frame-hash clip-match index)
   *   - `selmodel` → [[SelectionModelIndex.layoutAudit]] (holdout-drift
   *     bp off the audit ledger, retrain)
   *   - `fresh` → [[StreamingIndexFreshness.reconcile]] (slice drift,
@@ -98,6 +100,12 @@ object IndexCatalog {
         ("rows_per_bucket", "rebucket",
           PerceptualDedupIndex.layoutAudit(s, e.table)
             .select(col("n_fp_rows").as("n_rows"),
+              col("rows_per_bucket").cast("long").as("signal_value"),
+              col("rebucket_due").as("action_due")))
+      case "vclip" =>
+        ("rows_per_bucket", "rebucket",
+          VideoClipIndex.layoutAudit(s, e.table)
+            .select(col("n_frame_rows").as("n_rows"),
               col("rows_per_bucket").cast("long").as("signal_value"),
               col("rebucket_due").as("action_due")))
       case "selmodel" =>

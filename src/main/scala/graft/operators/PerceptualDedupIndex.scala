@@ -156,7 +156,15 @@ object PerceptualDedupIndex {
   def append(lo: Layout, admittedSig: DataFrame, table: String): Unit = {
     val s = admittedSig.sparkSession
     val nb = bucketCountOf(s, table)
-    val rows = indexRows(lo, admittedSig)
+    // The index rows and their sidecar generation must come from the
+    // SAME execution (ADVICE r16 #3): build() guarantees that by
+    // re-reading the written table, but an append cannot isolate its
+    // own generation from the table afterwards — so the batch's rows
+    // are pinned with an eager localCheckpoint BEFORE either write. A
+    // retried non-deterministic upstream re-executing between the two
+    // writes can then never land a sidecar that disagrees with the
+    // rows. Batch-sized (blocks+1 rows per admitted fingerprint).
+    val rows = indexRows(lo, admittedSig).localCheckpoint()
     rows.write.bucketBy(nb, "bkey").sortBy("bkey")
       .mode("append").saveAsTable(table)
     dfRows(rows).write.bucketBy(nb, "bkey").sortBy("bkey")

@@ -101,11 +101,19 @@ object SelectionModelIndex {
       .select(col("doc_id"), col("source"), col("text"), col("label"))
     val baseline = agreementBp(s, holdout, table,
       totPos = m.totPos, totNeg = m.totNeg, vocab = m.vocab)
-    val meta = s.createDataFrame(Seq((1L, "train", m.totPos, m.totNeg,
-      m.vocab, dtot.getLong(0), dtot.getLong(1), baseline)))
+    // Append-only ledger (ADVICE r16 #1): a RETRAIN appends its train
+    // row at seq = max+1 instead of wiping the table — the drift
+    // history and prior baselines survive redeploys, which is what
+    // model()/staleness()/layoutAudit()'s order-by-seq-desc reads
+    // assume. Only the very first build creates the table.
+    val meta = s.createDataFrame(Seq((nextSeq(s, table + "_meta"), "train",
+      m.totPos, m.totNeg, m.vocab, dtot.getLong(0), dtot.getLong(1),
+      baseline)))
       .toDF("seq", "kind", "tot_pos", "tot_neg", "vocab",
         "tot_r", "tot_t", "agree_bp")
-    meta.write.mode("overwrite").saveAsTable(table + "_meta")
+    val mode = if (s.catalog.tableExists(table + "_meta")) "append"
+      else "overwrite"
+    meta.write.mode(mode).saveAsTable(table + "_meta")
   }
 
   /** The deployed NB model, reconstructed from the tables. */
@@ -200,9 +208,16 @@ object SelectionModelIndex {
       driftBp: Long = 500L): DataFrame = {
     val deployed = bucketCountOf(s, table)
     val meta = s.table(table + "_meta")
-    val baseline = meta.filter(col("kind") === "train")
-      .orderBy(col("seq").desc).select(col("agree_bp")).head().getLong(0)
-    val lastAudit = meta.filter(col("kind") === "audit")
+    val trainRow = meta.filter(col("kind") === "train")
+      .orderBy(col("seq").desc).select(col("seq"), col("agree_bp")).head()
+    val (trainSeq, baseline) = (trainRow.getLong(0), trainRow.getLong(1))
+    // Only audits AFTER the deployed train row count (ADVICE r16 #1
+    // follow-through): with the ledger append-only, an audit of the
+    // PREVIOUS model generation must not read as drift against the
+    // fresh baseline — a retrain resets drift to 0 until a new audit
+    // of the new model lands.
+    val lastAudit = meta
+      .filter(col("kind") === "audit" && col("seq") > lit(trainSeq))
       .orderBy(col("seq").desc).select(col("agree_bp"))
       .head(1).headOption.map(_.getLong(0))
     val drift = lastAudit.map(baseline - _).getOrElse(0L)

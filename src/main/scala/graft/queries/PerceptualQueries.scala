@@ -623,8 +623,12 @@ object PerceptualQueries {
   private val VFrames = 8  // frames per synthesized video
   private val ClipLen = 6  // planted clip length
   private val ClipOff = 2  // planted clip starts at this frame
-  private val MinMatch = 4 // alignment vote threshold
-  private val DfCap = 16   // max distinct videos per frame hash (q168's
+  // alignment threshold + stop-hash cap IMPORTED from the snapshot
+  // index (VERDICT r16 #5 — the WidePhash rule: the one-shot query and
+  // the materialized index must share one source of truth)
+  private val MinMatch = graft.operators.VideoClipIndex.MinMatch
+  private val DfCap = graft.operators.VideoClipIndex.DfCap
+                           // max distinct videos per frame hash (q168's
                            // df-cap discipline: a frame hash shared by
                            // many videos — a blank frame — matches
                            // everything and identifies nothing; without
@@ -692,6 +696,12 @@ object PerceptualQueries {
     * (vid = 2·doc_id, frames 0..7) plus a planted CLIP
     * (vid = 2·doc_id+1, frames 0..5 = the original's frames 2..7) —
     * the re-posted-excerpt case video dedup exists for. */
+  /** Public accessor for the dual-generator video corpus (the
+    * [[imageSignatures]] precedent): RefreshMain's clip-index leg and
+    * the VideoClipIndex specs read the same frames q214/q215 band. */
+  private[graft] def videoFrameRows(s: SparkSession, d: String): DataFrame =
+    videoFrames(s, d)
+
   private def videoFrames(s: SparkSession, d: String): DataFrame = {
     val fh = udf((text: String, j: Int) => frameHash(text, j))
     val docs = Tables.documents(s, d).filter(length(col("text")) >= 1)

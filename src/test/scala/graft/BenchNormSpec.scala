@@ -82,6 +82,36 @@ class BenchNormSpec extends AnyFunSuite {
     assert(Bench.ratioQuartiles(Map("q1" -> 1.0), ref).isEmpty)
   }
 
+  test("budget pass aggregation: min + lower median, never best-of") {
+    // full three passes: identical to the historical min+median
+    val p1 = Map("a" -> 3.0, "b" -> 1.0)
+    val p2 = Map("a" -> 1.0, "b" -> 2.0)
+    val p3 = Map("a" -> 2.0, "b" -> 3.0)
+    assert(Bench.aggregatePasses(Seq(p1, p2, p3)) ==
+      Map("a" -> (1.0, 2.0), "b" -> (1.0, 2.0)))
+    // two passes (budget skipped pass3): lower median = the min —
+    // degrades conservative, not optimistic
+    assert(Bench.aggregatePasses(Seq(p1, p2)) ==
+      Map("a" -> (1.0, 1.0), "b" -> (1.0, 1.0)))
+    // one pass: min = med = the only sample
+    assert(Bench.aggregatePasses(Seq(p1)) ==
+      Map("a" -> (3.0, 3.0), "b" -> (1.0, 1.0)))
+    // a failure in ANY pass poisons the query, like the 3-pass rule
+    val pf = Map("a" -> -1.0, "b" -> 2.5)
+    assert(Bench.aggregatePasses(Seq(p1, pf, p3))("a") == (-1.0, -1.0))
+    assert(Bench.aggregatePasses(Seq(p1, pf, p3))("b") == (1.0, 2.5))
+  }
+
+  test("knee reliability: unknown box regime is not healthy (ADVICE r16)") {
+    assert(Bench.kneeReliable(bracketed = true, Some(1.0)))
+    assert(Bench.kneeReliable(bracketed = true, Some(1.15)))
+    assert(!Bench.kneeReliable(bracketed = true, Some(1.16)))
+    // the fixed case: no ratio available (non-sf0.1 run / thin common
+    // set) must NOT vacuously read as a healthy box
+    assert(!Bench.kneeReliable(bracketed = true, None))
+    assert(!Bench.kneeReliable(bracketed = false, Some(1.0)))
+  }
+
   test("pinned reference vector: healthy r14 core + r15/r16 extensions") {
     assert(BenchRef.sf == "sf0.1")
     assert(BenchRef.queries.size >= 215)

@@ -61,6 +61,34 @@ class StreamBenchSpec extends SparkSpec {
     } else assert(k.kneeStageFiles == 0 && k.kneeP50Ms == 0L && !k.bracketed)
   }
 
+  test("budget path: exhausted deadline skips work but never loses the artifact") {
+    // a deadline already in the past: the sweep measures nothing
+    // (every point is optional), and the knee search records an empty,
+    // explicitly-exhausted walk instead of dying mid-phase — the r16
+    // driver bench was killed exactly here (VERDICT r16 #1)
+    val past = System.nanoTime() - 1L
+    assert(StreamBench.sweep(spark, sf0001, deadlineNs = past,
+      estRunSec = 1.0).isEmpty)
+    val k = StreamBench.kneeSearch(spark, sf0001,
+      workDir = "/tmp/graft_stream_knee_budget",
+      stageFilesSteps = Seq(6, 3), runsPerStep = 1, deadlineNs = past)
+    assert(k.steps.isEmpty && k.kneeEps == 0.0 && !k.bracketed)
+    assert(k.exhausted, "a budget-cut walk must say so")
+    // the primary stream measurement is NOT optional: runMedian3 under
+    // the same dead budget still lands exactly one real run (the
+    // caller gates entering the phase; once entered, one measurement
+    // always exists so stream_eps is real, not zero)
+    val r = StreamBench.runMedian3(spark, sf0001,
+      workDir = "/tmp/graft_stream_bench_budget", deadlineNs = past)
+    assert(r.rows > 0 && r.batches > 0 && r.epsSustained > 0)
+    // and an unconstrained walk is NOT exhausted (sentinel deadline)
+    val full = StreamBench.kneeSearch(spark, sf0001,
+      workDir = "/tmp/graft_stream_knee_full",
+      stageFilesSteps = Seq(3), downwardSteps = Seq.empty,
+      p50TargetMs = Long.MaxValue / 2, runsPerStep = 1)
+    assert(!full.exhausted, s"$full")
+  }
+
   test("knee search: degraded-box downward path and unbracketed-pass flag") {
     // an unreachable target (1 ms): the FIRST step breaks, so the
     // search extends DOWNWARD (VERDICT r15 #2 — a degraded box must

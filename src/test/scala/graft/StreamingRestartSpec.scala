@@ -3,13 +3,20 @@ package graft
 import scala.collection.mutable
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{StreamingDecontam, StreamingNearDup}
+import graft.functions.{ImageCodec, WavCodec}
+import graft.functions.ImageOps.Gray
+import graft.operators.WidePhash
+import graft.streaming.{StreamingAudioDedup, StreamingDecontam,
+  StreamingImageDedup, StreamingNearDup}
 import graft.streaming.StreamingNearDup.{Doc, DupPair}
 
-/** Kill-and-resume coverage for the round-10/11 streaming gates — the
+/** Kill-and-resume coverage for the streaming gates — the
   * CheckpointRecoverySpec contract extended to StreamingNearDup and
-  * StreamingDecontam: stop mid-stream, restart from the same
-  * checkpoint, and assert no lost and no duplicate verdicts. */
+  * StreamingDecontam (round 10/11) and the perceptual image/audio
+  * gates (VERDICT r16 #4): stop mid-stream, restart from the same
+  * checkpoint, and assert no lost pairs and no emissions beyond each
+  * gate's documented semantics (exactly-once for the band-pair gates,
+  * at-least-once-per-shared-band for the perceptual gates). */
 class StreamingRestartSpec extends SparkSpec {
 
   private val base =
@@ -58,6 +65,89 @@ class StreamingRestartSpec extends SparkSpec {
     // would show more
     assert(pairs.length == 2,
       s"expected the 2 per-band emissions and no restart replays: ${pairs.toList}")
+  }
+
+  test("image gate band state survives a restart; no replay beyond at-least-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val px = Array.tabulate(512) { i =>
+      val x = i % 32; val y = i / 32
+      (40 + (x / 4) * 25 + (y / 2) * 3).toByte
+    }
+    val png = ImageCodec.encode(Gray(32, 16, px), "png")
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_img").toString
+    val input = MemoryStream[StreamingImageDedup.Img]
+    def startQuery() = StreamingImageDedup.attach(input.toDS())
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$dir/ckpt").option("path", s"$dir/out")
+      .outputMode("append").start()
+
+    // run 1: seed the 12 band states with image 1, stop mid-stream
+    val q1 = startQuery()
+    try {
+      input.addData(StreamingImageDedup.Img(1, png))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 0)
+
+    // run 2: same checkpoint — an exact copy must find image 1 via the
+    // RESTORED band state, and run 1's committed (empty) batch must
+    // not replay
+    val q2 = startQuery()
+    try {
+      input.addData(StreamingImageDedup.Img(2, png))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val pairs = spark.read.parquet(s"$dir/out")
+      .as[StreamingImageDedup.DupPair].collect()
+    assert(pairs.nonEmpty,
+      "run-1 band state must survive the restart and match the arrival")
+    assert(pairs.map(p => (p.imgId, p.matchId, p.hd)).distinct.toSeq ==
+      Seq((2L, 1L, 0)), s"got ${pairs.toList}")
+    // at-least-once per SHARED band, never more: identical hashes
+    // share all 12 bands, so 1..12 emissions are legal, 13+ is a
+    // restart replay
+    assert(pairs.length >= 1 && pairs.length <= WidePhash.Blocks,
+      s"beyond at-least-once-per-band: ${pairs.length} emissions")
+  }
+
+  test("audio gate band state survives a restart; no replay beyond at-least-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val samples = Array.tabulate(256) { i =>
+      ((((i * 37 + 11) % 97) / 97.0 - 0.5) * 8192).toInt.toShort
+    }
+    val bytes = WavCodec.encode(samples)
+    val blocks = graft.operators.PerceptualDedupIndex.AudioLayout.blocks
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_aud").toString
+    val input = MemoryStream[StreamingAudioDedup.Clip]
+    def startQuery() = StreamingAudioDedup.attach(input.toDS())
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$dir/ckpt").option("path", s"$dir/out")
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    try {
+      input.addData(StreamingAudioDedup.Clip(1, bytes))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 0)
+
+    val q2 = startQuery()
+    try {
+      input.addData(StreamingAudioDedup.Clip(2, bytes))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val pairs = spark.read.parquet(s"$dir/out")
+      .as[StreamingAudioDedup.DupPair].collect()
+    assert(pairs.nonEmpty,
+      "run-1 band state must survive the restart and match the arrival")
+    assert(pairs.map(p => (p.clipId, p.matchId, p.hd)).distinct.toSeq ==
+      Seq((2L, 1L, 0)), s"got ${pairs.toList}")
+    assert(pairs.length >= 1 && pairs.length <= blocks,
+      s"beyond at-least-once-per-band: ${pairs.length} emissions")
   }
 
   test("decontam gate resumes from checkpoint: committed batches not re-run, no doc lost") {
