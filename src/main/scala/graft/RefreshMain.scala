@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{BucketedIndexMaintenance, DeltaDedupIndex,
   DeltaSemDedupIndex, FuzzyVocabIndex, IndexCatalog, InvertedTextIndex,
-  PerceptualDedupIndex, SelectionModelIndex}
+  PerceptualDedupIndex, SelectionModelIndex, VideoClipIndex}
 
 /** The DELTA story assembled end-to-end as ONE runnable job — the
   * refresh cycle a continuously-updated training corpus actually
@@ -43,6 +43,7 @@ object RefreshMain {
       searchHotDfBp: Long, searchRebucketDue: Boolean,
       fuzzyVocabWords: Long, fuzzySuggestHits: Long,
       imgBatch: Long, imgAdmitted: Long, imgIndexRows: Long,
+      vclipBatch: Long, vclipAdmitted: Long, vclipIndexRows: Long,
       mmCells: Long, mmRaw: Long, mmAfterText: Long, mmAfterImage: Long,
       mmShipped: Long, selBaselineBp: Long, selDriftBp: Long,
       selRetrainDue: Boolean, indexCatalogJson: String)
@@ -61,7 +62,8 @@ object RefreshMain {
       "refresh_search_idx_meta", "refresh_search_idx_pos",
       "refresh_fuzzy_vocab", "refresh_fuzzy_keys",
       "refresh_phash_idx", "refresh_phash_idx_df", "refresh_selmodel",
-      "refresh_selmodel_dsir", "refresh_selmodel_meta").foreach(cleanup)
+      "refresh_selmodel_dsir", "refresh_selmodel_meta",
+      "refresh_vclip_idx", "refresh_vclip_idx_df").foreach(cleanup)
 
     // snapshot cut: everything NOT in the deterministic refresh slices
     val docs = Tables.documents(spark, sfDir)
@@ -81,6 +83,14 @@ object RefreshMain {
       .imageSignatures(spark, sfDir)
     PerceptualDedupIndex.build(PerceptualDedupIndex.ImageLayout,
       imgSig.filter(col("id") % 10 =!= 0), "refresh_phash_idx")
+    // video leg (VERDICT r16 #5): the corpus's full videos (even vids
+    // of the q214 dual-generator band) as a frame-hash clip-match
+    // index — a refresh batch's clip dedup then never re-hashes or
+    // re-inverts the snapshot (previously q214 rebuilt it per run)
+    val vframes = graft.queries.PerceptualQueries
+      .videoFrameRows(spark, sfDir)
+    VideoClipIndex.build(vframes.filter(col("vid") % 2 === 0),
+      "refresh_vclip_idx")
     // selection-model leg: the quality classifier + DSIR buckets as
     // deployed artifacts (VERDICT r15 #8) — trained once per snapshot
     // cut from the rule verdicts, audited for holdout drift per cycle
@@ -106,6 +116,11 @@ object RefreshMain {
     val imgBatch = imgSig.filter(col("id") % 10 === 0)
     val imgVerdict = PerceptualDedupIndex.admit(
       PerceptualDedupIndex.ImageLayout, imgBatch, "refresh_phash_idx")
+    // the clip batch = the odd vids (the planted excerpts): most are
+    // REJECTED — each matches its own source at offset +2, exactly the
+    // re-posted-excerpt case the index exists to catch
+    val clipBatch = vframes.filter(col("vid") % 2 === 1)
+    val clipVerdict = VideoClipIndex.admit(clipBatch, "refresh_vclip_idx")
 
     // MATERIALIZE the verdicts before appending — the verdict frames
     // are lazy plans over the index tables, and append() changes those
@@ -117,9 +132,12 @@ object RefreshMain {
       .select(col("vec_id")).cache()
     val imgAdmittedIds = imgVerdict.filter(col("admitted"))
       .select(col("id")).cache()
+    val clipAdmittedIds = clipVerdict.filter(col("admitted"))
+      .select(col("vid")).cache()
     val nTextAdmitted = textAdmittedIds.count()
     val nSemAdmitted = semAdmittedIds.count()
     val nImgAdmitted = imgAdmittedIds.count()
+    val nClipAdmitted = clipAdmittedIds.count()
 
     // the snapshot ADVANCES without a rebuild: only admitted rows
     // append. The SERVING index appends FIRST — writing the band table
@@ -145,6 +163,8 @@ object RefreshMain {
       "refresh_sem_idx")
     PerceptualDedupIndex.append(PerceptualDedupIndex.ImageLayout,
       imgBatch.join(imgAdmittedIds, "id"), "refresh_phash_idx")
+    VideoClipIndex.append(clipBatch.join(clipAdmittedIds, "vid"),
+      "refresh_vclip_idx")
 
     // the writer's incremental work order over the same batch
     val manifest = SparkEntry.queries("q177_refresh_manifest")(spark, sfDir)
@@ -207,6 +227,7 @@ object RefreshMain {
       IndexCatalog.Entry("refresh_search_idx", "text"),
       IndexCatalog.Entry("refresh_fuzzy", "fuzzy"),
       IndexCatalog.Entry("refresh_phash_idx", "phash"),
+      IndexCatalog.Entry("refresh_vclip_idx", "vclip"),
       IndexCatalog.Entry("refresh_selmodel", "selmodel")))
 
     // retention pass: collapse the appended file generation back to
@@ -220,6 +241,8 @@ object RefreshMain {
     BucketedIndexMaintenance.compact(spark, "refresh_fuzzy_keys")
     BucketedIndexMaintenance.compact(spark, "refresh_phash_idx")
     BucketedIndexMaintenance.compact(spark, "refresh_phash_idx_df")
+    BucketedIndexMaintenance.compact(spark, "refresh_vclip_idx")
+    BucketedIndexMaintenance.compact(spark, "refresh_vclip_idx_df")
 
     val summary = Summary(
       textBatch = textBatch.count(),
@@ -245,6 +268,9 @@ object RefreshMain {
       imgBatch = imgBatch.count(),
       imgAdmitted = nImgAdmitted,
       imgIndexRows = spark.table("refresh_phash_idx").count(),
+      vclipBatch = clipBatch.select(col("vid")).distinct().count(),
+      vclipAdmitted = nClipAdmitted,
+      vclipIndexRows = spark.table("refresh_vclip_idx").count(),
       mmCells = mm.getAs[Long]("cells"),
       mmRaw = mm.getAs[Long]("raw"),
       mmAfterText = mm.getAs[Long]("t"),
@@ -258,11 +284,13 @@ object RefreshMain {
     textAdmittedIds.unpersist()
     semAdmittedIds.unpersist()
     imgAdmittedIds.unpersist()
+    clipAdmittedIds.unpersist()
     Seq("refresh_text_idx", "refresh_sem_idx", "refresh_search_idx",
       "refresh_search_idx_meta", "refresh_search_idx_pos",
       "refresh_fuzzy_vocab", "refresh_fuzzy_keys",
       "refresh_phash_idx", "refresh_phash_idx_df", "refresh_selmodel",
-      "refresh_selmodel_dsir", "refresh_selmodel_meta").foreach(cleanup)
+      "refresh_selmodel_dsir", "refresh_selmodel_meta",
+      "refresh_vclip_idx", "refresh_vclip_idx_df").foreach(cleanup)
     summary
   }
 
@@ -293,6 +321,9 @@ object RefreshMain {
       s""""fuzzy_suggest_hits":${s.fuzzySuggestHits},""" +
       s""""img_batch":${s.imgBatch},"img_admitted":${s.imgAdmitted},""" +
       s""""img_index_rows":${s.imgIndexRows},""" +
+      s""""vclip_batch":${s.vclipBatch},""" +
+      s""""vclip_admitted":${s.vclipAdmitted},""" +
+      s""""vclip_index_rows":${s.vclipIndexRows},""" +
       s""""mm_manifest_cells":${s.mmCells},"mm_raw":${s.mmRaw},""" +
       s""""mm_after_text":${s.mmAfterText},""" +
       s""""mm_after_image":${s.mmAfterImage},""" +

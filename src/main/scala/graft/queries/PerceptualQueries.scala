@@ -1110,7 +1110,15 @@ object PerceptualQueries {
     * window is PARTITIONED by its dedup key; the group-by is
     * ≤ 2·32·sources rows and split totals ride back as a 2-row
     * broadcast. */
-  private def q217(s: SparkSession, d: String): DataFrame = {
+  /** The per-doc gate-flag frame both manifest queries roll up
+    * (factored for VERDICT r16 #6): every gate family's verdict as its
+    * OWN column — `keep` (quality rules), `dup` (LSH-CC near-dup),
+    * `contam` (13-gram decontam), `text_pass` (their conjunction),
+    * `img` (survives perceptual image clustering), `ship` (survives
+    * audio-fingerprint dedup) — plus split/shard/token assignment, so a
+    * rollup can attribute each dropped doc to the FIRST gate that
+    * dropped it. */
+  private def manifestFlags(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.TokenWindowHashes.register(s)
     val nShards = 32
@@ -1136,8 +1144,10 @@ object PerceptualQueries {
       .join(keepFlags, "doc_id")
       .join(dropped, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
+      .withColumn("dup", coalesce(col("is_dup"), lit(false)))
+      .withColumn("contam_hit", coalesce(col("is_contam"), lit(false)))
       .withColumn("text_pass",
-        col("keep") && col("is_dup").isNull && col("is_contam").isNull)
+        col("keep") && !col("dup") && !col("contam_hit"))
     val clus = WidePhash.clusterLabels(sig(s, d)
       .select(col("doc_id").as("id"),
         col("l0"), col("l1"), col("l2"), col("l3")))
@@ -1154,7 +1164,7 @@ object PerceptualQueries {
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("kmin"))
       .select(col("doc_id"), lit(true).as("shipped"))
-    val flags = base
+    base
       .join(s2, Seq("doc_id"), "left")
       .join(s3, Seq("doc_id"), "left")
       .withColumn("img", coalesce(col("img_pass"), lit(false)))
@@ -1167,6 +1177,10 @@ object PerceptualQueries {
           "binary)), 1, 8), 16, 10) as bigint)") % nShards)
       .withColumn("toks",
         size(expr(TextQueries.wordsExpr)).cast("long"))
+  }
+
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val flags = manifestFlags(s, d)
     val per = flags.groupBy(col("split"), col("shard"), col("source"))
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("text_pass"), 1L).otherwise(0L)).as("n_after_text"),
@@ -1189,7 +1203,10 @@ object PerceptualQueries {
           .as("token_share_bp"))
   }
 
-  private val q217Sql =
+  /** The shared manifest CTE chain (everything through `flags`) — one
+    * source of truth for q217's funnel rollup and q219's per-stage
+    * drop attribution. */
+  private val manifestCtesSql =
     s"""WITH RECURSIVE sig AS (${TextQueries.q28Sql}),
        |bandt AS (
        |  SELECT doc_id, 1 AS bidx,
@@ -1242,6 +1259,9 @@ object PerceptualQueries {
        |base AS (
        |  SELECT d.doc_id, d.source, d.n_chars,
        |    CAST(len(${TextQueries.wordsSqlExpr}) AS BIGINT) AS toks,
+       |    q.keep AS keep,
+       |    dr.doc_id IS NOT NULL AS dup,
+       |    ct.doc_id IS NOT NULL AS contam_hit,
        |    (q.keep AND dr.doc_id IS NULL AND ct.doc_id IS NULL) AS text_pass,
        |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <= 'e5'
        |      THEN 'train' ELSE 'holdout' END AS split,
@@ -1268,7 +1288,10 @@ object PerceptualQueries {
        |    s3.doc_id IS NOT NULL AS ship
        |  FROM base b
        |  LEFT JOIN s2 ON s2.doc_id = b.doc_id
-       |  LEFT JOIN s3 ON s3.doc_id = b.doc_id),
+       |  LEFT JOIN s3 ON s3.doc_id = b.doc_id)""".stripMargin
+
+  private val q217Sql =
+    s"""$manifestCtesSql,
        |per AS (
        |  SELECT split, shard, source,
        |    CAST(count(*) AS BIGINT) AS n_raw,
@@ -1293,6 +1316,49 @@ object PerceptualQueries {
        |    ELSE 0 END AS BIGINT) AS token_share_bp
        |FROM per p JOIN stot s ON s.split = p.split""".stripMargin
 
+  /** q219: per-stage gate ATTRIBUTION for the multimodal release
+    * (VERDICT r16 #6 closing r15 #3): q217's funnel shows survivors
+    * per stage, but a release auditor asking "WHERE did shard 7's
+    * docs go?" needs each dropped doc charged to the FIRST gate that
+    * dropped it — including the audio stage q217's consecutive
+    * columns collapse. One row per (split, shard, source):
+    * n_raw = drop_quality + drop_neardup + drop_contam + drop_image
+    * + drop_audio + n_shipped, an integer identity a reconciliation
+    * job can assert. Same shared flag frame as q217 (one `documents`
+    * scan lineage; the rollup is ≤ 2·32·sources rows). */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    val flags = manifestFlags(s, d)
+    def cnt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    flags.groupBy(col("split"), col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        cnt(!col("keep")).as("drop_quality"),
+        cnt(col("keep") && col("dup")).as("drop_neardup"),
+        cnt(col("keep") && !col("dup") && col("contam_hit"))
+          .as("drop_contam"),
+        cnt(col("text_pass") && !col("img")).as("drop_image"),
+        cnt(col("img") && !col("ship")).as("drop_audio"),
+        cnt(col("ship")).as("n_shipped"))
+  }
+
+  private val q219Sql =
+    s"""$manifestCtesSql
+       |SELECT split, shard, source,
+       |  CAST(count(*) AS BIGINT) AS n_raw,
+       |  CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0)
+       |    AS BIGINT) AS drop_quality,
+       |  CAST(coalesce(sum(CASE WHEN keep AND dup THEN 1 END), 0)
+       |    AS BIGINT) AS drop_neardup,
+       |  CAST(coalesce(sum(CASE WHEN keep AND NOT dup AND contam_hit
+       |    THEN 1 END), 0) AS BIGINT) AS drop_contam,
+       |  CAST(coalesce(sum(CASE WHEN text_pass AND NOT img THEN 1 END), 0)
+       |    AS BIGINT) AS drop_image,
+       |  CAST(coalesce(sum(CASE WHEN img AND NOT ship THEN 1 END), 0)
+       |    AS BIGINT) AS drop_audio,
+       |  CAST(coalesce(sum(CASE WHEN ship THEN 1 END), 0)
+       |    AS BIGINT) AS n_shipped
+       |FROM flags GROUP BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q206_image_phash", q206, Some(q206Sql)),
     QueryDef("q207_image_near_dup", q207, Some(q207Sql)),
@@ -1306,5 +1372,6 @@ object PerceptualQueries {
     QueryDef("q215_clip_match_recall", q215, Some(q215Sql)),
     QueryDef("q216_phash_width_recall", q216, Some(q216Sql)),
     QueryDef("q217_multimodal_manifest", q217, Some(q217Sql)),
-    QueryDef("q218_video_decode_fingerprint", q218, Some(q218Sql)))
+    QueryDef("q218_video_decode_fingerprint", q218, Some(q218Sql)),
+    QueryDef("q219_manifest_gate_drops", q219, Some(q219Sql)))
 }

@@ -42,8 +42,9 @@ class NoEagerActionSpec extends SparkSpec {
       "q197_ann_retrain_recall",
       // q208 composes the same CC fixpoint over image near-dup edges
       "q208_image_dup_clusters", "q212_multimodal_dedup_funnel",
-      // q217 composes BOTH CC fixpoints (LSH text + wide-hash image)
-      "q217_multimodal_manifest",
+      // q217/q219 compose BOTH CC fixpoints (LSH text + wide-hash
+      // image) through the shared manifestFlags frame
+      "q217_multimodal_manifest", "q219_manifest_gate_drops",
       // the WidePhash signature relation materializes once at
       // construction (localCheckpoint — measured 12x scan+codec-UDF
       // re-derivation without it); q208/q212/q217 are covered above

@@ -110,6 +110,22 @@ class RefreshMainSpec extends SparkSpec {
     assert(s.indexCatalogJson.contains("\"kind\":\"phash\""),
       s"phash index missing from the catalog: ${s.indexCatalogJson}")
 
+    // the video leg: the clip batch is every odd vid (one planted
+    // excerpt per doc); nearly all are REJECTED — each matches its own
+    // source at offset +2 — with the stop-hash tail admitted; the
+    // index holds the snapshot's 8 frames per even vid plus 6 per
+    // admitted clip, and the catalog carries the vclip row
+    val nVids = graft.queries.PerceptualQueries
+      .videoFrameRows(spark, sf0001)
+      .filter(col("vid") % 2 === 1).select("vid").distinct().count()
+    assert(s.vclipBatch == nVids, s"clip batch ${s.vclipBatch} != $nVids")
+    assert(s.vclipAdmitted < s.vclipBatch / 2,
+      s"most planted clips must match their source: $s")
+    assert(s.vclipIndexRows == 8 * s.vclipBatch + 6 * s.vclipAdmitted,
+      s"vclip index rows ${s.vclipIndexRows}: $s")
+    assert(s.indexCatalogJson.contains("\"kind\":\"vclip\""),
+      s"vclip index missing from the catalog: ${s.indexCatalogJson}")
+
     // the selection-model leg: a real holdout baseline (above the ~50%
     // base rate), zero drift when audited on the same holdout it was
     // baselined on, and the catalog carries the selmodel row

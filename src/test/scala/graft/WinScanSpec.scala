@@ -24,6 +24,7 @@ class WinScanSpec extends SparkSpec {
            name != "q208_image_dup_clusters" &&
            name != "q212_multimodal_dedup_funnel" &&
            name != "q217_multimodal_manifest" &&
+           name != "q219_manifest_gate_drops" &&
            name != "q207_image_near_dup" &&
            name != "q216_phash_width_recall") { // iterative/materializing; gated elsewhere
       val globals = PlanGuards.flatten(
