@@ -24,6 +24,7 @@ object ProfileMain {
     @volatile var shufRead = 0L
     @volatile var shufWrite = 0L
     @volatile var input = 0L
+    @volatile var runMs = 0L
     override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages += 1
@@ -33,10 +34,20 @@ object ProfileMain {
         shufRead += m.shuffleReadMetrics.totalBytesRead
         shufWrite += m.shuffleWriteMetrics.bytesWritten
         input += m.inputMetrics.bytesRead
+        runMs += m.executorRunTime
       }
     }
-    def snap: (Int, Int, Long, Long, Long, Long) =
-      (jobs, stages, tasks, shufRead, shufWrite, input)
+    def snap: (Int, Int, Long, Long, Long, Long, Long) =
+      (jobs, stages, tasks, shufRead, shufWrite, input, runMs)
+  }
+
+  /** Cumulative driver-side Janino compile wall from Spark's codegen
+    * metrics source (mean×count over the histogram — close enough for
+    * per-query deltas). */
+  private def codegenMs: Double = {
+    val h = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    h.getSnapshot.getMean * h.getCount / 1e6
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,23 +72,32 @@ object ProfileMain {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    println("name\tsec\tjobs_build\tjobs_run\tstages\ttasks\tshuf_rd_mb\tshuf_wr_mb\tinput_mb")
+    println("name\tsec\tbuild_s\tplan_s\texec_s\tcodegen_s\ttask_s\tjobs_build\tjobs_run\tstages\ttasks\tshuf_rd_mb\tshuf_wr_mb\tinput_mb")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.forall(_.contains(name))) {
       val best = (1 to passes).map { _ =>
-        val (j0, s0, t0, r0, w0, i0) = acc.snap
+        val (j0, s0, t0, r0, w0, i0, m0) = acc.snap
+        val cg0 = codegenMs
         val tA = System.nanoTime()
         val df = fn(spark, sfDir)
-        val (jB, _, _, _, _, _) = acc.snap
+        val tB = System.nanoTime()
+        val (jB, _, _, _, _, _, _) = acc.snap
+        // force analysis + optimization + physical planning (codegen
+        // still happens at execute) so driver planning time is split out
+        df.queryExecution.executedPlan
+        val tC = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - tA) / 1e9
         // listener events are async — give the bus a moment to drain
         Thread.sleep(300)
-        val (j1, s1, t1, r1, w1, i1) = acc.snap
-        (sec, jB - j0, j1 - jB, s1 - s0, t1 - t0,
+        val (j1, s1, t1, r1, w1, i1, m1) = acc.snap
+        (sec, (tB - tA) / 1e9, (tC - tB) / 1e9,
+          (System.nanoTime() - tC) / 1e9 - 0.3,
+          (codegenMs - cg0) / 1e3, (m1 - m0) / 1e3,
+          jB - j0, j1 - jB, s1 - s0, t1 - t0,
           (r1 - r0) / 1e6, (w1 - w0) / 1e6, (i1 - i0) / 1e6)
       }.minBy(_._1)
-      println(f"$name\t${best._1}%.2f\t${best._2}\t${best._3}\t${best._4}\t${best._5}\t${best._6}%.1f\t${best._7}%.1f\t${best._8}%.1f")
+      println(f"$name\t${best._1}%.2f\t${best._2}%.2f\t${best._3}%.2f\t${best._4}%.2f\t${best._5}%.2f\t${best._6}%.2f\t${best._7}\t${best._8}\t${best._9}\t${best._10}\t${best._11}%.1f\t${best._12}%.1f\t${best._13}%.1f")
     }
     spark.stop()
   }

@@ -97,4 +97,28 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
+
+  /** Spread an under-parallelized scan across the session's cores
+    * before a CPU-heavy per-row kernel — guide §2.5's remedy for
+    * unsplittable input ("otherwise repartition immediately after the
+    * read"). The driver testdata ships each table as ONE single-
+    * row-group parquet file, so a scan plans exactly one partition and
+    * a media-codec or n-gram kernel pipelined into it runs on one core
+    * of the machine. The repartition is CONDITIONAL on the planned
+    * scan parallelism, not on a local-mode constant: whenever the
+    * source already plans >= min(cores, 16) partitions — any
+    * production multi-file table — this is the identity and no shuffle
+    * is added at scale. Applied only at call sites whose per-row
+    * kernel dominates the stage (GIF codec round-trips, frame-hash
+    * synthesis, trigram MinHash); a blanket spread was measured and
+    * REJECTED (OPTIMIZATION_r17.md): the 32-partition base ripples
+    * into every downstream stage, whose per-task fixed cost (multi-MB
+    * task-binary deserialization) outweighs cheap kernels — only
+    * call sites whose serial kernel time exceeds the downstream
+    * task-fan cost keep the spread. */
+  def spreadKernel(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val floor = math.min(cores, 16)
+    if (df.rdd.getNumPartitions < floor) df.repartition(cores) else df
+  }
 }

@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   * ⌈log₂⌉ (pinned by ConnectedComponentsSpec). At 100 TB, round COUNT
   * is the lever: each round is a full shuffle of the dup subgraph.
   *
+  * Round-17 (guide §1.2 "the distributed algorithm first"): the first
+  * hop under identity labels is just min(dst) per src, so it folds
+  * into INITIALIZATION as one aggregation over the edge list — no
+  * join, no distinct, and one fewer driver-synchronized round for
+  * every caller (disjoint stars, the LSH-edge common case, now finish
+  * in a single verification round). The fixpoint is schedule-
+  * independent — only existing labels propagate, every label in a
+  * component starts ≥ its min node, and stability across each edge
+  * forces label equality along edges — so the initialization change
+  * cannot alter the result, only the round count. (Measured dead ends,
+  * recorded in OPTIMIZATION_r17.md: re-keying the round as a
+  * propagated-rows-only aggregation merged by a left join added a
+  * broadcast materialization per round and lost on many-round graphs;
+  * disabling AQE inside the fixpoint to cut its per-exchange job
+  * materialization degraded every round to 32-partition sort-merge
+  * joins without broadcast-size estimates — 5-8× slower.)
+  *
   * Convergence detection rides the SAME job that materializes the
   * round's labels (no extra count() job): seed rows carry the previous
   * label through the union (old=label; propagated rows old=null; every
@@ -44,8 +61,11 @@ object ConnectedComponents {
   def minLabel(edges: DataFrame): (DataFrame, Int) = {
     val s = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Smart init = hop 1 for free: under identity labels the neighbor
+    // minimum is min(dst) per src — one aggregation, no join/distinct.
+    var labels = e.select(col("src").as("node"), col("dst"))
+      .groupBy(col("node"))
+      .agg(least(col("node"), min(col("dst"))).as("label"))
       .localCheckpoint()
     val changedAcc = s.sparkContext.longAccumulator("cc_label_improvements")
     val markImproved = udf { (newLabel: Long, oldLabel: Long) =>

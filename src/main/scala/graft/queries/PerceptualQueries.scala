@@ -662,8 +662,8 @@ object PerceptualQueries {
     * q206's covered ground; frames here hash the plane directly.) */
   private def q213(s: SparkSession, d: String): DataFrame = {
     val fh = udf((text: String, j: Int) => frameHash(text, j))
-    Tables.documents(s, d)
-      .filter(length(col("text")) >= 1)
+    Tables.spreadKernel(Tables.documents(s, d)
+        .filter(length(col("text")) >= 1))
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(0, ${VFrames - 1})")).as("fid"))
       .select(col("doc_id"), col("fid").cast("long").as("frame_id"),
@@ -704,7 +704,8 @@ object PerceptualQueries {
 
   private def videoFrames(s: SparkSession, d: String): DataFrame = {
     val fh = udf((text: String, j: Int) => frameHash(text, j))
-    val docs = Tables.documents(s, d).filter(length(col("text")) >= 1)
+    val docs = Tables.spreadKernel(
+      Tables.documents(s, d).filter(length(col("text")) >= 1))
     val full = docs
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(0, ${VFrames - 1})")).as("p"))
@@ -716,7 +717,12 @@ object PerceptualQueries {
       .select((col("doc_id") * 2 + 1).as("vid"),
         col("p").cast("long").as("pos"),
         fh(col("text"), col("p") + ClipOff).as("fhash"))
-    full.union(clip)
+    // materialized once (the WidePhash rule): q214/q215 reference the
+    // frame relation through the df-cap filter and both join sides —
+    // non-unifiable subtrees that re-ran the frame-hash UDF ~4x per
+    // query (r17 profile). 3 longs/frame, executor-local; the
+    // consumers join the NoEagerActionSpec/WinScanSpec exempt lists.
+    full.union(clip).localCheckpoint()
   }
 
   private val videoFramesSql =
@@ -1073,8 +1079,8 @@ object PerceptualQueries {
           (j.toLong, io.dHash63(io.cellSums(g, 8, 8)))
         }
     })
-    Tables.documents(s, d)
-      .filter(length(col("text")) >= 1)
+    Tables.spreadKernel(Tables.documents(s, d)
+        .filter(length(col("text")) >= 1))
       .select(col("doc_id"), explode(probe(col("text"))).as("f"))
       .select(col("doc_id"), col("f._1").as("frame_id"),
         col("f._2").as("fhash"))

@@ -509,7 +509,7 @@ object TextQueries {
     // and the join's null filters alias-substitute the whole
     // trigram+minhash pipeline into filters below (recomputing the md5
     // trigram hashing several times per row — measured 30× slower).
-    val tri = Tables.documents(s, d)
+    val tri = Tables.spreadKernel(Tables.documents(s, d))
       .withColumn("w", expr(wordsExpr))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), col("source"),

@@ -48,7 +48,10 @@ class NoEagerActionSpec extends SparkSpec {
       // the WidePhash signature relation materializes once at
       // construction (localCheckpoint — measured 12x scan+codec-UDF
       // re-derivation without it); q208/q212/q217 are covered above
-      "q207_image_near_dup", "q216_phash_width_recall")
+      "q207_image_near_dup", "q216_phash_width_recall",
+      // the video frame-hash relation materializes once (r17: the
+      // df-cap filter and both join sides re-ran its UDF ~4x)
+      "q214_video_clip_match", "q215_clip_match_recall")
     val jobs = new AtomicInteger(0)
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {

@@ -26,7 +26,9 @@ class WinScanSpec extends SparkSpec {
            name != "q217_multimodal_manifest" &&
            name != "q219_manifest_gate_drops" &&
            name != "q207_image_near_dup" &&
-           name != "q216_phash_width_recall") { // iterative/materializing; gated elsewhere
+           name != "q216_phash_width_recall" &&
+           name != "q214_video_clip_match" &&
+           name != "q215_clip_match_recall") { // iterative/materializing; gated elsewhere
       val globals = PlanGuards.flatten(
         fn(spark, sf0001).queryExecution.executedPlan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
