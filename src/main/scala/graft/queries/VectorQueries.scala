@@ -796,15 +796,12 @@ object VectorQueries {
   private val SigPlanes = 16
   private val SigDim = 64
   private[graft] val SigOcc = 64L
-  /** Deterministic ±1 hyperplane matrix (splitmix64 bit per (j,i)),
-    * inlined as literals into BOTH engines' expressions. */
+  /** Deterministic ±1 hyperplane matrix (splitmix64 bit per (j,i)) —
+    * canonical copy in [[graft.expressions.SignLshSig]] (the Spark side
+    * evaluates it as the fused codegen expression; the oracle SQL
+    * inlines these signs as literals). */
   private[graft] val planeSign: Array[Array[Int]] =
-    Array.tabulate(SigPlanes, SigDim) { (j, i) =>
-      val z0 = (j * SigDim + i + 1).toLong * 0x9E3779B97F4A7C15L
-      val z1 = (z0 ^ (z0 >>> 30)) * 0xBF58476D1CE4E5B9L
-      val z2 = (z1 ^ (z1 >>> 27)) * 0x94D049BB133111EBL
-      if ((((z2 ^ (z2 >>> 31)) >>> 17) & 1L) == 1L) 1 else -1
-    }
+    graft.expressions.SignLshSig.planeSign
   /** The 16-bit signature as one integer expression over the micro-unit
     * array `u`: Σ_j 2^j·[Σ_i ±u_i ≥ 0]. `elem` maps dim index to the
     * engine's array accessor (0-based Spark, 1-based DuckDB). */
@@ -860,19 +857,23 @@ object VectorQueries {
 
   /** Sign-LSH cell assignment under the deployed grid: (`vec_id`,
     * `label`, `embedding`, `nrm`, `cell`, `nbits`) for every row of
-    * `emb`. The opt_barrier pins the micro-unit array projection —
-    * without it the optimizer inlines the transform into each of the
-    * 1,024 signature references (the q31 pathology). */
-  private[graft] def withCells(emb: DataFrame, capRow: DataFrame): DataFrame =
+    * `emb`. The signature is the fused codegen expression
+    * [[graft.expressions.SignLshSig]] (r17: replaced a 1,024-term
+    * inlined CASE/add tree — same integer adds, same order, far less
+    * generated code per stage); the opt_barrier pins the micro-unit
+    * array projection as its own evaluation. */
+  private[graft] def withCells(emb: DataFrame, capRow: DataFrame): DataFrame = {
+    graft.expressions.SignLshSig.register(emb.sparkSession)
     emb
       .withColumn("u", expr("opt_barrier(transform(embedding, " +
         "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)))"))
-      .withColumn("sig", expr(sigTerms(i => s"u[$i]")))
+      .withColumn("sig", expr("sign_lsh_sig(u)"))
       .crossJoin(broadcast(capRow))
       .withColumn("cell", col("sig") % col("n_cells_cap"))
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
         col("cell"), col("nbits"))
+  }
 
   /** The multiprobe expansion expression over `cell`/`nbits`: the cell
     * itself, the nbits one-bit flips, and the C(nbits,2) two-bit flips
@@ -1596,12 +1597,13 @@ object VectorQueries {
     * aggregate — map-side combinable, no joins, no embeddings moved. */
   private def q179(s: SparkSession, d: String): DataFrame = {
     graft.expressions.OptimizerBarrier.register(s)
+    graft.expressions.SignLshSig.register(s)
     val emb = Tables.embeddings(s, d)
     val nrow = emb.agg(count(lit(1)).as("n_total"))
     val sigs = emb
       .withColumn("u", expr("opt_barrier(transform(embedding, " +
         "x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)))"))
-      .withColumn("sig", expr(sigTerms(i => s"u[$i]")))
+      .withColumn("sig", expr("sign_lsh_sig(u)"))
       .select(col("vec_id"), col("sig"))
     // the scalar corpus count broadcasts (1 row — the plan-guard
     // discipline); the 3 scenario grids expand per signature row
