@@ -87,22 +87,18 @@ object BenchRef {
     "q197" -> 4.36, "q198" -> 0.72, "q199" -> 3.37, "q200" -> 1.76,
     "q201" -> 1.87, "q202" -> 3.35, "q203" -> 3.9, "q204" -> 4.33,
     "q205" -> 2.77,
-    // Perceptual family: still DE-LOADED DERIVATIONS (q_time ÷ the
-    // run's median ratio) — no healthy box has carried these queries
-    // yet. Unchanged queries (q209-q211, q213-q215) keep the round-15
-    // min-over-five-runs derivation; the round-16 WidePhash rework
-    // changed q206/q207/q208/q212 and added q216/q217/q218, so those
-    // derive from the round-16 builder run (BENCH_HISTORY epoch of the
-    // 339.63 s / 218-query run: cal [740, 556, 550], mr 1.47, ratio
-    // spread p25 1.32 / p75 1.67). A derived entry can bias its OWN
-    // query's future ratio but cannot move the 200+-entry median;
-    // RE-PIN this block from the first healthy round-16+ sf0.1 run.
-    // (changed/new entries re-derived from the SECOND round-16 builder
-    // run — post-localCheckpoint, in-suite min-of-3, raw total 285.0 s
-    // over 218 queries, cal [688, 544, 587], mr 1.27, spread p25 1.17 /
-    // p75 1.40 — ÷ its median ratio)
-    "q206" -> 0.4, "q207" -> 1.06, "q208" -> 2.2,
-    "q209" -> 0.23, "q210" -> 0.81, "q211" -> 1.0, "q212" -> 2.92,
-    "q213" -> 0.28, "q214" -> 1.2, "q215" -> 1.28, "q216" -> 1.43,
-    "q217" -> 6.22, "q218" -> 1.87)
+    // Perceptual family: MEASURED (VERDICT r16 #2, the standing re-pin
+    // task closed) — the round-17 builder bench was the first healthy
+    // box carrying these queries: in-suite min-of-3, raw total 221.76 s
+    // over 219 queries, cal [528, 478, 421] ms, median ratio 1.02,
+    // spread p25 0.91 / p75 1.12. The values reflect the round-17
+    // optimized code (spreadKernel on q213/q218, materialized video
+    // frames for q214/q215, fused sign-LSH, CC smart init), which is
+    // the baseline future regressions should be judged against. q219
+    // (added in the round-17 mid-build work) gets its first pin from
+    // the same run.
+    "q206" -> 0.35, "q207" -> 1.1, "q208" -> 1.92,
+    "q209" -> 0.3, "q210" -> 1.05, "q211" -> 1.1, "q212" -> 2.51,
+    "q213" -> 0.2, "q214" -> 1.7, "q215" -> 1.53, "q216" -> 1.47,
+    "q217" -> 5.79, "q218" -> 0.32, "q219" -> 5.3)
 }
