@@ -23,6 +23,21 @@ class StreamingAudioDedupSpec extends SparkSpec {
 
   private val L = PerceptualDedupIndex.AudioLayout
 
+  /** The index-spec cleanup pattern (AnnIvfIndexSpec precedent): drop
+    * the managed tables AND wipe their warehouse locations, so a rerun
+    * in the same workspace (fresh catalog, stale directory) can't die
+    * with LOCATION_ALREADY_EXISTS. */
+  private def cleanup(tables: String*): Unit =
+    tables.flatMap(t => Seq(t, t + "_df")).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+
   /** Deterministic 256-sample int16 waveform; sample values are kept
     * EVEN so a 0.5× gain is exact integer arithmetic (the gain-
     * invariance case must not hide behind rounding). */
@@ -155,6 +170,7 @@ class StreamingAudioDedupSpec extends SparkSpec {
     // verdict on (match?, hd) for the same corpus and arrivals
     import spark.implicits._
 
+    cleanup("aud_gate_parity_idx")
     val fpB = fp(base)
     val nearHd = hd(fpB, fp(noisy))
     val snapshot = Seq((1L, fpB, 0L, 0L, 0L), (2L, fp(far), 0L, 0L, 0L))
